@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table access for the driver-generated parquet tables
+  * (see /root/repo/TESTDATA.md). All query entry points take a
+  * scale-factor directory and resolve tables through here so the scan
+  * always goes straight to parquet (predicate pushdown + column
+  * pruning reach the file scan).
+  */
+object Fixtures {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as long and truncate to micros — the
+    * same truncation DuckDB applies when it reads the file, so both
+    * engines see identical microsecond timestamps.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every fixture table as a temp view named after the table,
+    * so `spark.sql` text can reference them exactly like the DuckDB
+    * oracle does.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n => table(spark, dir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,485 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Fixtures
+
+/** SURVEY.md §2.3 relational inventory, rows Q1–Q27.
+  *
+  * Implementation style: DataFrame API for plan-shaping operators
+  * (joins, aggregation, windows) so broadcast hints etc. are explicit;
+  * shared ANSI SQL where the Spark and DuckDB dialects agree verbatim.
+  *
+  * Determinism notes (the driver hash-compares vs DuckDB):
+  *  - Money aggregates run in DECIMAL (inputs are exact 2-dp values
+  *    stored as doubles), then `round(.,2)` *in decimal* and a final
+  *    cast to double. Decimal arithmetic is exact in both engines, so
+  *    the result is bit-identical regardless of partial-agg order.
+  *  - Anything windowed or limited carries a total tie-break order.
+  */
+object Relational {
+
+  /** money column → exact decimal */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  /** decimal result → round(2) → double (deterministic both engines) */
+  private def r2d(c: Column): Column = round(c, 2).cast("double")
+  /** net revenue per lineitem in exact decimal: price * (1 - discount) */
+  private val net: Column =
+    dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+  private val netSql =
+    "cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))"
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Fixtures.table(s, d, n)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Q1 — projection / column pruning (only 4 of 11 lineitem columns read)
+    QuerySpec.shared("q01_project",
+      s"""select l_orderkey, l_linenumber,
+         |  cast(round($netSql, 2) as double) as net
+         |from lineitem""".stripMargin),
+
+    // Q2 — filter: BETWEEN + IN + comparison + boolean logic
+    QuerySpec.df("q02_filter",
+      """select l_orderkey, l_linenumber, l_quantity, l_discount
+        |from lineitem
+        |where l_shipdate between timestamp '1995-03-01' and timestamp '1996-06-30'
+        |  and l_discount in (0.05, 0.06, 0.07) and l_quantity < 24""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate").between("1995-03-01", "1996-06-30 00:00:00")
+            && col("l_discount").isin(0.05, 0.06, 0.07) && col("l_quantity") < 24)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    },
+
+    // Q3 — inner equi-join (sort-merge at scale; AQE may pick SHJ)
+    QuerySpec.df("q03_join_inner",
+      """select l_orderkey, l_linenumber, o_custkey, l_quantity
+        |from lineitem join orders on l_orderkey = o_orderkey
+        |where o_orderstatus = 'F'""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+    },
+
+    // Q4 — broadcast-hash star join: fact ⋈ broadcast dims, revenue per region
+    QuerySpec.df("q04_join_broadcast",
+      s"""select r_name,
+         |  cast(round(sum($netSql), 2) as double) as rev,
+         |  count(*) as cnt
+         |from lineitem
+         |  join orders on l_orderkey = o_orderkey
+         |  join customer on o_custkey = c_custkey
+         |  join nation on c_nationkey = n_nationkey
+         |  join region on n_regionkey = r_regionkey
+         |group by r_name""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(r2d(sum(net)).as("rev"), count(lit(1)).as("cnt"))
+    },
+
+    // Q5 — left outer join preserving customers without orders
+    QuerySpec.df("q05_join_left",
+      """select c_custkey, count(o_orderkey) as n_orders,
+        |  cast(coalesce(round(sum(cast(o_totalprice as decimal(12,2))), 2), 0) as double) as spend
+        |from customer left join orders on c_custkey = o_custkey
+        |group by c_custkey""".stripMargin) {
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(r2d(sum(dec(col("o_totalprice")))), lit(0).cast("double")).as("spend"))
+    },
+
+    // Q5b — full outer join: per-nation customer count vs supplier count
+    QuerySpec.df("q05b_join_full",
+      """select coalesce(c.k, s.k) as nationkey,
+        |  coalesce(c.nc, 0) as n_cust, coalesce(s.ns, 0) as n_supp
+        |from (select c_nationkey as k, count(*) as nc from customer group by 1) c
+        |full outer join (select s_nationkey as k, count(*) as ns from supplier group by 1) s
+        |on c.k = s.k""".stripMargin) {
+      (s, d) =>
+        val c = t(s, d, "customer").groupBy(col("c_nationkey").as("ck"))
+          .agg(count(lit(1)).as("nc"))
+        val su = t(s, d, "supplier").groupBy(col("s_nationkey").as("sk"))
+          .agg(count(lit(1)).as("ns"))
+        c.join(su, col("ck") === col("sk"), "full_outer")
+          .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+            coalesce(col("nc"), lit(0)).as("n_cust"),
+            coalesce(col("ns"), lit(0)).as("n_supp"))
+    },
+
+    // Q6 — anti join: parts never shipped (NOT EXISTS)
+    QuerySpec.df("q06_join_anti",
+      """select p_partkey, p_brand from part
+        |where not exists (select 1 from lineitem where l_partkey = p_partkey)""".stripMargin) {
+      (s, d) =>
+        t(s, d, "part")
+          .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+          .select("p_partkey", "p_brand")
+    },
+
+    // Q6b — semi join: suppliers with at least one high-quantity shipment (EXISTS)
+    QuerySpec.df("q06b_join_semi",
+      """select s_suppkey, s_name from supplier
+        |where exists (select 1 from lineitem
+        |              where l_suppkey = s_suppkey and l_quantity >= 49)""".stripMargin) {
+      (s, d) =>
+        t(s, d, "supplier")
+          .join(t(s, d, "lineitem").filter(col("l_quantity") >= 49),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+    },
+
+    // Q7 — cross join + theta filter (BroadcastNestedLoopJoin)
+    QuerySpec.df("q07_join_cross",
+      """select a.n_name as n1, b.n_name as n2
+        |from nation a cross join nation b
+        |where a.n_regionkey = b.n_regionkey and a.n_nationkey < b.n_nationkey""".stripMargin) {
+      (s, d) =>
+        val a = t(s, d, "nation").select(col("n_name").as("n1"),
+          col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+        val b = t(s, d, "nation").select(col("n_name").as("n2"),
+          col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+        a.crossJoin(b).filter(col("r1") === col("r2") && col("k1") < col("k2"))
+          .select("n1", "n2")
+    },
+
+    // Q8 — range join: pairs of events of one user within a 1-hour band
+    QuerySpec.df("q08_join_range",
+      """select a.user_id, count(*) as n_pairs,
+        |  cast(round(sum(cast(b.value as decimal(12,2)) - cast(a.value as decimal(12,2))), 2) as double) as dv
+        |from events a join events b
+        |  on a.user_id = b.user_id and b.ts > a.ts and b.ts <= a.ts + interval 1 hour
+        |group by a.user_id""".stripMargin) {
+      (s, d) =>
+        val e = t(s, d, "events")
+        val a = e.select(col("user_id"), col("ts").as("ts_a"), col("value").as("v_a"))
+        val b = e.select(col("user_id").as("user_b"), col("ts").as("ts_b"),
+          col("value").as("v_b"))
+        a.join(b, col("user_id") === col("user_b")
+            && col("ts_b") > col("ts_a")
+            && col("ts_b") <= col("ts_a") + expr("interval 1 hour"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            r2d(sum(dec(col("v_b")) - dec(col("v_a")))).as("dv"))
+    },
+
+    // Q9 — as-of join: latest order of the same user at-or-before each event.
+    // Spark side uses the single-shuffle union/last_value implementation in
+    // graft.operators.AsOfJoin; oracle uses the row_number formulation.
+    QuerySpec.df("q09_join_asof",
+      """select event_id, o_orderkey as asof_orderkey from (
+        |  select e.event_id, o.o_orderkey,
+        |    row_number() over (partition by e.event_id
+        |                       order by o.o_orderdate desc, o.o_orderkey desc) as rn
+        |  from events e join orders o
+        |    on e.user_id = o.o_custkey and o.o_orderdate <= e.ts
+        |) t where rn = 1""".stripMargin) {
+      (s, d) =>
+        graft.operators.AsOfJoin.latestAtOrBefore(
+            left = t(s, d, "events").select("event_id", "user_id", "ts"),
+            right = t(s, d, "orders")
+              .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightTieBreak = "o_orderkey", payload = "o_orderkey")
+          .filter(col("o_orderkey").isNotNull)
+          .select(col("event_id"), col("o_orderkey").as("asof_orderkey"))
+    },
+
+    // Q10 — TPC-H Q1 shape: hash aggregation w/ partial+final combine
+    QuerySpec.df("q10_agg_tpch1",
+      s"""select l_returnflag, l_linestatus,
+         |  cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+         |  cast(round(sum(cast(l_extendedprice as decimal(12,2))), 2) as double) as sum_base,
+         |  cast(round(sum($netSql), 2) as double) as sum_disc,
+         |  cast(round(sum($netSql * (1 + cast(l_tax as decimal(4,2)))), 2) as double) as sum_charge,
+         |  round(avg(l_quantity), 2) as avg_qty,
+         |  count(*) as cnt
+         |from lineitem
+         |where l_shipdate <= timestamp '2000-09-02'
+         |group by l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= "2000-09-02 00:00:00")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
+            r2d(sum(dec(col("l_extendedprice")))).as("sum_base"),
+            r2d(sum(net)).as("sum_disc"),
+            r2d(sum(net * (lit(1) + col("l_tax").cast("decimal(4,2)")))).as("sum_charge"),
+            round(avg(col("l_quantity")), 2).as("avg_qty"),
+            count(lit(1)).as("cnt"))
+    },
+
+    // Q11 — distinct + multi count-distinct + sum(distinct)
+    QuerySpec.shared("q11_distinct",
+      """select l_returnflag,
+        |  count(distinct l_suppkey) as d_supp,
+        |  count(distinct l_partkey) as d_part,
+        |  cast(sum(distinct cast(l_quantity as bigint)) as bigint) as sd_qty
+        |from lineitem group by l_returnflag""".stripMargin),
+
+    // Q12 — approx_count_distinct (HLL): nondeterministic vs DuckDB's
+    // different sketch → rows-only check; exactness covered by q11.
+    QuerySpec.unchecked("q12_approx_distinct") { (s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // Q13 — rollup + grouping()
+    QuerySpec.shared("q13_rollup",
+      """select n_name, c_mktsegment,
+        |  cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) as rev,
+        |  cast(grouping(n_name) as integer) as g1,
+        |  cast(grouping(c_mktsegment) as integer) as g2
+        |from orders
+        |  join customer on o_custkey = c_custkey
+        |  join nation on c_nationkey = n_nationkey
+        |group by rollup(n_name, c_mktsegment)""".stripMargin),
+
+    // Q13b — cube
+    QuerySpec.shared("q13b_cube",
+      """select o_orderstatus, o_orderpriority, count(*) as cnt,
+        |  cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) as rev
+        |from orders
+        |group by cube(o_orderstatus, o_orderpriority)""".stripMargin),
+
+    // Q14 — stats aggregates: exact percentile, stddev, variance, corr.
+    // percentile on the integral l_quantity only (midpoint interpolation
+    // is then exact in both engines).
+    QuerySpec.sql("q14_stats",
+      """select l_returnflag,
+        |  cast(percentile(l_quantity, 0.5) as double) as med_qty,
+        |  cast(percentile(l_quantity, 0.9) as double) as p90_qty,
+        |  round(stddev_samp(l_quantity), 4) as sd_qty,
+        |  round(var_samp(l_quantity), 4) as var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) as corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 4) as cov_qd
+        |from lineitem group by l_returnflag""".stripMargin,
+      """select l_returnflag,
+        |  cast(quantile_cont(l_quantity, 0.5) as double) as med_qty,
+        |  cast(quantile_cont(l_quantity, 0.9) as double) as p90_qty,
+        |  round(stddev_samp(l_quantity), 4) as sd_qty,
+        |  round(var_samp(l_quantity), 4) as var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) as corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 4) as cov_qd
+        |from lineitem group by l_returnflag""".stripMargin),
+
+    // Q14b — min_by/max_by + deterministic collect_list (sorted, joined)
+    QuerySpec.sql("q14b_minmax_by",
+      """select c_mktsegment,
+        |  max_by(c_custkey, c_acctbal + c_custkey / 1000000000.0) as richest,
+        |  min_by(c_custkey, c_acctbal + c_custkey / 1000000000.0) as poorest,
+        |  array_join(sort_array(collect_set(substring(c_name, 10, 1))), ',') as digits
+        |from customer group by c_mktsegment""".stripMargin,
+      """select c_mktsegment,
+        |  max_by(c_custkey, c_acctbal + c_custkey / 1000000000.0) as richest,
+        |  min_by(c_custkey, c_acctbal + c_custkey / 1000000000.0) as poorest,
+        |  array_to_string(list_sort(list_distinct(list(substring(c_name, 10, 1)))), ',') as digits
+        |from customer group by c_mktsegment""".stripMargin),
+
+    // Q15 — ranking window functions, total tie-break order
+    QuerySpec.df("q15_window_rank",
+      """select o_custkey, o_orderkey, rn, rnk, drnk from (
+        |  select o_custkey, o_orderkey,
+        |    row_number() over w as rn,
+        |    rank() over w as rnk,
+        |    dense_rank() over w as drnk
+        |  from orders
+        |  window w as (partition by o_custkey order by o_totalprice desc, o_orderkey)
+        |) t where rn <= 3""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn", "rnk", "drnk")
+    },
+
+    // Q16 — analytic window functions: lag/lead/first/last per user stream
+    QuerySpec.df("q16_window_analytic",
+      """select event_id,
+        |  lag(event_id) over w as prev_id,
+        |  lead(event_id) over w as next_id,
+        |  first_value(event_id) over w as first_id,
+        |  cast(round(cast(value as decimal(12,2))
+        |       - lag(cast(value as decimal(12,2))) over w, 2) as double) as dv
+        |from events
+        |window w as (partition by user_id order by ts, event_id)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+          .withColumn("next_id", lead(col("event_id"), 1).over(w))
+          .withColumn("first_id", first(col("event_id")).over(w))
+          .withColumn("dv", r2d(dec(col("value")) - lag(dec(col("value")), 1).over(w)))
+          .select("event_id", "prev_id", "next_id", "first_id", "dv")
+    },
+
+    // Q17 — window frames: running decimal revenue + sliding 3-row average
+    QuerySpec.df("q17_window_frames",
+      """select o_orderkey,
+        |  cast(round(sum(cast(o_totalprice as decimal(12,2)))
+        |    over (partition by o_custkey order by o_orderdate, o_orderkey
+        |          rows between unbounded preceding and current row), 2) as double) as running,
+        |  count(*) over (partition by o_custkey order by o_orderdate, o_orderkey
+        |                 rows between 2 preceding and current row) as win3
+        |from orders""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("running",
+            r2d(sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .withColumn("win3",
+            count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)))
+          .select("o_orderkey", "running", "win3")
+    },
+
+    // Q18 — multi-key sort + top-k (TakeOrderedAndProject)
+    QuerySpec.shared("q18_sort_topk",
+      """select l_orderkey, l_linenumber, l_extendedprice
+        |from lineitem
+        |order by l_extendedprice desc, l_orderkey, l_linenumber
+        |limit 100""".stripMargin),
+
+    // Q19 — limit + offset over a total order
+    QuerySpec.shared("q19_limit_offset",
+      """select o_orderkey, o_totalprice from orders
+        |order by o_totalprice desc, o_orderkey
+        |limit 10 offset 5""".stripMargin),
+
+    // Q20 — set operations: INTERSECT / EXCEPT / UNION ALL
+    QuerySpec.shared("q20_setops",
+      """select 'both' as tag, k from
+        |  (select c_custkey as k from customer intersect select o_custkey from orders) a
+        |union all
+        |select 'cust_only' as tag, k from
+        |  (select c_custkey as k from customer except select o_custkey from orders) b""".stripMargin),
+
+    // Q21 — scalar subquery + correlated EXISTS
+    QuerySpec.shared("q21_subquery",
+      """select o_orderkey, o_totalprice from orders
+        |where o_totalprice > (select avg(o_totalprice) * 1.8 from orders)
+        |  and exists (select 1 from lineitem
+        |              where l_orderkey = o_orderkey and l_quantity >= 45)""".stripMargin),
+
+    // Q22 — CTE reused twice
+    QuerySpec.shared("q22_cte",
+      """with rev as (
+        |  select o_custkey, sum(cast(o_totalprice as decimal(12,2))) as r
+        |  from orders group by o_custkey
+        |)
+        |select o_custkey, cast(round(r, 2) as double) as r
+        |from rev
+        |where cast(r as double) > (select avg(cast(r as double)) * 1.5 from rev)""".stripMargin),
+
+    // Q23 — string functions
+    QuerySpec.sql("q23_strings",
+      """select p_partkey,
+        |  upper(p_name) as up, lower(p_brand) as lo,
+        |  substring(p_name, 1, 5) as sub,
+        |  length(p_name) as len,
+        |  replace(p_name, ' ', '_') as rep,
+        |  lpad(p_brand, 10, '*') as pad,
+        |  trim('  ' || p_type || ' ') as trimmed,
+        |  instr(p_name, 'a') as pos,
+        |  reverse(p_brand) as rev,
+        |  repeat('x', p_size % 4) as rept,
+        |  translate(p_name, 'aeiou', 'AEIOU') as tra,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) as brandnum,
+        |  case when p_name like '%wid%' then 1 else 0 end as haswid,
+        |  case when p_name rlike '^[a-z]+ widget$' then 1 else 0 end as iswidget,
+        |  split(p_name, ' ')[0] as word0
+        |from part""".stripMargin,
+      """select p_partkey,
+        |  upper(p_name) as up, lower(p_brand) as lo,
+        |  substring(p_name, 1, 5) as sub,
+        |  length(p_name) as len,
+        |  replace(p_name, ' ', '_') as rep,
+        |  lpad(p_brand, 10, '*') as pad,
+        |  trim('  ' || p_type || ' ') as trimmed,
+        |  instr(p_name, 'a') as pos,
+        |  reverse(p_brand) as rev,
+        |  repeat('x', p_size % 4) as rept,
+        |  translate(p_name, 'aeiou', 'AEIOU') as tra,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) as brandnum,
+        |  case when p_name like '%wid%' then 1 else 0 end as haswid,
+        |  case when regexp_matches(p_name, '^[a-z]+ widget$') then 1 else 0 end as iswidget,
+        |  string_split(p_name, ' ')[1] as word0
+        |from part""".stripMargin),
+
+    // Q24 — date/time functions; monthly revenue rollup
+    QuerySpec.sql("q24_dates",
+      """select cast(date_trunc('month', o_orderdate) as date) as month,
+        |  year(min(o_orderdate)) as yr, month(min(o_orderdate)) as mon,
+        |  day(max(o_orderdate)) as last_day,
+        |  datediff(cast(max(o_orderdate) as date), cast(min(o_orderdate) as date)) as span_days,
+        |  cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) as rev,
+        |  count(*) as cnt
+        |from orders group by 1""".stripMargin,
+      """select cast(date_trunc('month', o_orderdate) as date) as month,
+        |  year(min(o_orderdate)) as yr, month(min(o_orderdate)) as mon,
+        |  day(max(o_orderdate)) as last_day,
+        |  date_diff('day', cast(min(o_orderdate) as date), cast(max(o_orderdate) as date)) as span_days,
+        |  cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) as rev,
+        |  count(*) as cnt
+        |from orders group by 1""".stripMargin),
+
+    // Q25 — math/numeric functions (round(,6) swallows 1-ulp libm diffs)
+    QuerySpec.shared("q25_math",
+      """select l_orderkey, l_linenumber,
+        |  round(sqrt(l_quantity), 6) as sq,
+        |  cast(floor(l_extendedprice) as bigint) as flr,
+        |  cast(ceil(l_extendedprice) as bigint) as cl,
+        |  abs(l_discount - 0.05) as ab,
+        |  round(exp(l_discount), 6) as ex,
+        |  round(ln(l_extendedprice), 6) as lg,
+        |  round(log10(l_extendedprice), 6) as l10,
+        |  round(pow(l_quantity, 2), 1) as p2,
+        |  cast(l_orderkey % 7 as bigint) as md,
+        |  cast(sign(l_discount - 0.05) as integer) as sg,
+        |  greatest(l_quantity, 25.0) as gr,
+        |  least(l_tax, l_discount) as le
+        |from lineitem where l_orderkey % 100 = 0""".stripMargin),
+
+    // Q26 — conditional / null handling
+    QuerySpec.shared("q26_conditional",
+      """select
+        |  case when l_discount >= 0.08 then 'high'
+        |       when l_discount >= 0.04 then 'mid'
+        |       else 'low' end as band,
+        |  coalesce(nullif(l_tax, 0.0), -1.0) as tax_or_flag,
+        |  count(*) as cnt,
+        |  cast(round(sum(cast(l_extendedprice as decimal(12,2))), 2) as double) as rev
+        |from lineitem group by 1, 2""".stripMargin),
+
+    // Q27 — casts across types (floor() first: double→int truncation
+    // direction differs between engines, floor makes it explicit)
+    QuerySpec.shared("q27_casts",
+      """select o_orderkey,
+        |  cast(cast(o_totalprice as decimal(12,2)) as string) as price_str,
+        |  cast(floor(o_totalprice) as bigint) as price_int,
+        |  cast(o_orderdate as date) as od,
+        |  cast(cast(o_orderkey as string) as bigint) as roundtrip,
+        |  cast('123.5' as double) as lit_d,
+        |  cast(cast(o_orderdate as date) as string) as date_str
+        |from orders where o_orderkey % 50 = 0""".stripMargin),
+  )
+}
