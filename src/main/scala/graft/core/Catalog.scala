@@ -1,0 +1,157 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** One stored table version — "an actual database table that may or may
+  * not be stored on disk yet" (/root/reference/patterns/node/node.py:84-114).
+  */
+final case class VersionMeta(
+    id: String,
+    recordCount: Long,
+    createdAtMs: Long)
+
+/** Per-table metadata document. `orderings` carries the schema roles
+  * that drive streaming defaults: "monotonic" (strictly_monotonic_ordering)
+  * and "created" (created_ordering) — node.py:196-204, 286-294.
+  * `uniqueOn` is the upsert key (node.py:284-297).
+  */
+final case class TableMeta(
+    name: String,
+    activeVersion: Option[String],
+    versions: List[VersionMeta],
+    uniqueOn: List[String],
+    orderings: Map[String, String],
+    schemaDdl: Option[String],
+    schemaHints: Map[String, String],
+    addCreated: Option[String],
+    addMonotonicId: Option[String],
+    nextSeq: Long)
+
+object TableMeta {
+  def fresh(name: String): TableMeta =
+    TableMeta(name, None, Nil, Nil, Map.empty, None, Map.empty, None, None, 1L)
+}
+
+/** Versioned warehouse catalog (SURVEY.md §2.1 S6/S10).
+  *
+  * Layout: `<root>/<table>/meta.json` + `<root>/<table>/<versionId>/`
+  * (a parquet directory per version). The active-version pointer lives
+  * in meta.json; swaps are atomic file renames, so a crashed writer
+  * never corrupts the readable state — readers always see either the
+  * old or the new pointer, and version directories are immutable once
+  * active (except `append`, which only ever adds part-files; a partial
+  * append is the one non-atomic window, same as the reference's
+  * buffered-flush).
+  *
+  * Single-driver design: the graph runner is one process (SURVEY.md
+  * §3.1); distributed writers go through Spark jobs whose *commit* is
+  * this driver-side pointer swap — the same structure a 1000-executor
+  * cluster needs (executors write data files, one coordinator commits
+  * metadata).
+  */
+final class Catalog(val root: String) {
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  Files.createDirectories(Paths.get(root))
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def metaPath(name: String): Path = tableDir(name).resolve("meta.json")
+
+  def exists(name: String): Boolean = Files.exists(metaPath(name))
+
+  def meta(name: String): Option[TableMeta] =
+    if (!exists(name)) None
+    else Some(Serialization.read[TableMeta](Files.readString(metaPath(name))))
+
+  def metaOrFresh(name: String): TableMeta =
+    meta(name).getOrElse(TableMeta.fresh(name))
+
+  /** Atomic metadata write: temp file + rename. */
+  def putMeta(m: TableMeta): Unit = {
+    Files.createDirectories(tableDir(m.name))
+    val tmp = tableDir(m.name).resolve(s"meta.json.tmp-${Thread.currentThread.getId}")
+    Files.writeString(tmp, Serialization.write(m))
+    Files.move(tmp, metaPath(m.name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def update(name: String)(f: TableMeta => TableMeta): TableMeta = {
+    val m = f(metaOrFresh(name))
+    putMeta(m)
+    m
+  }
+
+  /** Allocate a new (not yet active) version directory id; also used as
+    * the batch sequence for the strictly-monotonic id (node.py:291-294).
+    */
+  def newVersion(name: String): String = {
+    var id: String = null
+    update(name) { m =>
+      id = f"v${m.nextSeq}%08d"
+      m.copy(nextSeq = m.nextSeq + 1,
+        versions = m.versions :+ VersionMeta(id, 0L, System.currentTimeMillis()))
+    }
+    id
+  }
+
+  def versionPath(name: String, versionId: String): String =
+    tableDir(name).resolve(versionId).toString
+
+  def activePath(name: String): Option[String] =
+    meta(name).flatMap(_.activeVersion).map(v => versionPath(name, v))
+
+  /** Point the table at `versionId` (create-or-swap; old versions are
+    * retained until GC — node.py:399-405 "non-destructive").
+    */
+  def setActive(name: String, versionId: String, recordCount: Long): Unit =
+    update(name) { m =>
+      m.copy(
+        activeVersion = Some(versionId),
+        versions = m.versions.map(v =>
+          if (v.id == versionId) v.copy(recordCount = recordCount) else v))
+    }
+
+  def setRecordCount(name: String, versionId: String, recordCount: Long): Unit =
+    update(name) { m =>
+      m.copy(versions = m.versions.map(v =>
+        if (v.id == versionId) v.copy(recordCount = recordCount) else v))
+    }
+
+  /** reset(): pointer swap to a fresh null version; data retained
+    * (node.py:216-222, 399-405).
+    */
+  def reset(name: String): Unit =
+    update(name)(_.copy(activeVersion = None))
+
+  def recordCount(name: String): Long = (for {
+    m <- meta(name)
+    a <- m.activeVersion
+    v <- m.versions.find(_.id == a)
+  } yield v.recordCount).getOrElse(0L)
+
+  /** GC: delete non-active version directories older than `keepMs`. */
+  def vacuum(name: String, keepMs: Long = 0L): Seq[String] = {
+    val now = System.currentTimeMillis()
+    meta(name).toSeq.flatMap { m =>
+      val dead = m.versions.filter(v =>
+        !m.activeVersion.contains(v.id) && now - v.createdAtMs >= keepMs)
+      dead.foreach { v =>
+        val p = Paths.get(versionPath(name, v.id))
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+      update(name)(mm => mm.copy(versions =
+        mm.versions.filterNot(v => dead.exists(_.id == v.id))))
+      dead.map(_.id)
+    }
+  }
+
+  def listTables(): Seq[String] =
+    if (!Files.exists(Paths.get(root))) Nil
+    else Files.list(Paths.get(root)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+}

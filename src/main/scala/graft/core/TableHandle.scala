@@ -1,0 +1,388 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+/** The Table facade — semantics from the reference's node SDK
+  * (/root/reference/patterns/node/node.py:117-414):
+  * versioned reads, buffered writes flushed at execution end, upsert on
+  * `unique_on` keys, replace/truncate/reset, SQL over the active
+  * version, auto-created fields, inferred schema with hints.
+  *
+  * Scale notes: reads are plain parquet scans (pushdown + pruning
+  * apply); upsert is a key-shuffled full-outer MERGE writing a fresh
+  * version (atomic pointer swap — SURVEY.md §7.4.3); nothing on the
+  * write path collects to the driver.
+  */
+final class TableHandle(
+    val spark: SparkSession,
+    val catalog: Catalog,
+    val name: String,
+    val mode: String = "rw",
+    onSignal: (String, String) => Unit = (_, _) => ()) {
+
+  import TableHandle._
+
+  private sealed trait Pending
+  private case class PendAppend(df: DataFrame) extends Pending
+  private case class PendUpsert(df: DataFrame) extends Pending
+  private val pending = ArrayBuffer.empty[Pending]
+
+  // ---- Table.init (node.py:269-297) ----------------------------------
+  def init(
+      schema: Seq[(String, String)] = Nil,
+      schemaHints: Map[String, String] = Map.empty,
+      uniqueOn: Seq[String] = Nil,
+      addCreated: Option[String] = None,
+      addMonotonicId: Option[String] = None,
+      strictlyMonotonicOrdering: Option[String] = None,
+      createdOrdering: Option[String] = None): this.type = {
+    catalog.update(name) { m =>
+      val orderings = m.orderings ++
+        strictlyMonotonicOrdering.map("monotonic" -> _) ++
+        createdOrdering.map("created" -> _) ++
+        // add_monotonic_id implies a strictly-monotonic ordering on it
+        addMonotonicId.map("monotonic" -> _) ++
+        addCreated.map("created" -> _)
+      m.copy(
+        schemaDdl = if (schema.nonEmpty)
+          Some(CommonModel.structFromDict(schema).toDDL) else m.schemaDdl,
+        schemaHints = m.schemaHints ++ schemaHints,
+        uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
+        addCreated = addCreated.orElse(m.addCreated),
+        addMonotonicId = addMonotonicId.orElse(m.addMonotonicId),
+        orderings = orderings)
+    }
+    this
+  }
+
+  def meta: TableMeta = catalog.metaOrFresh(name)
+  def exists: Boolean = catalog.activePath(name).exists(p =>
+    java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+  def recordCount: Long = catalog.recordCount(name)
+
+  // ---- reads (node.py:141-189) ---------------------------------------
+  def read: DataFrame = catalog.activePath(name) match {
+    case Some(p) if java.nio.file.Files.exists(java.nio.file.Paths.get(p)) =>
+      spark.read.parquet(p)
+    case _ =>
+      val ddl = meta.schemaDdl.getOrElse(
+        throw new IllegalStateException(
+          s"table '$name' has no active version and no declared schema"))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), StructType.fromDDL(ddl))
+  }
+
+  /** records format = driver-side convenience façade only (never used on
+    * the distributed path — SURVEY.md §7.4.6).
+    */
+  def readRecords(): Iterator[Map[String, Any]] = {
+    val cols = read.columns
+    read.toLocalIterator().asScala.map(r => cols.zipWithIndex.map {
+      case (c, i) => c -> r.get(i)
+    }.toMap)
+  }
+
+  /** read_sql: the table is addressable by its own name (node.py:168-189). */
+  def readSql(sql: String): DataFrame = {
+    read.createOrReplaceTempView(name)
+    spark.sql(Template.substitute(sql, Map(name -> name)))
+  }
+
+  // ---- writes (node.py:299-354, buffered per node.py:305-307,407-414) --
+  def append(df: DataFrame): Unit = { requireWrite(); pending += PendAppend(df) }
+
+  def appendRecords(records: Seq[Map[String, Any]]): Unit =
+    append(inferRecords(spark, records, meta.schemaDdl))
+
+  def upsert(df: DataFrame): Unit = {
+    requireWrite()
+    require(meta.uniqueOn.nonEmpty, s"upsert on '$name' needs init(uniqueOn=...)")
+    pending += PendUpsert(df)
+  }
+
+  def upsertRecords(records: Seq[Map[String, Any]]): Unit =
+    upsert(inferRecords(spark, records, meta.schemaDdl))
+
+  /** replace = reset + append: fresh version seeded with df (node.py:336-345). */
+  def replace(df: DataFrame): Unit = { requireWrite(); flush(); reset(); append(df); flush() }
+
+  /** truncate: destructive delete-all-rows, version and schema kept
+    * (node.py:347-354).
+    */
+  def truncate(): Unit = {
+    requireWrite()
+    pending.clear()
+    catalog.activePath(name).foreach { p =>
+      val schema = spark.read.parquet(p).schema
+      val empty = spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      empty.write.mode("overwrite").parquet(p)
+      meta.activeVersion.foreach(v => catalog.setRecordCount(name, v, 0L))
+      onSignal(name, "update")
+    }
+  }
+
+  /** reset: non-destructive pointer swap (node.py:216-222, 399-405). */
+  def reset(): Unit = { catalog.reset(name); onSignal(name, "reset") }
+
+  /** execute_sql with event-kind sniffing (node.py:356-373). */
+  def executeSql(sql: String): Unit = {
+    requireWrite()
+    val s = Template.substitute(sql.trim, Map(name -> name))
+    val lower = s.toLowerCase
+    if (exists) read.createOrReplaceTempView(name)
+    if (lower.startsWith("create table") || lower.startsWith("create or replace table")) {
+      val select = s.substring(s.toLowerCase.indexOf(" as ") + 4)
+      replace(spark.sql(select))                       // CTAS → new version
+    } else if (lower.startsWith("insert into")) {
+      val select = s.substring(s.toLowerCase.indexOf("select"))
+      append(spark.sql(select)); flush()               // DML insert → append
+    } else if (lower.startsWith("delete from")) {
+      val whereIdx = lower.indexOf("where")
+      require(whereIdx > 0, "unqualified DELETE: use truncate()")
+      val pred = s.substring(whereIdx + 5)
+      val kept = read.filter(not(expr(pred)))
+      writeNewVersion(kept)
+      onSignal(name, "update")
+    } else {
+      spark.sql(s); onSignal(name, "update")
+    }
+  }
+
+  /** Flush buffered writes (execution end or explicit — node.py:407-414). */
+  def flush(): Unit = {
+    if (pending.isEmpty) return
+    val ops = pending.toList
+    pending.clear()
+    // coalesce adjacent appends into one write
+    val grouped = ArrayBuffer.empty[Pending]
+    ops.foreach {
+      case PendAppend(df) => grouped.lastOption match {
+        case Some(PendAppend(prev)) =>
+          grouped(grouped.size - 1) = PendAppend(unionWiden(prev, df))
+        case _ => grouped += PendAppend(df)
+      }
+      case u => grouped += u
+    }
+    grouped.foreach {
+      case PendAppend(df) => doAppend(df)
+      case PendUpsert(df) => doUpsert(df)
+    }
+  }
+
+  // ---- internals ------------------------------------------------------
+  private def requireWrite(): Unit =
+    require(mode.contains("w"), s"table '$name' opened read-only")
+
+  private def withAutoFields(df: DataFrame, batchSeq: Long): DataFrame = {
+    val m = meta
+    var out = CommonModel.applyHints(df, m.schemaHints)
+    m.addCreated.foreach { c =>
+      if (!out.columns.contains(c)) out = out.withColumn(c, current_timestamp())
+    }
+    m.addMonotonicId.foreach { c =>
+      if (!out.columns.contains(c))
+        out = out.withColumn(c, graft.functions.Base32Fixed.monotonicId(batchSeq))
+    }
+    out
+  }
+
+  private def doAppend(df: DataFrame): Unit = {
+    val m = meta
+    m.activeVersion match {
+      case Some(v) =>
+        val path = catalog.versionPath(name, v)
+        val existing = spark.read.parquet(path)
+        val incoming = withAutoFields(df, batchSeqFor())
+        if (existing.schema == incoming.schema ||
+            sameColumns(existing.schema, incoming.schema)) {
+          val aligned = incoming.select(existing.columns.map(col): _*)
+          aligned.write.mode("append").parquet(path)
+          catalog.setRecordCount(name, v, catalog.recordCount(name) + aligned.count())
+        } else {
+          // widen-only schema evolution: rewrite into a fresh version
+          writeNewVersion(unionWiden(existing, incoming))
+        }
+        onSignal(name, "update")
+      case None =>
+        writeNewVersion(withAutoFields(df, batchSeqFor()))
+        onSignal(name, "create")
+    }
+  }
+
+  /** Key-shuffled MERGE: last-wins within the batch, new version, swap.
+    * Determinism rule (SURVEY.md §4): within one upsert batch the
+    * highest (partition, row) wins; across batches the later flush wins.
+    */
+  private def doUpsert(df: DataFrame): Unit = {
+    val keys = meta.uniqueOn
+    val incomingRaw = withAutoFields(df, batchSeqFor())
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(monotonically_increasing_id().desc)
+    val incoming = incomingRaw
+      .withColumn("_gr_rn", row_number().over(w))
+      .filter(col("_gr_rn") === 1).drop("_gr_rn")
+    if (!exists) { writeNewVersion(incoming); onSignal(name, "create"); return }
+    val existing = read
+    val dataCols = (existing.columns ++ incoming.columns).distinct
+      .filterNot(keys.contains)
+    val e = existing.alias("e")
+    val i = incoming.alias("i")
+    val merged = e.join(i, keys, "full_outer").select(
+      keys.map(col) ++ dataCols.map { c =>
+        val inI = incoming.columns.contains(c)
+        val inE = existing.columns.contains(c)
+        if (inI && inE) coalesce(col(s"i.$c"), col(s"e.$c")).as(c)
+        else if (inI) col(s"i.$c").as(c)
+        else col(s"e.$c").as(c)
+      }: _*)
+    writeNewVersion(merged)
+    onSignal(name, "update")
+  }
+
+  private def writeNewVersion(df: DataFrame): Unit = {
+    val v = catalog.newVersion(name)
+    val path = catalog.versionPath(name, v)
+    df.write.mode("overwrite").parquet(path)
+    val n = spark.read.parquet(path).count()
+    catalog.setActive(name, v, n)
+  }
+
+  private def batchSeqFor(): Long = meta.nextSeq
+}
+
+object TableHandle {
+  import scala.jdk.CollectionConverters._
+
+  implicit final class RowIterOps(private val it: java.util.Iterator[Row]) extends AnyVal {
+    def asScala: Iterator[Row] = it.asInstanceOf[java.util.Iterator[Row]].asScala
+  }
+
+  private[core] def sameColumns(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).sameElements(
+      b.fields.map(f => (f.name, f.dataType)).sortBy(_._1))
+
+  /** Widen-only union: missing columns become nulls; numeric types are
+    * promoted (int→long→double); incompatible types promote to string
+    * (SURVEY.md §7.4.4).
+    */
+  private[core] def unionWiden(a: DataFrame, b: DataFrame): DataFrame = {
+    val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    (a.schema.fields ++ b.schema.fields).foreach { f =>
+      types(f.name) = types.get(f.name) match {
+        case None => f.dataType
+        case Some(t) => widen(t, f.dataType)
+      }
+    }
+    def aligned(df: DataFrame): DataFrame =
+      df.select(types.map { case (n, t) =>
+        (if (df.columns.contains(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }.toSeq: _*)
+    aligned(a).unionByName(aligned(b))
+  }
+
+  private[core] def widen(x: DataType, y: DataType): DataType =
+    if (x == y) x
+    else (x, y) match {
+      case (a, b) if num(a) && num(b) =>
+        if (rank(a) >= rank(b)) a else b
+      case _ => StringType
+    }
+  private def num(t: DataType) = rank(t) >= 0
+  private def rank(t: DataType): Int = t match {
+    case ByteType => 0; case ShortType => 1; case IntegerType => 2
+    case LongType => 3; case FloatType => 4; case DoubleType => 5
+    case _ => -1
+  }
+
+  /** Schema inference from records (node.py:303-304 "If not provided the
+    * schema will be inferred"): union of keys, widen-only value types.
+    */
+  def inferRecords(
+      spark: SparkSession,
+      records: Seq[Map[String, Any]],
+      declaredDdl: Option[String]): DataFrame = {
+    val schema: StructType = declaredDdl.map(StructType.fromDDL).getOrElse {
+      val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+      records.foreach(_.foreach { case (k, v) =>
+        val t = typeOf(v)
+        types(k) = types.get(k) match {
+          case None | Some(NullType) => t
+          case Some(prev) if t == NullType => prev
+          case Some(prev) => widen(prev, t)
+        }
+      })
+      StructType(types.map { case (n, t) =>
+        StructField(n, if (t == NullType) StringType else t)
+      }.toSeq)
+    }
+    val rows = records.map { r =>
+      Row.fromSeq(schema.fields.toSeq.map { f =>
+        coerce(r.get(f.name).orNull, f.dataType)
+      })
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def typeOf(v: Any): DataType = v match {
+    case null => NullType
+    case _: Boolean => BooleanType
+    case _: Byte | _: Short | _: Int | _: Long => LongType
+    case _: Float | _: Double => DoubleType
+    case _: java.sql.Timestamp | _: java.time.Instant => TimestampType
+    case _: java.sql.Date | _: java.time.LocalDate => DateType
+    case _: Array[Byte] => BinaryType
+    case _: BigDecimal => DecimalType(38, 9)
+    case _ => StringType
+  }
+
+  private def coerce(v: Any, t: DataType): Any = (v, t) match {
+    case (null, _) => null
+    case (x: Int, LongType) => x.toLong
+    case (x: Byte, LongType) => x.toLong
+    case (x: Short, LongType) => x.toLong
+    case (x: Float, DoubleType) => x.toDouble
+    case (x: Int, DoubleType) => x.toDouble
+    case (x: Long, DoubleType) => x.toDouble
+    case (x: java.time.Instant, TimestampType) => java.sql.Timestamp.from(x)
+    case (x: java.time.LocalDate, DateType) => java.sql.Date.valueOf(x)
+    case (x: BigDecimal, DecimalType()) => x.bigDecimal
+    case (x, StringType) if !x.isInstanceOf[String] => x.toString
+    case (x, _) => x
+  }
+}
+
+/** `{{ }}` template substitution shared by SQL nodes and read_sql
+  * (/root/reference/patterns/cli/commands/create.py:239-244).
+  */
+object Template {
+  private val ref = raw"\{\{\s*([A-Za-z0-9_.]+)\s*\}\}".r
+
+  /** Replace `{{ name }}` with the mapped replacement (a view name) and
+    * `{{ param }}` with a SQL literal when given in `params`.
+    */
+  def substitute(
+      sql: String,
+      tables: Map[String, String],
+      params: Map[String, Any] = Map.empty): String =
+    ref.replaceAllIn(sql, m => {
+      val key = m.group(1)
+      tables.get(key)
+        .orElse(params.get(key).map(literal))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unbound template reference '{{ $key }}'"))
+        .replace("\\", "\\\\").replace("$", "\\$")
+    })
+
+  def literal(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case other => other.toString
+  }
+}

@@ -1,0 +1,233 @@
+package graft.graph
+
+import java.nio.file.Files
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Catalog, State, StreamCursor, TableHandle, Template}
+
+/** Execution context handed to code nodes (the Scala equivalent of the
+  * reference's python node: arbitrary user logic over Table/Stream/
+  * State/Parameter — /root/reference/patterns/node/node.py passim).
+  */
+final class NodeContext(
+    val spark: SparkSession,
+    val nodeId: String,
+    runner: GraphRunner,
+    node: FunctionNode) {
+
+  /** Resolve a port name (preferred) or a store name to a Table. */
+  def table(port: String): TableHandle = {
+    val store = node.inputs.get(port)
+      .orElse(node.outputs.get(port))
+      .getOrElse(port)
+    runner.tableHandle(store)
+  }
+
+  def stream(port: String, orderBy: Option[String] = None): StreamCursor =
+    StreamCursor.forTable(table(port), state, orderBy)
+
+  lazy val state: State = runner.stateFor(nodeId)
+
+  def parameter[T](name: String): T =
+    node.parameters.getOrElse(name,
+      throw new IllegalArgumentException(s"parameter '$name' not bound")
+    ).asInstanceOf[T]
+
+  def parameterOr[T](name: String, default: T): T =
+    node.parameters.get(name).map(_.asInstanceOf[T]).getOrElse(default)
+}
+
+/** A registered Scala node implementation. */
+trait CodeNode { def run(ctx: NodeContext): Unit }
+
+/** Graph compiler + DAG runner (SURVEY.md §2.4, §3.1).
+  *
+  * Compile-time validation mirrors the platform's upload errors
+  * (/root/reference/patterns/cli/commands/upload.py:76-85): unconnected
+  * inputs, unbound parameters, unknown stores, cycles. Execution is
+  * topological; store writes emit create/update/reset signals that
+  * enqueue dependent nodes (node.py:387-397, 483-499).
+  */
+final class GraphRunner(
+    val spark: SparkSession,
+    val manifest: GraphManifest,
+    warehouse: String,
+    codeNodes: Map[String, CodeNode] = Map.empty,
+    componentResolver: String => Option[GraphManifest] = _ => None) {
+
+  val catalog = new Catalog(warehouse)
+  private val changedStores = mutable.Set.empty[String]
+  private val states = mutable.Map.empty[String, State]
+  private[graph] val signals = mutable.ArrayBuffer.empty[(String, String)]
+
+  def stateFor(nodeId: String): State =
+    states.getOrElseUpdate(nodeId, new State(warehouse, nodeId))
+
+  def tableHandle(store: String): TableHandle =
+    new TableHandle(spark, catalog, store, "rw", onSignal = (t, kind) => {
+      signals += ((t, kind))
+      changedStores += t
+    })
+
+  /** Flattened node list: subgraphs and components expand recursively,
+    * exposed ports aliased onto the parent wiring (edit.py:175-200;
+    * tests/cli/test_create.py:30-44).
+    */
+  lazy val flatNodes: List[(String, FunctionNode, GraphManifest)] = {
+    def expand(m: GraphManifest, prefix: String): List[(String, FunctionNode, GraphManifest)] =
+      m.functions.flatMap { f =>
+        val id = prefix + f.id.getOrElse(f.displayName)
+        f.kind match {
+          case "subgraph" =>
+            val sub = GraphManifest.load(m.dir.resolve(f.nodeFile.get).toString)
+            expand(sub, id + "/")
+          case "component" =>
+            componentResolver(f.uses.get) match {
+              case Some(sub) => expand(sub, id + "/")
+              case None => List((id, f, m)) // unresolved component: validation error later
+            }
+          case _ => List((id, f, m))
+        }
+      }
+    expand(manifest, "")
+  }
+
+  /** Compile-time checks; returns human-readable errors (empty = ok). */
+  def validate(): Seq[String] = {
+    val errors = mutable.ArrayBuffer.empty[String]
+    val storeNames = manifest.stores.map(_.name).toSet ++
+      flatNodes.flatMap { case (_, f, _) => f.webhook } // webhook auto-store
+    flatNodes.foreach { case (id, f, _) =>
+      if (f.kind == "invalid")
+        errors += s"node $id: no node_file/webhook/uses"
+      if (f.kind == "component" && componentResolver(f.uses.getOrElse("")).isEmpty)
+        errors += s"node $id: component '${f.uses.getOrElse("")}' not found"
+      f.inputs.foreach { case (port, store) =>
+        if (!storeNames.contains(store))
+          errors += s"node $id: input '$port' references unknown store '$store'"
+      }
+      f.outputs.foreach { case (port, store) =>
+        if (!storeNames.contains(store))
+          errors += s"node $id: output '$port' references unknown store '$store'"
+      }
+      f.parameters.foreach { case (k, v) =>
+        if (v == null || v == "MISSING")
+          errors += s"node $id: parameter '$k' has no default or value"
+      }
+      if (f.kind == "code" && !codeNodes.contains(f.nodeFile.getOrElse("")))
+        errors += s"node $id: no Scala implementation registered for '${f.nodeFile.getOrElse("")}'"
+    }
+    // cycle check over store-mediated edges
+    val producers = flatNodes.flatMap { case (id, f, _) =>
+      f.outputs.values.map(_ -> id) ++ f.webhook.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val adj = flatNodes.map { case (id, f, _) =>
+      id -> f.inputs.values.flatMap(producers.getOrElse(_, Nil)).toSet
+    }.toMap
+    val visiting = mutable.Set.empty[String]
+    val done = mutable.Set.empty[String]
+    def dfs(n: String): Boolean = { // true = cycle
+      if (done(n)) false
+      else if (visiting(n)) true
+      else {
+        visiting += n
+        val cyc = adj.getOrElse(n, Set.empty).exists(dfs)
+        visiting -= n; done += n
+        cyc
+      }
+    }
+    if (adj.keys.exists(dfs)) errors += "graph contains a cycle"
+    errors.toSeq
+  }
+
+  /** Topological order over store-mediated dependencies. */
+  def topoOrder: List[String] = {
+    val producers = flatNodes.flatMap { case (id, f, _) =>
+      f.outputs.values.map(_ -> id) ++ f.webhook.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deps = flatNodes.map { case (id, f, _) =>
+      id -> f.inputs.values.flatMap(producers.getOrElse(_, Nil)).toSet
+    }.toMap
+    val order = mutable.ArrayBuffer.empty[String]
+    val seen = mutable.Set.empty[String]
+    def visit(n: String): Unit =
+      if (!seen(n)) { seen += n; deps.getOrElse(n, Set.empty).foreach(visit); order += n }
+    flatNodes.foreach { case (id, _, _) => visit(id) }
+    order.toList
+  }
+
+  private def nodeById(id: String): (FunctionNode, GraphManifest) = {
+    val (_, f, m) = flatNodes.find(_._1 == id).getOrElse(
+      throw new IllegalArgumentException(s"unknown node '$id'"))
+    (f, m)
+  }
+
+  /** Run one node (manual trigger — services/trigger.py:10-22). */
+  def runNode(id: String): Unit = {
+    val (f, m) = nodeById(id)
+    f.kind match {
+      case "sql" => runSqlNode(id, f, m)
+      case "code" =>
+        val impl = codeNodes(f.nodeFile.get)
+        val ctx = new NodeContext(spark, id, this, f)
+        impl.run(ctx)
+        // flush any handles the node wrote through ctx is the node's job;
+        // ctx.table() hands out fresh handles, so nodes call flush().
+      case "webhook" => // passive ingest endpoint; nothing to execute
+      case other =>
+        throw new IllegalStateException(s"node $id of kind '$other' not runnable")
+    }
+  }
+
+  /** SQL node: substitute {{ table }} → temp view, {{ param }} → literal,
+    * run, write result as a new version of the output store
+    * (SURVEY.md §3.2).
+    */
+  private def runSqlNode(id: String, f: FunctionNode, m: GraphManifest): Unit = {
+    val sqlText = Files.readString(m.dir.resolve(f.nodeFile.get))
+    val tableMap = f.inputs.map { case (port, store) =>
+      val h = tableHandle(store)
+      val view = s"graft_${id.replaceAll("[^A-Za-z0-9_]", "_")}_$port"
+      h.read.createOrReplaceTempView(view)
+      Seq(port -> view, store -> view)
+    }.flatten.toMap
+    val result = spark.sql(Template.substitute(sqlText, tableMap, f.parameters))
+    val out = f.outputs.values.headOption.getOrElse(
+      throw new IllegalArgumentException(s"sql node $id has no output store"))
+    tableHandle(out).replace(result)
+  }
+
+  /** Run the whole graph once: topological pass, then propagate store
+    * signals to dependents until quiescent (bounded by `maxWaves`).
+    */
+  def run(maxWaves: Int = 3): Unit = {
+    val errors = validate()
+    require(errors.isEmpty, s"graph compile errors:\n${errors.mkString("\n")}")
+    changedStores.clear()
+    topoOrder.foreach(runNode)
+    var wave = 0
+    while (changedStores.nonEmpty && wave < maxWaves) {
+      val changed = changedStores.toSet
+      changedStores.clear()
+      val dependents = topoOrder.filter { id =>
+        val (f, _) = nodeById(id)
+        f.kind != "webhook" && f.inputs.values.exists(changed.contains) &&
+          // only re-run stream-style consumers in propagation waves:
+          // batch nodes already saw this wave's input in topo order
+          wave > 0
+      }
+      dependents.foreach(runNode)
+      wave += 1
+    }
+  }
+
+  /** Webhook ingest: append JSON-lines micro-batch to the webhook's
+    * auto-created same-name table (create.py:177-197; node.py:544-553).
+    */
+  def ingestWebhook(name: String, jsonLinesPath: String): Unit = {
+    val df = spark.read.json(jsonLinesPath)
+    val h = tableHandle(name)
+    h.append(df)
+    h.flush()
+  }
+}

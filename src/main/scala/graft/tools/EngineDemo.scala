@@ -1,0 +1,121 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.graph.{CodeNode, GraphManifest, GraphRunner, NodeContext}
+
+/** End-to-end drive of the engine through its public API: the
+  * SURVEY §7.2 minimum slice plus an incremental stream→upsert node.
+  * Run: sbt "runMain graft.tools.EngineDemo"
+  */
+object EngineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = Files.createTempDirectory("demo-graph").toString
+    val wh = Files.createTempDirectory("demo-wh").toString
+    Files.writeString(Paths.get(dir, "agg.sql"),
+      """select l_returnflag, l_linestatus,
+        |  sum(l_quantity) as qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) as rev,
+        |  count(*) as cnt
+        |from {{ lineitem }}
+        |where l_quantity <= {{ max_qty }}
+        |group by 1, 2 order by 1, 2""".stripMargin)
+    Files.writeString(Paths.get(dir, "graph.yml"),
+      """title: demo
+        |functions:
+        |  - node_file: agg.sql
+        |    id: aggnode01
+        |    inputs: {lineitem: lineitem_raw}
+        |    outputs: {out: lineitem_agg}
+        |    parameters: {max_qty: 50}
+        |  - node_file: enrich.scala
+        |    id: enrich001
+        |    inputs: {events: events}
+        |    outputs: {out: enriched}
+        |stores:
+        |  - table: lineitem_raw
+        |  - table: events
+        |  - table: enriched
+        |  - table: lineitem_agg
+        |""".stripMargin)
+
+    val enrich = new CodeNode {
+      def run(ctx: NodeContext): Unit = {
+        val out = ctx.table("out").init(uniqueOn = Seq("event_id"),
+          addMonotonicId = Some("mid"))
+        val stream = ctx.stream("events", orderBy = Some("event_id"))
+        val slice = stream.df()
+        if (!slice.isEmpty) {
+          out.upsert(slice.withColumn("seen", lit(1)))
+          out.flush()
+          stream.seek(slice.agg(max("event_id")).head().get(0))
+          stream.checkpoint()
+        }
+      }
+    }
+
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), wh,
+      codeNodes = Map("enrich.scala" -> enrich))
+
+    println("== validate() on a healthy graph: " + runner.validate())
+
+    // seed stores through the public Table API
+    import spark.implicits._
+    val li = runner.tableHandle("lineitem_raw")
+    li.append(graft.Fixtures.table(spark, "/root/testdata/sf0.001", "lineitem"))
+    li.flush()
+    val ev = runner.tableHandle("events")
+      .init(strictlyMonotonicOrdering = Some("event_id"))
+    ev.append(Seq((1L, "click"), (2L, "view")).toDF("event_id", "etype"))
+    ev.flush()
+
+    runner.run()
+    println("== lineitem_agg after run:")
+    runner.tableHandle("lineitem_agg").read.show(10, false)
+    println("== enriched after run 1:")
+    runner.tableHandle("enriched").read.show(10, false)
+
+    // incremental second execution: one new event only
+    ev.append(Seq((3L, "purchase")).toDF("event_id", "etype")); ev.flush()
+    runner.run()
+    println("== enriched after run 2 (no dups, event 3 added):")
+    runner.tableHandle("enriched").read.orderBy("event_id").show(10, false)
+
+    println("== warehouse layout:")
+    Files.walk(Paths.get(wh)).iterator().forEachRemaining { p =>
+      val rel = Paths.get(wh).relativize(p).toString
+      if (rel.endsWith("meta.json") || rel.endsWith(".json") || rel.count(_ == '/') <= 1)
+        println("   " + rel)
+    }
+    println("== lineitem_agg meta: " +
+      Files.readString(Paths.get(wh, "lineitem_agg", "meta.json")))
+
+    // probe: broken graph must fail compile with platform-style errors
+    Files.writeString(Paths.get(dir, "graph.yml"),
+      """functions:
+        |  - node_file: agg.sql
+        |    id: aggnode01
+        |    inputs: {lineitem: nosuchstore}
+        |    outputs: {out: lineitem_agg}
+        |    parameters: {max_qty: MISSING}
+        |stores:
+        |  - table: lineitem_agg
+        |""".stripMargin)
+    val bad = new GraphRunner(spark, GraphManifest.load(dir), wh)
+    println("== validate() on broken graph:")
+    bad.validate().foreach(e => println("   error: " + e))
+    try { bad.run() } catch {
+      case e: IllegalArgumentException =>
+        println("== run() refused: " + e.getMessage.linesIterator.next())
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge for custom Catalyst expressions.
+  * Spark 4 moved these conversions behind `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils); extension libraries
+  * conventionally expose them via a same-package shim.
+  */
+object GraftShim {
+  def toColumn(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def toExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+}

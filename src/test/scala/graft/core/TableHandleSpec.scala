@@ -1,0 +1,138 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableHandleSpec extends SparkSpec {
+
+  private def handle(root: String, name: String = "t"): TableHandle =
+    new TableHandle(spark, new Catalog(root), name)
+
+  test("append is buffered until flush; first write creates a version") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(!h.exists) // buffered, nothing written yet (node.py:305-307)
+    h.flush()
+    assert(h.exists && h.recordCount == 2)
+    h.append(Seq((3L, "c")).toDF("id", "s"))
+    h.flush()
+    assert(h.read.count() == 3 && h.recordCount == 3)
+  }
+
+  test("appendRecords infers schema and widens across records") {
+    val h = handle(tmpDir("tbl"))
+    h.appendRecords(Seq(
+      Map("id" -> 1, "v" -> 10L, "s" -> "x"),
+      Map("id" -> 2, "v" -> 2.5, "note" -> "later-column")))
+    h.flush()
+    val df = h.read
+    assert(df.schema("v").dataType.typeName == "double") // long widened
+    assert(df.columns.toSet == Set("id", "v", "s", "note"))
+    assert(df.where(col("note").isNull).count() == 1)
+  }
+
+  test("upsert: insert-or-update on unique_on, last wins, idempotent") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl")).init(uniqueOn = Seq("id"))
+    h.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v"))
+    h.flush()
+    h.upsert(Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("id", "s", "v"))
+    h.flush()
+    val m = h.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(m.toSeq == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+    // idempotent: same upsert again changes nothing
+    h.upsert(Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("id", "s", "v"))
+    h.flush()
+    assert(h.read.count() == 3)
+    // within-batch duplicate keys: exactly one row survives
+    h.upsert(Seq((4L, "x", 1.0), (4L, "y", 2.0)).toDF("id", "s", "v"))
+    h.flush()
+    assert(h.read.where(col("id") === 4).count() == 1)
+  }
+
+  test("replace creates a new version; old one retained until vacuum") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq(1L, 2L, 3L).toDF("id")); h.flush()
+    val v1 = h.meta.activeVersion.get
+    h.replace(Seq(9L).toDF("id"))
+    assert(h.read.count() == 1)
+    assert(h.meta.activeVersion.get != v1)
+    assert(h.meta.versions.exists(_.id == v1)) // retained
+  }
+
+  test("truncate keeps version and schema, deletes rows") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq((1L, "a")).toDF("id", "s")); h.flush()
+    val v = h.meta.activeVersion.get
+    h.truncate()
+    assert(h.meta.activeVersion.contains(v))
+    assert(h.read.count() == 0)
+    assert(h.read.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("reset: pointer swap, then read uses declared schema") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl")).init(schema = Seq("id" -> "Integer", "s" -> "Text"))
+    h.append(Seq((1L, "a")).toDF("id", "s")); h.flush()
+    h.reset()
+    assert(h.read.count() == 0)
+    assert(h.read.schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("schema hints cast inferred types (node.py:283)") {
+    val h = handle(tmpDir("tbl")).init(schemaHints = Map("v" -> "Float"))
+    h.appendRecords(Seq(Map("id" -> 1L, "v" -> 5L)))
+    h.flush()
+    assert(h.read.schema("v").dataType.typeName == "double")
+  }
+
+  test("auto-fields: add_created and strictly-monotonic base32 id") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl")).init(
+      addCreated = Some("created_at"), addMonotonicId = Some("mid"))
+    h.append(Seq("a", "b", "c").toDF("s")); h.flush()
+    h.append(Seq("d").toDF("s")); h.flush()
+    val rows = h.read.orderBy("mid").collect()
+    assert(rows.length == 4)
+    val mids = rows.map(_.getAs[String]("mid"))
+    assert(mids.sorted.sameElements(mids))
+    assert(mids.distinct.length == 4)
+    // second batch sorts strictly after the first
+    val batch2 = h.read.where(col("s") === "d").select("mid").head().getString(0)
+    val batch1Max = mids.filter(_ != batch2).max
+    assert(batch2 > batch1Max)
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("created_at") != null))
+  }
+
+  test("executeSql: CTAS replaces, INSERT appends, DELETE filters") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")); h.flush()
+    h.executeSql("insert into {{ t }} select 4 as id, cast(40.0 as double) as v")
+    assert(h.read.count() == 4)
+    h.executeSql("delete from {{ t }} where v >= 30.0")
+    assert(h.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    h.executeSql("create table {{ t }} as select id * 100 as id from {{ t }}")
+    assert(h.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(100L, 200L))
+  }
+
+  test("readSql substitutes the table reference") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq(1L, 2L, 3L).toDF("id")); h.flush()
+    val n = h.readSql("select count(*) as n from {{ t }}").head().getLong(0)
+    assert(n == 3L)
+  }
+
+  test("read-only mode rejects writes") {
+    import spark.implicits._
+    val root = tmpDir("tbl")
+    val h = handle(root)
+    h.append(Seq(1L).toDF("id")); h.flush()
+    val r = new TableHandle(spark, new Catalog(root), "t", "r")
+    intercept[IllegalArgumentException](r.append(Seq(2L).toDF("id")))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.graph
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.core.StreamCursor
+import org.apache.spark.sql.functions._
+
+class GraphRunnerSpec extends SparkSpec {
+
+  private def write(dir: String, name: String, text: String): Unit =
+    Files.writeString(Paths.get(dir, name), text)
+
+  test("manifest parse covers the full graph.yml vocabulary (FIXTURES.md B1)") {
+    val dir = tmpDir("graph")
+    val m = GraphManifest.parse(
+      """title: graph
+        |functions:
+        |  - webhook: hook
+        |  - node_file: node.sql
+        |    trigger: 1 * * * *
+        |    inputs:
+        |      node_in: hook
+        |    outputs:
+        |      node_out: my_table
+        |    parameters:
+        |      limit: 2
+        |    title: my node
+        |    id: ab234567
+        |  - uses: org/component@v1
+        |    inputs: {node_in: hook}
+        |    outputs: {node_out: my_table}
+        |stores:
+        |  - table: my_table
+        |    schema: sc
+        |  - stream: s
+        |""".stripMargin, Paths.get(dir))
+    assert(m.functions.size == 3)
+    assert(m.functions(0).kind == "webhook")
+    val n = m.functions(1)
+    assert(n.kind == "sql" && n.id.contains("ab234567") &&
+      n.trigger.contains("1 * * * *") &&
+      n.inputs == Map("node_in" -> "hook") &&
+      n.outputs == Map("node_out" -> "my_table") &&
+      n.parameters == Map("limit" -> 2))
+    assert(m.functions(2).kind == "component")
+    assert(m.stores == List(StoreDef("my_table", "table", Some("sc")),
+      StoreDef("s", "stream", None)))
+  }
+
+  test("compile validation mirrors platform errors (upload.py:76-85)") {
+    val dir = tmpDir("graph")
+    write(dir, "q.sql", "select 1")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: q.sql
+        |    inputs: {in: nosuchstore}
+        |    outputs: {out: t}
+        |    parameters: {p: MISSING}
+        |stores:
+        |  - table: t
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    val errors = runner.validate()
+    assert(errors.exists(_.contains("unknown store 'nosuchstore'")))
+    assert(errors.exists(_.contains("parameter 'p' has no default or value")))
+  }
+
+  test("end-to-end SQL pipeline: the SURVEY §7.2 minimum slice") {
+    val dir = tmpDir("graph")
+    write(dir, "agg.sql",
+      """select l_returnflag, l_linestatus,
+        |  sum(l_quantity) as qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) as rev,
+        |  count(*) as cnt
+        |from {{ lineitem }}
+        |where l_quantity <= {{ max_qty }}
+        |group by 1, 2 order by 1, 2""".stripMargin)
+    write(dir, "graph.yml",
+      """title: slice
+        |functions:
+        |  - node_file: agg.sql
+        |    id: aggnode01
+        |    inputs: {lineitem: lineitem_raw}
+        |    outputs: {out: lineitem_agg}
+        |    parameters: {max_qty: 50}
+        |stores:
+        |  - table: lineitem_raw
+        |  - table: lineitem_agg
+        |""".stripMargin)
+    val wh = tmpDir("wh")
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), wh)
+    // seed the input store from the fixture
+    val seed = runner.tableHandle("lineitem_raw")
+    seed.append(graft.Fixtures.table(spark, "/root/testdata/sf0.001", "lineitem"))
+    seed.flush()
+    runner.run()
+    val out = runner.tableHandle("lineitem_agg").read
+    val direct = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("qty"),
+        round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("rev"),
+        count(lit(1)).as("cnt"))
+    assert(out.count() == direct.count())
+    assert(out.exceptAll(direct.select(out.columns.map(col): _*)).count() == 0)
+    assert(runner.signals.nonEmpty)
+  }
+
+  test("code node + stream cursor + upsert chain (FIXTURES.md B3 shape)") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: enrich.scala
+        |    id: enrich01
+        |    inputs: {events: events}
+        |    outputs: {out: enriched}
+        |stores:
+        |  - table: events
+        |  - table: enriched
+        |""".stripMargin)
+    val wh = tmpDir("wh")
+    val enrich = new CodeNode {
+      def run(ctx: NodeContext): Unit = {
+        val out = ctx.table("out").init(uniqueOn = Seq("event_id"))
+        val stream = ctx.stream("events", orderBy = Some("event_id"))
+        out.upsert(stream.df().withColumn("flag", lit(1)))
+        out.flush()
+        stream.seek(stream.df().agg(max("event_id")).head().get(0) match {
+          case null => 0L
+          case v => v
+        })
+        stream.checkpoint()
+      }
+    }
+    val runner = new GraphRunner(spark, GraphManifest.load(dir),
+      wh, codeNodes = Map("enrich.scala" -> enrich))
+    import spark.implicits._
+    val seed = runner.tableHandle("events")
+      .init(strictlyMonotonicOrdering = Some("event_id"))
+    seed.append(Seq((1L, "a"), (2L, "b")).toDF("event_id", "etype")); seed.flush()
+    runner.run()
+    assert(runner.tableHandle("enriched").read.count() == 2)
+    // incremental: append more events, re-run, no duplicates + only new consumed
+    seed.append(Seq((3L, "c")).toDF("event_id", "etype")); seed.flush()
+    runner.run()
+    val enriched = runner.tableHandle("enriched").read
+    assert(enriched.count() == 3)
+    assert(enriched.select("event_id").distinct().count() == 3)
+  }
+
+  test("subgraph expansion with exposed ports (FIXTURES.md B2)") {
+    val dir = tmpDir("graph")
+    Files.createDirectories(Paths.get(dir, "sub"))
+    write(dir, "sub/inner.sql", "select 1 as one")
+    write(dir, "sub/graph.yml",
+      """exposes:
+        |  outputs:
+        |    - output
+        |functions:
+        |  - node_file: inner.sql
+        |    id: inner001
+        |    outputs: {out: output}
+        |stores:
+        |  - table: output
+        |""".stripMargin)
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: sub/graph.yml
+        |    id: subnode01
+        |stores:
+        |  - table: output
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    assert(runner.flatNodes.map(_._1) == List("subnode01/inner001"))
+    runner.run()
+    assert(runner.tableHandle("output").read.count() == 1)
+  }
+
+  test("webhook ingest appends to same-name store and triggers downstream") {
+    val dir = tmpDir("graph")
+    write(dir, "consume.sql", "select count(*) as n from {{ hook }}")
+    write(dir, "graph.yml",
+      """functions:
+        |  - webhook: hook
+        |  - node_file: consume.sql
+        |    id: consume01
+        |    inputs: {hook: hook}
+        |    outputs: {out: counts}
+        |stores:
+        |  - table: counts
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    val drop = tmpDir("hook")
+    Files.writeString(Paths.get(drop, "batch1.json"),
+      """{"patterns_request_key":"r1","payload":7}
+        |{"patterns_request_key":"r2","payload":8}
+        |""".stripMargin)
+    runner.ingestWebhook("hook", drop)
+    runner.run()
+    assert(runner.tableHandle("counts").read.head().getLong(0) == 2L)
+  }
+}
