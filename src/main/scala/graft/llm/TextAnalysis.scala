@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines
+  * (SURVEY.md §2.6 L4): language id, quality scoring, token counting,
+  * fingerprinting. Pure column expressions (codegen'd, no UDFs) so
+  * they stay inside whole-stage codegen over a 100 TB scan.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language heuristic. Deterministic and oracle-reproducible.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Stopword hits for one language's list. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(array_intersect(array_distinct(words(text)),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Heuristic language id: argmax of stopword hits, 'und' when no list
+    * scores at least one hit. Ties break in fixed lang order.
+    */
+  def langId(text: Column): Column = {
+    val ordered = Seq("en", "de", "fr", "es", "zh")
+    val scores = ordered.map(l => l -> stopwordHits(text, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best >= 1, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(words(text)))
+
+  /** BPE-ish subword count: alpha runs, digit runs, single other chars. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality metrics: length, word stats, punctuation/alpha ratios,
+    * stopword density, uppercase ratio — the usual pretraining filters.
+    */
+  def nWords(text: Column): Column = tokenCount(text)
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+  def stopwordRatio(text: Column): Column =
+    size(filter(words(text), w =>
+      array_contains(array(stopwords("en").map(lit): _*), w))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with
+    * normal word length and some stopword mass (Gopher-rule flavored).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(nWords(text).between(5, 10000), 1.0).otherwise(0.0)
+    val wordLenOk = when(avgWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) >= 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    round((lenOk + wordLenOk + stopOk + punctOk) / 4.0, 4)
+  }
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text —
+    * stable across reformatting, usable as an exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style robust fingerprint: minimum shingle hash (the
+    * smallest of the doc's k-gram xxhash64 codes) — survives small
+    * edits far from the minimizing shingle.
+    */
+  def minShingleHash(text: Column, k: Int = 3): Column =
+    array_min(transform(TextDedup.shingles(text, k), s => xxhash64(s)))
+}

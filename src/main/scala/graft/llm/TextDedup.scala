@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora
+  * (SURVEY.md §2.6 L1/L2; BASELINE.json north_star).
+  *
+  * All operators are shuffle-based (groupBy / self-join on bucket keys)
+  * — no crossJoin anywhere, so candidate generation scales as
+  * O(docs + candidate pairs), not O(docs²).
+  */
+object TextDedup {
+
+  /** Exact dedup: one representative row (min id) per distinct value of
+    * `on`. Plain hash-aggregation — partial combine map-side, one
+    * shuffle on the dedup key.
+    */
+  def exact(df: DataFrame, idCol: String, on: String): DataFrame =
+    df.groupBy(col(on))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-k-shingle set of a text column (k-gram shingling for
+    * near-dup detection). Documents shorter than k words shingle to the
+    * whole text.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = split(text, " ")
+    val idx = sequence(lit(0), size(ws) - k)
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(ws, (i + o + 1).cast("int"))): _*))
+    when(size(ws) < k, array(text)).otherwise(array_distinct(grams))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline (each step one shuffle):
+    *  1. shingle each doc (k-word grams, distinct);
+    *  2. `numHashes` MinHash signatures: min over shingles of
+    *     xxhash64(seed_j, shingle) — deterministic seeds, map-side
+    *     partial min, one groupBy;
+    *  3. band the signature (`bands` bands of numHashes/bands rows),
+    *     bucket key = hash of the band slice; self-join per bucket
+    *     yields candidates (only colliding docs ever meet);
+    *  4. verify candidates with exact Jaccard on the shingle sets and
+    *     keep pairs ≥ `threshold`.
+    *
+    * With numHashes=16, bands=8 (r=2): P(candidate | j=0.8) ≈ 0.9997,
+    * so post-verification output ≈ the exact ≥0.8 pair set. At larger
+    * scale raise r to cut false candidates (they cost shuffle volume,
+    * not correctness — the verify step filters them).
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    val sigs = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+
+    val banded = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      sigs.select(col("id"), lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+    }.reduce(_ unionByName _)
+
+    val left = banded.select(col("band"), col("sig"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("sig"), col("id").as("id_b"))
+    val candidates = left.join(right, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: tokens hash to 64-bit codes; each bit
+    * position accumulates +1/-1 across tokens; the sign vector is the
+    * fingerprint. Near-dups have small Hamming distance.
+    *
+    * Shuffle shape: explode(tokens) → explode(64 bits) → two partial
+    * aggregations; all map-side combinable.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = toks.select(col("id"), col("h"),
+      explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("sgn",
+        when(expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1))
+    bits.groupBy("id", "bit").agg(sum("sgn").as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash codes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

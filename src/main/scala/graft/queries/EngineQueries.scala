@@ -1,0 +1,127 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+import graft.core.{Catalog, State, StreamCursor, TableHandle}
+import graft.graph.{GraphManifest, GraphRunner}
+
+/** SURVEY.md §2.1/§2.2/§2.4 engine operators surfaced as driver-checkable
+  * queries: each runs the REAL engine code path (catalog + Table facade
+  * + stream cursor + graph runner) in a throwaway warehouse and returns
+  * the resulting DataFrame, with a plain-SQL DuckDB oracle describing
+  * the expected relational outcome.
+  */
+object EngineQueries {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // S5 — upsert as key-merged MERGE: base = orders not divisible by 3,
+    // incoming = doubled prices for even keys; engine result must equal
+    // the relational full-outer/coalesce formulation.
+    QuerySpec.df("s05_upsert",
+      """with base as (
+        |  select o_orderkey, o_totalprice, o_orderstatus
+        |  from orders where o_orderkey % 3 <> 0
+        |), inc as (
+        |  select o_orderkey,
+        |    cast(round(cast(o_totalprice as decimal(12,2)) * 2, 2) as double) as o_totalprice
+        |  from orders where o_orderkey % 2 = 0
+        |)
+        |select coalesce(i.o_orderkey, b.o_orderkey) as o_orderkey,
+        |  cast(round(cast(coalesce(i.o_totalprice, b.o_totalprice) as decimal(12,2)), 2) as double) as o_totalprice,
+        |  b.o_orderstatus as o_orderstatus
+        |from base b full outer join inc i on b.o_orderkey = i.o_orderkey""".stripMargin) {
+      (s, d) =>
+        val orders = Fixtures.table(s, d, "orders")
+        val h = new TableHandle(s, new Catalog(tmp("graft-upsert")), "t")
+          .init(uniqueOn = Seq("o_orderkey"))
+        h.append(orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+        h.flush()
+        h.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice").cast("decimal(12,2)") * 2, 2)
+              .cast("double").as("o_totalprice")))
+        h.flush()
+        h.read.select(col("o_orderkey"),
+          round(col("o_totalprice").cast("decimal(12,2)"), 2)
+            .cast("double").as("o_totalprice"),
+          col("o_orderstatus"))
+    },
+
+    // T1/T6 — stream cursor with exclusive seek: the engine's
+    // incremental slice must equal the plain strictly-greater filter.
+    QuerySpec.df("t01_stream_seek",
+      """select event_id, user_id, event_type from events
+        |where event_id > (select max(event_id) // 2 from events)""".stripMargin) {
+      (s, d) =>
+        val root = tmp("graft-stream")
+        val h = new TableHandle(s, new Catalog(root), "ev")
+          .init(strictlyMonotonicOrdering = Some("event_id"))
+        h.append(Fixtures.table(s, d, "events")
+          .select("event_id", "user_id", "event_type"))
+        h.flush()
+        val cursor = StreamCursor.forTable(h, new State(root, "qnode"))
+        val mid = Fixtures.table(s, d, "events")
+          .agg(max("event_id")).head().getLong(0) / 2
+        cursor.seek(mid)
+        cursor.df().select("event_id", "user_id", "event_type")
+    },
+
+    // G1/U3 — the §7.2 graph slice through the real GraphRunner:
+    // SQL node with {{ table }} / {{ param }} templating writing a
+    // versioned output store.
+    QuerySpec.df("g01_graph_slice",
+      """select l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as bigint)) as bigint) as qty,
+        |  cast(round(sum(cast(l_extendedprice as decimal(12,2))
+        |       * (1 - cast(l_discount as decimal(4,2)))), 2) as double) as rev,
+        |  count(*) as cnt
+        |from lineitem where l_quantity <= 45
+        |group by l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        val dir = tmp("graft-graph")
+        Files.writeString(Paths.get(dir, "agg.sql"),
+          """select l_returnflag, l_linestatus,
+            |  cast(sum(cast(l_quantity as bigint)) as bigint) as qty,
+            |  cast(round(sum(cast(l_extendedprice as decimal(12,2))
+            |       * (1 - cast(l_discount as decimal(4,2)))), 2) as double) as rev,
+            |  count(*) as cnt
+            |from {{ lineitem }} where l_quantity <= {{ max_qty }}
+            |group by l_returnflag, l_linestatus""".stripMargin)
+        Files.writeString(Paths.get(dir, "graph.yml"),
+          """title: slice
+            |functions:
+            |  - node_file: agg.sql
+            |    id: aggnode01
+            |    inputs: {lineitem: lineitem_raw}
+            |    outputs: {out: lineitem_agg}
+            |    parameters: {max_qty: 45}
+            |stores:
+            |  - table: lineitem_raw
+            |  - table: lineitem_agg
+            |""".stripMargin)
+        val runner = new GraphRunner(s, GraphManifest.load(dir), tmp("graft-wh"))
+        val seed = runner.tableHandle("lineitem_raw")
+        seed.append(Fixtures.table(s, d, "lineitem"))
+        seed.flush()
+        runner.run()
+        runner.tableHandle("lineitem_agg").read
+    },
+
+    // S9 — auto-fields: strictly monotonic base32 id + created timestamp
+    // (nondeterministic values → rows-only check; ordering properties
+    // are asserted in the spec suite)
+    QuerySpec.unchecked("s09_monotonic_id") { (s, d) =>
+      val h = new TableHandle(s, new Catalog(tmp("graft-mono")), "t")
+        .init(addMonotonicId = Some("mid"), addCreated = Some("created_at"))
+      h.append(Fixtures.table(s, d, "documents").select("doc_id", "text"))
+      h.flush()
+      h.read.select(col("doc_id"), col("mid"), col("created_at"))
+    },
+  )
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** SURVEY.md §2.6: LLM-training-data pipeline operators, each exposed
+  * as a driver-checkable query over the documents/embeddings fixtures.
+  */
+object Llm {
+
+  // DuckDB fragments shared by several oracles (dialect notes:
+  // 1-based array indexing, regexp_replace needs the 'g' flag,
+  // string_split vs split).
+  private val duckWords = """string_split_regex(trim(text), '\s+')"""
+  private val duckShingles =
+    """case when len(words) < 3 then [text]
+      |     else list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+      |                         for i in range(1, len(words) - 1)]) end""".stripMargin
+  private val duckDot =
+    "list_sum(list_transform(list_zip(%s, %s), s -> cast(s[1] as double) * cast(s[2] as double)))"
+  private def duckNorm(c: String) =
+    s"sqrt(list_sum(list_transform($c, x -> cast(x as double) * cast(x as double))))"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // L1 — exact dedup on the normalized-text fingerprint
+    QuerySpec.df("l01_dedup_exact",
+      """select md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp,
+        |       min(doc_id) as doc_id, count(*) as n_copies
+        |from documents group by 1""".stripMargin) {
+      (s, d) =>
+        TextDedup.exact(
+          Fixtures.table(s, d, "documents")
+            .withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+          idCol = "doc_id", on = "fp")
+    },
+
+    // L2 — MinHash+LSH near-dup pairs, verified with exact Jaccard;
+    // oracle brute-forces all-pairs 3-shingle Jaccard (feasible at
+    // fixture scale; the Spark side never materializes the cross join).
+    QuerySpec.df("l02_minhash_lsh",
+      s"""with sh as (
+         |  select doc_id, $duckShingles as sg
+         |  from (select doc_id, text, string_split(text, ' ') as words from documents)
+         |)
+         |select a.doc_id as id_a, b.doc_id as id_b,
+         |  round(len(list_intersect(a.sg, b.sg)) * 1.0 /
+         |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 4) as jaccard
+         |from sh a join sh b on b.doc_id > a.doc_id
+         |where len(list_intersect(a.sg, b.sg)) * 1.0 /
+         |      (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8""".stripMargin) {
+      (s, d) =>
+        TextDedup.minhashLshPairs(
+          Fixtures.table(s, d, "documents"), "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.8)
+    },
+
+    // L2b — SimHash fingerprints + winnowing min-shingle hash
+    // (xxhash64-based: no DuckDB equivalent → rows-only)
+    QuerySpec.unchecked("l03_simhash") { (s, d) =>
+      val docs = Fixtures.table(s, d, "documents")
+      val sims = TextDedup.simhash(docs, "doc_id", "text")
+      val mins = docs.select(col("doc_id"),
+        TextAnalysis.minShingleHash(col("text")).as("min_shingle"))
+      sims.join(mins, sims("id") === mins("doc_id"))
+        .select(col("doc_id"), col("simhash"), col("min_shingle"))
+    },
+
+    // L2c — n-gram Jaccard similarity on a deterministic candidate set
+    QuerySpec.df("l04_ngram_jaccard",
+      s"""with sh as (
+         |  select doc_id, $duckShingles as sg
+         |  from (select doc_id, text, string_split(text, ' ') as words from documents)
+         |)
+         |select a.doc_id as id_a, b.doc_id as id_b,
+         |  round(len(list_intersect(a.sg, b.sg)) * 1.0 /
+         |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 4) as jaccard
+         |from sh a join sh b on b.doc_id = a.doc_id + 1""".stripMargin) {
+      (s, d) =>
+        val sh = Fixtures.table(s, d, "documents")
+          .select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sg"))
+        val a = sh.select(col("doc_id").as("id_a"), col("sg").as("sh_a"))
+        val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sh_b"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            round(TextDedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    },
+
+    // L3 — exact top-5 cosine neighbors for 20 query vectors
+    QuerySpec.df("l05_cosine_knn",
+      s"""select q_id, c_id, round(cos, 4) as cos, rk from (
+         |  select q_id, c_id, cos,
+         |    row_number() over (partition by q_id
+         |                       order by round(cos, 6) desc, c_id) as rk
+         |  from (
+         |    select q.vec_id as q_id, c.vec_id as c_id,
+         |      ${duckDot.format("q.embedding", "c.embedding")} /
+         |      (${duckNorm("q.embedding")} * ${duckNorm("c.embedding")}) as cos
+         |    from embeddings q join embeddings c on q.vec_id <> c.vec_id
+         |    where q.vec_id < 20
+         |  )
+         |) where rk <= 5""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          "q_id", "c_id", "q_vec", "c_vec", k = 5)
+    },
+
+    // L3b — LSH-bucketed approximate variant (the 100 TB scale path);
+    // approximate by design → rows-only check here, recall measured in
+    // the spec suite.
+    QuerySpec.unchecked("l05b_cosine_ann") { (s, d) =>
+      val emb = Fixtures.table(s, d, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "q_id", "c_id", "q_vec", "c_vec", k = 5, nBits = 8)
+    },
+
+    // L4 — language-id heuristic (stopword-hit argmax)
+    QuerySpec.df("l06_langid",
+      {
+        val langs = Seq("en", "de", "fr", "es", "zh")
+        def hits(l: String) =
+          s"len(list_intersect(list_distinct($duckWords), " +
+            s"[${TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(",")}]))"
+        val best = langs.map(hits).reduce((a, b) => s"greatest($a, $b)")
+        val cases = langs.map(l =>
+          s"when ${hits(l)} = best and best >= 1 then '$l'").mkString(" ")
+        s"""select doc_id, lang,
+           |  case $cases else 'und' end as pred
+           |from (select doc_id, lang, text, $best as best from documents)""".stripMargin
+      }) {
+      (s, d) =>
+        Fixtures.table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("pred"))
+    },
+
+    // L4b — quality scoring
+    QuerySpec.df("l07_quality",
+      """select doc_id,
+        |  case when length(trim(text)) = 0 then 0
+        |       else len(string_split_regex(trim(text), '\s+')) end as n_words,
+        |  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
+        |    greatest(case when length(trim(text)) = 0 then 0
+        |             else len(string_split_regex(trim(text), '\s+')) end, 1), 4) as avg_word_len,
+        |  round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 /
+        |    greatest(length(text), 1), 4) as punct_ratio,
+        |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
+        |    greatest(length(text), 1), 4) as alpha_ratio
+        |from documents""".stripMargin) {
+      (s, d) =>
+        Fixtures.table(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.nWords(col("text")).as("n_words"),
+          round(TextAnalysis.avgWordLen(col("text")), 4).as("avg_word_len"),
+          round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"))
+    },
+
+    // L4c — token counting (whitespace + BPE-ish regex)
+    QuerySpec.df("l08_tokens",
+      """select doc_id,
+        |  case when length(trim(text)) = 0 then 0
+        |       else len(string_split_regex(trim(text), '\s+')) end as n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as n_subwords
+        |from documents""".stripMargin) {
+      (s, d) =>
+        Fixtures.table(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+    },
+
+    // L4d — document fingerprinting
+    QuerySpec.df("l09_fingerprint",
+      """select doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp
+        |from documents""".stripMargin) {
+      (s, d) =>
+        Fixtures.table(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    // L5 — multimodal binary-column plumbing (payload + metadata)
+    QuerySpec.df("l10_multimodal",
+      """select doc_id,
+        |  octet_length(encode(text)) as n_bytes,
+        |  md5(text) as digest,
+        |  'application/octet-stream' as mime
+        |from documents""".stripMargin) {
+      (s, d) =>
+        Multimodal.attachPayload(Fixtures.table(s, d, "documents"), "text")
+          .select(col("doc_id"),
+            col("payload_meta.n_bytes").as("n_bytes"),
+            md5(col("payload")).as("digest"),
+            col("payload_meta.mime").as("mime"))
+    },
+
+    // L5b — per-partition feature-extraction plumbing (decode STUBBED;
+    // deterministic fake features → rows-only)
+    QuerySpec.unchecked("l10b_multimodal_features") { (s, d) =>
+      val withPayload = Multimodal.attachPayload(
+        Fixtures.table(s, d, "documents"), "text")
+      Multimodal.extractFeatures(withPayload, "payload", dim = 16)
+        .select(col("doc_id"), size(col("features")).as("n_features"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    },
+  )
+}

@@ -4,5 +4,7 @@ package graft.queries
 object Registry {
   def all: Seq[QuerySpec] =
     Relational.all ++
-    SemiStructured.all
+    SemiStructured.all ++
+    EngineQueries.all ++
+    Llm.all
 }

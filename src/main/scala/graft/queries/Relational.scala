@@ -119,13 +119,15 @@ object Relational {
             coalesce(col("ns"), lit(0)).as("n_supp"))
     },
 
-    // Q6 — anti join: parts never shipped (NOT EXISTS)
+    // Q6 — anti join: parts never shipped in bulk (NOT EXISTS)
     QuerySpec.df("q06_join_anti",
       """select p_partkey, p_brand from part
-        |where not exists (select 1 from lineitem where l_partkey = p_partkey)""".stripMargin) {
+        |where not exists (select 1 from lineitem
+        |                  where l_partkey = p_partkey and l_quantity >= 47)""".stripMargin) {
       (s, d) =>
         t(s, d, "part")
-          .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+          .join(t(s, d, "lineitem").filter(col("l_quantity") >= 47),
+            col("p_partkey") === col("l_partkey"), "left_anti")
           .select("p_partkey", "p_brand")
     },
 
