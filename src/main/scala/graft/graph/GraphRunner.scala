@@ -230,4 +230,43 @@ final class GraphRunner(
     h.append(df)
     h.flush()
   }
+
+  /** respond_to_request (node.py:544-553): reply to a webhook request by
+    * writing the payload row keyed by `patterns_request_key` into the
+    * hook's `<name>_responses` table; the platform edge delivers it to
+    * the waiting HTTP request.
+    */
+  def respondToRequest(webhookName: String, requestKey: String,
+      payload: Map[String, Any]): Unit = {
+    val h = tableHandle(s"${webhookName}_responses")
+    h.appendRecords(Seq(payload + ("patterns_request_key" -> requestKey)))
+    h.flush()
+  }
+
+  /** Nodes whose cron trigger fires in the minute of `t`
+    * (G2 — the scheduler loop polls this).
+    */
+  def dueNodes(t: java.time.LocalDateTime): Seq[String] =
+    flatNodes.collect {
+      case (id, f, _) if f.trigger.exists(Cron(_).matches(t)) => id
+    }
+}
+
+object GraphRunner {
+  /** Local component registry (G6): resolves `org/component@v1` to
+    * `<root>/<org>/<component>/<version>/graph.yml`
+    * (edit.py:175-200; services/download.py:8-20 fetches zips from the
+    * platform registry — locally the registry is a directory tree).
+    */
+  def componentResolverFromDir(root: String): String => Option[GraphManifest] =
+    ref => {
+      val m = raw"([^/@]+)/([^/@]+)@(.+)".r
+      ref match {
+        case m(org, name, version) =>
+          val p = java.nio.file.Paths.get(root, org, name, version, "graph.yml")
+          if (java.nio.file.Files.exists(p)) Some(GraphManifest.load(p.toString))
+          else None
+        case _ => None
+      }
+    }
 }

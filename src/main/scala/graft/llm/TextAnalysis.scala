@@ -84,8 +84,10 @@ object TextAnalysis {
 
   /** Winnowing-style robust fingerprint: minimum shingle hash (the
     * smallest of the doc's k-gram xxhash64 codes) — survives small
-    * edits far from the minimizing shingle.
+    * edits far from the minimizing shingle. Expects a materialized
+    * shingle column (see TextDedup.withShingles) for the same
+    * CodegenFallback reason documented there.
     */
-  def minShingleHash(text: Column, k: Int = 3): Column =
-    array_min(transform(TextDedup.shingles(text, k), s => xxhash64(s)))
+  def minShingleHash(shingleCol: Column): Column =
+    array_min(transform(shingleCol, s => xxhash64(s)))
 }

@@ -23,14 +23,27 @@ object TextDedup {
   /** Distinct word-k-shingle set of a text column (k-gram shingling for
     * near-dup detection). Documents shorter than k words shingle to the
     * whole text.
+    *
+    * PERF: higher-order functions are CodegenFallback (interpreted), so
+    * any expression referenced inside the lambda re-evaluates per
+    * element. `fromWords` therefore expects the word array as a bound
+    * column; `withShingles` materializes it at a projection boundary
+    * (CollapseProject keeps multi-referenced non-trivial aliases
+    * materialized), making shingling O(words) instead of
+    * O(words × split-cost).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = split(text, " ")
-    val idx = sequence(lit(0), size(ws) - k)
+  def shinglesFromWords(words: Column, text: Column, k: Int = 3): Column = {
+    val idx = sequence(lit(0), size(words) - k)
     val grams = transform(idx, i =>
-      concat_ws(" ", (0 until k).map(o => element_at(ws, (i + o + 1).cast("int"))): _*))
-    when(size(ws) < k, array(text)).otherwise(array_distinct(grams))
+      concat_ws(" ", (0 until k).map(o => element_at(words, (i + o + 1).cast("int"))): _*))
+    when(size(words) < k, array(text)).otherwise(array_distinct(grams))
   }
+
+  /** Add a distinct-shingle-set column derived from `textCol`. */
+  def withShingles(df: DataFrame, textCol: String, out: String, k: Int = 3): DataFrame =
+    df.withColumn("_gr_words", split(col(textCol), " "))
+      .withColumn(out, shinglesFromWords(col("_gr_words"), col(textCol), k))
+      .drop("_gr_words")
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -67,18 +80,24 @@ object TextDedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
+    val sh = withShingles(
+      docs.select(col(idCol).as("id"), col(textCol)), textCol, "sh", shingleK)
+      .select("id", "sh")
 
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val sigCols = (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("s"))).as(s"h$j"))
     val sigs = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
 
-    val banded = (0 until bands).map { b =>
+    // one pass over sigs: explode an array of (band, bandHash) structs —
+    // a per-band union would recompute the signature aggregation `bands`
+    // times (union branches don't share subtrees without caching)
+    val bandStructs = array((0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      sigs.select(col("id"), lit(b).as("band"), xxhash64(slice: _*).as("sig"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+    }: _*)
+    val banded = sigs.select(col("id"), explode(bandStructs).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
     val left = banded.select(col("band"), col("sig"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("sig"), col("id").as("id_b"))
@@ -90,7 +109,11 @@ object TextDedup {
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     candidates
       .join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // materialize the intersection size once: jaccard() would otherwise
+      // evaluate array_intersect twice per candidate
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("_i") / (size(col("sh_a")) + size(col("sh_b")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -61,8 +61,9 @@ object Llm {
     QuerySpec.unchecked("l03_simhash") { (s, d) =>
       val docs = Fixtures.table(s, d, "documents")
       val sims = TextDedup.simhash(docs, "doc_id", "text")
-      val mins = docs.select(col("doc_id"),
-        TextAnalysis.minShingleHash(col("text")).as("min_shingle"))
+      val mins = TextDedup.withShingles(docs.select("doc_id", "text"), "text", "sg")
+        .select(col("doc_id"),
+          TextAnalysis.minShingleHash(col("sg")).as("min_shingle"))
       sims.join(mins, sims("id") === mins("doc_id"))
         .select(col("doc_id"), col("simhash"), col("min_shingle"))
     },
@@ -78,8 +79,9 @@ object Llm {
          |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 4) as jaccard
          |from sh a join sh b on b.doc_id = a.doc_id + 1""".stripMargin) {
       (s, d) =>
-        val sh = Fixtures.table(s, d, "documents")
-          .select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sg"))
+        val sh = TextDedup.withShingles(
+          Fixtures.table(s, d, "documents").select("doc_id", "text"),
+          "text", "sg", 3).select("doc_id", "sg")
         val a = sh.select(col("doc_id").as("id_a"), col("sg").as("sh_a"))
         val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sh_b"))
         a.join(b, col("id_b") === col("id_a") + 1)

@@ -98,6 +98,28 @@ object EngineDemo {
     println("== lineitem_agg meta: " +
       Files.readString(Paths.get(wh, "lineitem_agg", "meta.json")))
 
+    // Structured Streaming surface: windowed watermark agg over the
+    // stored events table, drained into a versioned output table
+    val evFix = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val src = runner.tableHandle("events_stream_src")
+    src.append(evFix); src.flush()
+    val streamed = graft.streaming.StreamingBridge.windowedCounts(
+      graft.streaming.StreamingBridge.readStream(spark, runner.catalog, "events_stream_src"),
+      tsCol = "ts", keyCol = "event_type")
+    val n = graft.streaming.StreamingBridge.drainTo(
+      spark, runner.catalog, streamed, "events_windowed", wh)
+    println(s"== streaming drain wrote $n finalized windows:")
+    runner.tableHandle("events_windowed").read
+      .orderBy("window_start", "event_type").show(5, false)
+
+    // webhook response + cron due-check through the public API
+    runner.respondToRequest("hook_demo", "req-42", Map("status" -> "ok"))
+    println("== webhook response row:")
+    runner.tableHandle("hook_demo_responses").read.show(2, false)
+    println("== cron '1 * * * *' due at 10:01? " +
+      runner.dueNodes(java.time.LocalDateTime.of(2026, 1, 1, 10, 1)))
+
     // probe: broken graph must fail compile with platform-style errors
     Files.writeString(Paths.get(dir, "graph.yml"),
       """functions:

@@ -197,5 +197,64 @@ class GraphRunnerSpec extends SparkSpec {
     runner.ingestWebhook("hook", drop)
     runner.run()
     assert(runner.tableHandle("counts").read.head().getLong(0) == 2L)
+    // respond_to_request: payload row keyed by patterns_request_key
+    runner.respondToRequest("hook", "r1", Map("status" -> "ok", "n" -> 2L))
+    val resp = runner.tableHandle("hook_responses").read
+    assert(resp.count() == 1)
+    assert(resp.head().getAs[String]("patterns_request_key") == "r1")
+  }
+
+  test("component resolution from a local registry (uses: org/component@v1)") {
+    val reg = tmpDir("registry")
+    Files.createDirectories(Paths.get(reg, "acme", "wordcount", "v1"))
+    Files.writeString(Paths.get(reg, "acme", "wordcount", "v1", "count.sql"),
+      "select count(*) as n from {{ input }}")
+    Files.writeString(Paths.get(reg, "acme", "wordcount", "v1", "graph.yml"),
+      """functions:
+        |  - node_file: count.sql
+        |    id: count001
+        |    inputs: {input: src}
+        |    outputs: {out: result}
+        |stores:
+        |  - table: src
+        |  - table: result
+        |""".stripMargin)
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - uses: acme/wordcount@v1
+        |    id: comp00001
+        |stores:
+        |  - table: src
+        |  - table: result
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      componentResolver = GraphRunner.componentResolverFromDir(reg))
+    assert(runner.validate().isEmpty)
+    import spark.implicits._
+    val seed = runner.tableHandle("src")
+    seed.append(Seq(1L, 2L, 3L).toDF("id")); seed.flush()
+    runner.run()
+    assert(runner.tableHandle("result").read.head().getLong(0) == 3L)
+    // unresolvable component → compile error, mirroring the platform
+    val bad = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    assert(bad.validate().exists(_.contains("component 'acme/wordcount@v1' not found")))
+  }
+
+  test("dueNodes matches cron triggers for the given minute") {
+    val dir = tmpDir("graph")
+    write(dir, "q.sql", "select 1 as one")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: q.sql
+        |    id: hourly01
+        |    trigger: 1 * * * *
+        |    outputs: {out: t}
+        |stores:
+        |  - table: t
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    assert(runner.dueNodes(java.time.LocalDateTime.of(2026, 1, 1, 5, 1)) == Seq("hourly01"))
+    assert(runner.dueNodes(java.time.LocalDateTime.of(2026, 1, 1, 5, 2)).isEmpty)
   }
 }

@@ -11,7 +11,8 @@ class LlmSpec extends SparkSpec {
   test("minhash LSH finds the exact >=0.8 jaccard pair set (vs brute force)") {
     val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sh = docs.select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sg"))
+    val sh = TextDedup.withShingles(docs.select("doc_id", "text"), "text", "sg", 3)
+      .select("doc_id", "sg")
     val a = sh.select(col("doc_id").as("id_a"), col("sg").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sh_b"))
     val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
