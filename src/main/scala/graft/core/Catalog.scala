@@ -28,11 +28,14 @@ final case class TableMeta(
     schemaHints: Map[String, String],
     addCreated: Option[String],
     addMonotonicId: Option[String],
+    partitionBy: List[String],
+    hashBuckets: Option[Int],
     nextSeq: Long)
 
 object TableMeta {
   def fresh(name: String): TableMeta =
-    TableMeta(name, None, Nil, Nil, Map.empty, None, Map.empty, None, None, 1L)
+    TableMeta(name, None, Nil, Nil, Map.empty, None, Map.empty, None, None,
+      Nil, None, 1L)
 }
 
 /** Versioned warehouse catalog (SURVEY.md §2.1 S6/S10).

@@ -32,6 +32,12 @@ final class TableHandle(
   private val pending = ArrayBuffer.empty[Pending]
 
   // ---- Table.init (node.py:269-297) ----------------------------------
+  /** `partitionBy` directory-partitions every version (date keys etc. —
+    * enables static + dynamic partition pruning on reads). `hashBuckets`
+    * adds a derived `_gr_bucket = pmod(xxhash64(uniqueOn), n)` partition
+    * so upserts rewrite only the buckets that contain incoming keys
+    * (SURVEY.md §7.4.3's 100 TB path).
+    */
   def init(
       schema: Seq[(String, String)] = Nil,
       schemaHints: Map[String, String] = Map.empty,
@@ -39,7 +45,9 @@ final class TableHandle(
       addCreated: Option[String] = None,
       addMonotonicId: Option[String] = None,
       strictlyMonotonicOrdering: Option[String] = None,
-      createdOrdering: Option[String] = None): this.type = {
+      createdOrdering: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      hashBuckets: Option[Int] = None): this.type = {
     catalog.update(name) { m =>
       val orderings = m.orderings ++
         strictlyMonotonicOrdering.map("monotonic" -> _) ++
@@ -47,6 +55,7 @@ final class TableHandle(
         // add_monotonic_id implies a strictly-monotonic ordering on it
         addMonotonicId.map("monotonic" -> _) ++
         addCreated.map("created" -> _)
+      val parts = (partitionBy ++ hashBuckets.map(_ => TableHandle.BucketCol)).toList
       m.copy(
         schemaDdl = if (schema.nonEmpty)
           Some(CommonModel.structFromDict(schema).toDDL) else m.schemaDdl,
@@ -54,6 +63,8 @@ final class TableHandle(
         uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
         addCreated = addCreated.orElse(m.addCreated),
         addMonotonicId = addMonotonicId.orElse(m.addMonotonicId),
+        partitionBy = if (parts.nonEmpty) parts else m.partitionBy,
+        hashBuckets = hashBuckets.orElse(m.hashBuckets),
         orderings = orderings)
     }
     this
@@ -187,6 +198,12 @@ final class TableHandle(
       if (!out.columns.contains(c))
         out = out.withColumn(c, graft.functions.Base32Fixed.monotonicId(batchSeq))
     }
+    (m.hashBuckets, m.uniqueOn) match {
+      case (Some(n), keys) if keys.nonEmpty && !out.columns.contains(TableHandle.BucketCol) =>
+        out = out.withColumn(TableHandle.BucketCol,
+          pmod(xxhash64(keys.map(col): _*), lit(n)).cast("int"))
+      case _ =>
+    }
     out
   }
 
@@ -216,6 +233,14 @@ final class TableHandle(
   /** Key-shuffled MERGE: last-wins within the batch, new version, swap.
     * Determinism rule (SURVEY.md §4): within one upsert batch the
     * highest (partition, row) wins; across batches the later flush wins.
+    *
+    * Partition-pruned path: when the table is partitioned (date keys or
+    * the `hashBuckets` derived bucket), only partitions containing
+    * incoming rows are merged and rewritten; untouched partitions'
+    * files are HARDLINKED into the new version directory — O(metadata),
+    * no data copy. Upsert cost is then proportional to touched
+    * partitions, not table size (the 100 TB requirement; on an object
+    * store the link step becomes a manifest entry instead).
     */
   private def doUpsert(df: DataFrame): Unit = {
     val keys = meta.uniqueOn
@@ -226,12 +251,40 @@ final class TableHandle(
       .withColumn("_gr_rn", row_number().over(w))
       .filter(col("_gr_rn") === 1).drop("_gr_rn")
     if (!exists) { writeNewVersion(incoming); onSignal(name, "create"); return }
-    val existing = read
+
+    val m = meta
+    val parts = m.partitionBy
+    if (parts.nonEmpty && parts.forall(incoming.columns.contains)) {
+      val touched = incoming.select(parts.map(col): _*).distinct().collect()
+        .map(r => parts.indices.map(i => String.valueOf(r.get(i))).toList)
+      val touchedSet = touched.toSet
+      val pred = touched.map(t =>
+          parts.zip(t).map { case (p, v) => col(p) === lit(v) }.reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val existingTouched = read.filter(pred) // partition-pruned scan
+      val merged = mergeFrames(existingTouched, incoming, keys)
+
+      val oldPath = catalog.activePath(name).get
+      val v = catalog.newVersion(name)
+      val newPath = catalog.versionPath(name, v)
+      val parted = merged.write.mode("overwrite").partitionBy(parts: _*)
+      parted.parquet(newPath)
+      TableHandle.linkUntouchedPartitions(oldPath, newPath, parts.size, touchedSet)
+      val n = spark.read.parquet(newPath).count()
+      catalog.setActive(name, v, n)
+    } else {
+      writeNewVersion(mergeFrames(read, incoming, keys))
+    }
+    onSignal(name, "update")
+  }
+
+  private def mergeFrames(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val dataCols = (existing.columns ++ incoming.columns).distinct
       .filterNot(keys.contains)
     val e = existing.alias("e")
     val i = incoming.alias("i")
-    val merged = e.join(i, keys, "full_outer").select(
+    e.join(i, keys, "full_outer").select(
       keys.map(col) ++ dataCols.map { c =>
         val inI = incoming.columns.contains(c)
         val inE = existing.columns.contains(c)
@@ -239,14 +292,14 @@ final class TableHandle(
         else if (inI) col(s"i.$c").as(c)
         else col(s"e.$c").as(c)
       }: _*)
-    writeNewVersion(merged)
-    onSignal(name, "update")
   }
 
   private def writeNewVersion(df: DataFrame): Unit = {
     val v = catalog.newVersion(name)
     val path = catalog.versionPath(name, v)
-    df.write.mode("overwrite").parquet(path)
+    val parts = meta.partitionBy.filter(df.columns.contains)
+    val writer = df.write.mode("overwrite")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(path)
     val n = spark.read.parquet(path).count()
     catalog.setActive(name, v, n)
   }
@@ -256,6 +309,34 @@ final class TableHandle(
 
 object TableHandle {
   import scala.jdk.CollectionConverters._
+
+  /** Derived hash-bucket partition column (init(hashBuckets=…)). */
+  val BucketCol = "_gr_bucket"
+
+  /** Hardlink every data file of `oldPath` whose partition-directory
+    * values are NOT in `touched` into the same relative location under
+    * `newPath`. Partition values are the `k=v` path segments in order.
+    */
+  private[core] def linkUntouchedPartitions(
+      oldPath: String, newPath: String, nParts: Int,
+      touched: Set[List[String]]): Unit = {
+    val root = java.nio.file.Paths.get(oldPath)
+    val dest = java.nio.file.Paths.get(newPath)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach { f =>
+        val rel = root.relativize(f)
+        val segs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        val partVals = segs.filter(_.contains("=")).take(nParts)
+          .map(_.split("=", 2)(1)).toList
+        val isData = f.getFileName.toString.endsWith(".parquet")
+        if (isData && partVals.size == nParts && !touched.contains(partVals)) {
+          val target = dest.resolve(rel)
+          java.nio.file.Files.createDirectories(target.getParent)
+          java.nio.file.Files.createLink(target, f)
+        }
+      }
+  }
 
   implicit final class RowIterOps(private val it: java.util.Iterator[Row]) extends AnyVal {
     def asScala: Iterator[Row] = it.asInstanceOf[java.util.Iterator[Row]].asScala

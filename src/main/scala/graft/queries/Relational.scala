@@ -293,6 +293,16 @@ object Relational {
         |  array_to_string(list_sort(list_distinct(list(substring(c_name, 10, 1)))), ',') as digits
         |from customer group by c_mktsegment""".stripMargin),
 
+    // Q14c — approx percentile sketch (engine-specific sketch → rows-only;
+    // exactness is covered by q14_stats' exact percentile)
+    QuerySpec.unchecked("q14c_approx_percentile") { (s, d) =>
+      Fixtures.registerAll(s, d)
+      s.sql("""select l_returnflag,
+              |  percentile_approx(l_quantity, 0.5, 10000) as approx_med,
+              |  percentile_approx(l_extendedprice, array(0.25, 0.75), 10000) as approx_quartiles
+              |from lineitem group by l_returnflag""".stripMargin)
+    },
+
     // Q15 — ranking window functions, total tie-break order
     QuerySpec.df("q15_window_rank",
       """select o_custkey, o_orderkey, rn, rnk, drnk from (
@@ -375,6 +385,20 @@ object Relational {
         |select 'cust_only' as tag, k from
         |  (select c_custkey as k from customer except select o_custkey from orders) b""".stripMargin),
 
+    // Q20b — multiset set ops: INTERSECT ALL / EXCEPT ALL
+    QuerySpec.shared("q20b_setops_all",
+      """select 'inter' as tag, k, count(*) as n from (
+        |  select l_suppkey as k from lineitem where l_quantity > 40
+        |  intersect all
+        |  select l_suppkey as k from lineitem where l_discount > 0.05
+        |) a group by k
+        |union all
+        |select 'exc' as tag, k, count(*) as n from (
+        |  select l_suppkey as k from lineitem where l_quantity > 40
+        |  except all
+        |  select l_suppkey as k from lineitem where l_discount > 0.08
+        |) b group by k""".stripMargin),
+
     // Q21 — scalar subquery + correlated EXISTS
     QuerySpec.shared("q21_subquery",
       """select o_orderkey, o_totalprice from orders
@@ -443,6 +467,28 @@ object Relational {
         |  cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) as rev,
         |  count(*) as cnt
         |from orders group by 1""".stripMargin),
+
+    // Q24b — calendar arithmetic: date_add/add_months/last_day/quarter/
+    // ISO week/day-of-year/make_date
+    QuerySpec.sql("q24b_datefns",
+      """select o_orderkey,
+        |  date_add(cast(o_orderdate as date), 30) as plus30,
+        |  add_months(cast(o_orderdate as date), 2) as plus2m,
+        |  last_day(cast(o_orderdate as date)) as eom,
+        |  quarter(o_orderdate) as q,
+        |  weekofyear(o_orderdate) as wk,
+        |  dayofyear(o_orderdate) as doy,
+        |  make_date(2020, month(o_orderdate), 1) as md
+        |from orders where o_orderkey % 25 = 0""".stripMargin,
+      """select o_orderkey,
+        |  cast(o_orderdate as date) + 30 as plus30,
+        |  cast(cast(o_orderdate as date) + interval 2 month as date) as plus2m,
+        |  last_day(cast(o_orderdate as date)) as eom,
+        |  quarter(o_orderdate) as q,
+        |  weekofyear(o_orderdate) as wk,
+        |  dayofyear(o_orderdate) as doy,
+        |  make_date(2020, month(o_orderdate), 1) as md
+        |from orders where o_orderkey % 25 = 0""".stripMargin),
 
     // Q25 — math/numeric functions (round(,6) swallows 1-ulp libm diffs)
     QuerySpec.shared("q25_math",

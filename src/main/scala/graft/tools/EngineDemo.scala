@@ -120,6 +120,29 @@ object EngineDemo {
     println("== cron '1 * * * *' due at 10:01? " +
       runner.dueNodes(java.time.LocalDateTime.of(2026, 1, 1, 10, 1)))
 
+    // hash-bucketed partition-pruned upsert: one key touched → one
+    // bucket rewritten, the rest hardlinked into the new version
+    val bt = runner.tableHandle("bucketed")
+      .init(uniqueOn = Seq("id"), hashBuckets = Some(8))
+    bt.append(spark.range(1000).selectExpr("id", "concat('v', id) as s")); bt.flush()
+    val bv1 = bt.meta.activeVersion.get
+    bt.upsert(Seq((500L, "UPDATED")).toDF("id", "s")); bt.flush()
+    val bv2 = bt.meta.activeVersion.get
+    println(s"== bucketed upsert: $bv1 -> $bv2, rows=${bt.read.count()}, " +
+      s"id500=${bt.read.where(col("id") === 500).select("s").head().getString(0)}")
+    def inos(v: String) = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(runner.catalog.versionPath("bucketed", v))
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Files.getAttribute(p, "unix:ino")).toSet
+    }
+    println(s"== hardlinked files shared between versions: ${(inos(bv1) intersect inos(bv2)).size} " +
+      s"of ${inos(bv2).size} in v2")
+    println("== partition-pruned scan of one bucket:")
+    println(bt.read.where(col("_gr_bucket") === 3).queryExecution.executedPlan
+      .toString.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n").take(300))
+
     // probe: broken graph must fail compile with platform-style errors
     Files.writeString(Paths.get(dir, "graph.yml"),
       """functions:

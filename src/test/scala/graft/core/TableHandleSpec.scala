@@ -127,6 +127,58 @@ class TableHandleSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("hash-bucketed upsert rewrites only touched partitions (hardlinks the rest)") {
+    import spark.implicits._
+    val root = tmpDir("tbl")
+    val h = handle(root).init(uniqueOn = Seq("id"), hashBuckets = Some(8))
+    h.append((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")); h.flush()
+    val v1 = h.meta.activeVersion.get
+    assert(h.read.columns.contains(TableHandle.BucketCol))
+    val bucketsV1 = h.read.select(TableHandle.BucketCol).distinct().count()
+    assert(bucketsV1 == 8)
+
+    // upsert exactly one key → exactly one bucket rewritten
+    h.upsert(Seq((500L, "UPDATED")).toDF("id", "s")); h.flush()
+    val v2 = h.meta.activeVersion.get
+    assert(v2 != v1)
+    val out = h.read
+    assert(out.count() == 1000)
+    assert(out.where($"id" === 500L).select("s").head().getString(0) == "UPDATED")
+    // untouched buckets are hardlinked: same inode as v1 files
+    val v1Dir = java.nio.file.Paths.get(new Catalog(root).versionPath("t", v1))
+    val v2Dir = java.nio.file.Paths.get(new Catalog(root).versionPath("t", v2))
+    def inodes(d: java.nio.file.Path) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (d.relativize(p).getName(0).toString,
+          java.nio.file.Files.getAttribute(p, "unix:ino")))
+        .toList
+    }
+    val shared = inodes(v2Dir).toSet intersect inodes(v1Dir).toSet
+    assert(shared.size >= 6, s"expected most buckets hardlinked, shared=$shared")
+
+    // reads filtered on the bucket prune partitions (PartitionFilters)
+    val plan = out.where(col(TableHandle.BucketCol) === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_gr_bucket"))
+  }
+
+  test("date-partitioned table: writes are dir-partitioned, filters prune") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl")).init(partitionBy = Seq("day"))
+    h.append(Seq((1L, "2020-01-01"), (2L, "2020-01-02"), (3L, "2020-01-02"))
+      .toDF("id", "day"))
+    h.flush()
+    val path = h.catalog.activePath("t").get
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "day=2020-01-01")))
+    val plan = h.read.where(col("day") === "2020-01-02")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(h.read.where(col("day") === "2020-01-02").count() == 2)
+  }
+
   test("read-only mode rejects writes") {
     import spark.implicits._
     val root = tmpDir("tbl")
