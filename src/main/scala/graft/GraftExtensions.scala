@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, GraftShim}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.udaf
+import graft.functions.{Base32Fixed, VectorAvg}
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * Catalyst expressions as SQL functions so `.sql` nodes can call them.
+  *
+  * New sessions:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  * or config: spark.sql.extensions=graft.GraftExtensions
+  * Running sessions: GraftExtensions.register(spark).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.expressionFunctions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Base32Fixed].getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftExtensions {
+  private[graft] val expressionFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_base32" -> (exprs => Base32Fixed(exprs.head)))
+
+  /** Register everything on an already-running session: the raw
+    * expression functions plus UDAF-based vector functions.
+    */
+  def register(spark: SparkSession): Unit = {
+    expressionFunctions.foreach { case (name, builder) =>
+      GraftShim.registerTempFunction(spark, name, builder)
+    }
+    spark.udf.register("vector_avg", udaf(VectorAvg))
+  }
+}

@@ -205,6 +205,25 @@ object Llm {
             col("payload_meta.mime").as("mime"))
     },
 
+    // L3c — per-label centroids via the VectorAvg typed Aggregator
+    // (IVF coarse-quantizer building block); oracle uses DuckDB's
+    // aligned unnest + generate_subscripts
+    QuerySpec.df("l11_centroids",
+      """select label, idx, round(avg(v), 6) as c from (
+        |  select label, unnest(embedding) as v,
+        |         generate_subscripts(embedding, 1) as idx
+        |  from embeddings
+        |) t group by label, idx""".stripMargin) {
+      (s, d) =>
+        graft.GraftExtensions.register(s)
+        Fixtures.table(s, d, "embeddings")
+          .groupBy("label")
+          .agg(graft.functions.VectorAvg.vectorAvg(col("embedding")).as("centroid"))
+          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))
+          .select(col("label"), (col("pos") + 1).as("idx"),
+            round(col("v"), 6).as("c"))
+    },
+
     // L5b — per-partition feature-extraction plumbing (decode STUBBED;
     // deterministic fake features → rows-only)
     QuerySpec.unchecked("l10b_multimodal_features") { (s, d) =>

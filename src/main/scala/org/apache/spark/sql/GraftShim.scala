@@ -12,4 +12,14 @@ object GraftShim {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def toExpression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** Register a temp SQL function backed by a raw Catalyst expression
+    * builder on an already-running session (the extensions path covers
+    * new sessions; this covers `SparkSession.active`).
+    */
+  def registerTempFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_base32 callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("select graft_base32(cast(42 as bigint)) as b").head().getString(0)
+    assert(r == Base32Fixed.encode(42L))
+    assert(r.length == 13)
+  }
+
+  test("vector_avg UDAF from SQL and Column API agree") {
+    graft.GraftExtensions.register(spark)
+    val emb = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.createOrReplaceTempView("emb_ext")
+    val sqlRes = spark.sql(
+      "select label, vector_avg(embedding) as c from emb_ext group by label")
+      .select(col("label"), round(element_at(col("c"), 1), 6).as("c0"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val apiRes = emb.groupBy("label")
+      .agg(VectorAvg.vectorAvg(col("embedding")).as("c"))
+      .select(col("label"), round(element_at(col("c"), 1), 6).as("c0"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(sqlRes == apiRes)
+    assert(sqlRes.size == 10)
+  }
+
+  test("GraftExtensions injects functions into a SparkSessionExtensions") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(e) // must not throw; wiring covered above
+  }
+}
