@@ -62,6 +62,7 @@ final class State(root: String, node: String) {
   def requestNewRun(triggerDownstream: Boolean = true, waitAtleastSeconds: Long = 0): Unit =
     newRunRequested = Some((triggerDownstream, waitAtleastSeconds))
   def pendingNewRun: Option[(Boolean, Long)] = newRunRequested
+  def clearNewRun(): Unit = newRunRequested = None
 }
 
 object State {

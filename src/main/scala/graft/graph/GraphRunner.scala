@@ -250,6 +250,52 @@ final class GraphRunner(
     flatNodes.collect {
       case (id, f, _) if f.trigger.exists(Cron(_).matches(t)) => id
     }
+
+  /** Run dependents of stores changed since the last call (one signal
+    * wave — G4); returns the node ids that ran.
+    */
+  def propagateOnce(): Seq[String] = {
+    val changed = changedStores.toSet
+    changedStores.clear()
+    val dependents = topoOrder.filter { id =>
+      val (f, _) = nodeById(id)
+      f.kind != "webhook" && f.inputs.values.exists(changed.contains)
+    }
+    dependents.foreach(runNode)
+    dependents
+  }
+}
+
+/** Cron + run-request scheduler loop over a GraphRunner (G2/T9): each
+  * tick runs cron-due nodes and any follow-up runs previously requested
+  * via `State.requestNewRun`, then propagates one signal wave to
+  * downstream consumers. Driven by an external clock so it is testable
+  * and embeddable (call `tick` from any timer).
+  */
+final class Scheduler(runner: GraphRunner) {
+  private val followUps =
+    scala.collection.mutable.Map.empty[String, java.time.LocalDateTime]
+
+  def pendingFollowUps: Map[String, java.time.LocalDateTime] = followUps.toMap
+
+  def tick(t: java.time.LocalDateTime): Seq[String] = {
+    val dueFollowUps = followUps.collect {
+      case (id, at) if !at.isAfter(t) => id
+    }.toList
+    dueFollowUps.foreach(followUps.remove)
+    val due = (runner.dueNodes(t) ++ dueFollowUps).distinct
+    due.foreach { id =>
+      runner.runNode(id)
+      val st = runner.stateFor(id)
+      st.pendingNewRun.foreach { case (triggerDownstream, waitSecs) =>
+        followUps(id) = t.plusSeconds(waitSecs)
+        if (!triggerDownstream) () // follow-up only; wave below covers the rest
+      }
+      st.clearNewRun()
+    }
+    val propagated = if (due.nonEmpty) runner.propagateOnce() else Nil
+    due ++ propagated
+  }
 }
 
 object GraphRunner {

@@ -241,6 +241,53 @@ class GraphRunnerSpec extends SparkSpec {
     assert(bad.validate().exists(_.contains("component 'acme/wordcount@v1' not found")))
   }
 
+  test("scheduler: cron tick runs the node, propagates downstream, honors requestNewRun") {
+    import java.time.LocalDateTime
+    val dir = tmpDir("graph")
+    write(dir, "consume.sql", "select count(*) as n from {{ src }}")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: chunker.scala
+        |    id: chunker01
+        |    trigger: 0 * * * *
+        |    outputs: {out: src}
+        |  - node_file: consume.sql
+        |    id: consume01
+        |    inputs: {src: src}
+        |    outputs: {out: counts}
+        |stores:
+        |  - table: src
+        |  - table: counts
+        |""".stripMargin)
+    // a chunked job: writes one batch per run, asks for a follow-up until done
+    val chunker = new CodeNode {
+      def run(ctx: NodeContext): Unit = {
+        val done = ctx.state.getOrElse("batches", 0L).asInstanceOf[Long]
+        val out = ctx.table("out")
+        out.appendRecords(Seq(Map("batch" -> done)))
+        out.flush()
+        ctx.state.set("batches", done + 1)
+        if (done + 1 < 3) ctx.state.requestNewRun(waitAtleastSeconds = 60)
+      }
+    }
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      codeNodes = Map("chunker.scala" -> chunker))
+    val sched = new Scheduler(runner)
+    // cron fires at minute 0 → first batch + downstream count
+    val ran1 = sched.tick(LocalDateTime.of(2026, 1, 1, 9, 0))
+    assert(ran1.contains("chunker01") && ran1.contains("consume01"))
+    assert(runner.tableHandle("counts").read.head().getLong(0) == 1L)
+    assert(sched.pendingFollowUps.contains("chunker01"))
+    // non-due minute: only the follow-up fires
+    val ran2 = sched.tick(LocalDateTime.of(2026, 1, 1, 9, 2))
+    assert(ran2.contains("chunker01"))
+    assert(runner.tableHandle("counts").read.head().getLong(0) == 2L)
+    // third batch via follow-up, then no more requests
+    sched.tick(LocalDateTime.of(2026, 1, 1, 9, 4))
+    assert(runner.tableHandle("src").read.count() == 3)
+    assert(sched.tick(LocalDateTime.of(2026, 1, 1, 9, 6)).isEmpty)
+  }
+
   test("dueNodes matches cron triggers for the given minute") {
     val dir = tmpDir("graph")
     write(dir, "q.sql", "select 1 as one")
