@@ -224,6 +224,27 @@ object Llm {
             round(col("v"), 6).as("c"))
     },
 
+    // L2d — embedding-cosine near-dup pairs above a similarity floor.
+    // Brute force on BOTH sides (the honest exact formulation; the LSH
+    // prefilter variant is l05b) — Spark broadcast-nested-loop vs
+    // DuckDB pair join, identical double folds.
+    QuerySpec.df("l12_embed_neardup",
+      s"""select id_a, id_b, round(cos, 4) as cos from (
+         |  select a.vec_id as id_a, b.vec_id as id_b,
+         |    ${duckDot.format("a.embedding", "b.embedding")} /
+         |    (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) as cos
+         |  from embeddings a join embeddings b on b.vec_id > a.vec_id
+         |) t where cos >= 0.4""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        a.join(b, col("id_b") > col("id_a"))
+          .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+          .filter(col("cos") >= 0.4)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    },
+
     // L5b — per-partition feature-extraction plumbing (decode STUBBED;
     // deterministic fake features → rows-only)
     QuerySpec.unchecked("l10b_multimodal_features") { (s, d) =>

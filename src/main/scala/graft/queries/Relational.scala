@@ -344,6 +344,37 @@ object Relational {
           .select("event_id", "prev_id", "next_id", "first_id", "dv")
     },
 
+    // Q16b — sessionization: gap > 30 min starts a new session
+    // (cumulative-sum-of-boundaries idiom over the per-user stream)
+    QuerySpec.df("q16b_sessionize",
+      """with marked as (
+        |  select user_id, event_id, ts,
+        |    case when ts - lag(ts) over (partition by user_id order by ts, event_id)
+        |              > interval 30 minute then 1 else 0 end as brk
+        |  from events
+        |), sess as (
+        |  select user_id, event_id,
+        |    sum(brk) over (partition by user_id order by ts, event_id
+        |                   rows between unbounded preceding and current row) as session_id
+        |  from marked
+        |)
+        |select user_id, cast(session_id as bigint) as session_id,
+        |  count(*) as n_events,
+        |  min(event_id) as first_event, max(event_id) as last_event
+        |from sess group by user_id, session_id""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("brk",
+            when(col("ts") - lag(col("ts"), 1).over(w) > expr("interval 30 minutes"), 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id").cast("bigint").as("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min("event_id").as("first_event"), max("event_id").as("last_event"))
+    },
+
     // Q17 — window frames: running decimal revenue + sliding 3-row average
     QuerySpec.df("q17_window_frames",
       """select o_orderkey,
