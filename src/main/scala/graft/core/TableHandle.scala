@@ -91,11 +91,20 @@ final class TableHandle(
     * the distributed path — SURVEY.md §7.4.6).
     */
   def readRecords(): Iterator[Map[String, Any]] = {
-    val cols = read.columns
-    read.toLocalIterator().asScala.map(r => cols.zipWithIndex.map {
+    import scala.jdk.CollectionConverters._
+    val df = read
+    val cols = df.columns
+    df.toLocalIterator().asScala.map(r => cols.zipWithIndex.map {
       case (c, i) => c -> r.get(i)
     }.toMap)
   }
+
+  /** chunksize semantics (node.py:141-154): iterator of record chunks. */
+  def readChunks(chunkSize: Int): Iterator[Seq[Map[String, Any]]] =
+    readRecords().grouped(chunkSize)
+
+  /** read_dataframe alias (node.py:156-166). */
+  def readDataFrame: DataFrame = read
 
   /** read_sql: the table is addressable by its own name (node.py:168-189). */
   def readSql(sql: String): DataFrame = {
@@ -312,6 +321,8 @@ object TableHandle {
 
   /** Derived hash-bucket partition column (init(hashBuckets=…)). */
   val BucketCol = "_gr_bucket"
+  // (an earlier RowIterOps implicit here recursed into itself — the
+  // java-iterator conversion must come from CollectionConverters only)
 
   /** Hardlink every data file of `oldPath` whose partition-directory
     * values are NOT in `touched` into the same relative location under
@@ -336,10 +347,6 @@ object TableHandle {
           java.nio.file.Files.createLink(target, f)
         }
       }
-  }
-
-  implicit final class RowIterOps(private val it: java.util.Iterator[Row]) extends AnyVal {
-    def asScala: Iterator[Row] = it.asInstanceOf[java.util.Iterator[Row]].asScala
   }
 
   private[core] def sameColumns(a: StructType, b: StructType): Boolean =

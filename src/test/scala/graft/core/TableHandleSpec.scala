@@ -179,6 +179,28 @@ class TableHandleSpec extends SparkSpec {
     assert(h.read.where(col("day") === "2020-01-02").count() == 2)
   }
 
+  test("append with a changed schema widens into a fresh version") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq((1L, 10)).toDF("id", "v")); h.flush()      // v int
+    val v1 = h.meta.activeVersion.get
+    h.append(Seq((2L, 2.5, "x")).toDF("id", "v", "extra")); h.flush() // v double + new col
+    assert(h.meta.activeVersion.get != v1) // widen-rewrite → new version
+    val df = h.read
+    assert(df.schema("v").dataType.typeName == "double")
+    assert(df.count() == 2)
+    assert(df.where(col("extra").isNull).count() == 1)
+  }
+
+  test("chunked record reads (chunksize semantics)") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append((1L to 10L).toDF("id")); h.flush()
+    val chunks = h.readChunks(3).toList
+    assert(chunks.map(_.size) == List(3, 3, 3, 1))
+    assert(chunks.flatten.map(_("id").asInstanceOf[Long]).sorted == (1L to 10L).toList)
+  }
+
   test("read-only mode rejects writes") {
     import spark.implicits._
     val root = tmpDir("tbl")

@@ -65,6 +65,28 @@ class GraphRunnerSpec extends SparkSpec {
     assert(errors.exists(_.contains("parameter 'p' has no default or value")))
   }
 
+  test("compile validation detects store-mediated cycles") {
+    val dir = tmpDir("graph")
+    write(dir, "a.sql", "select 1 as one from {{ tb }}")
+    write(dir, "b.sql", "select 1 as one from {{ ta }}")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: a.sql
+        |    id: nodea0001
+        |    inputs: {tb: tb}
+        |    outputs: {out: ta}
+        |  - node_file: b.sql
+        |    id: nodeb0001
+        |    inputs: {ta: ta}
+        |    outputs: {out: tb}
+        |stores:
+        |  - table: ta
+        |  - table: tb
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    assert(runner.validate().exists(_.contains("cycle")))
+  }
+
   test("end-to-end SQL pipeline: the SURVEY §7.2 minimum slice") {
     val dir = tmpDir("graph")
     write(dir, "agg.sql",
