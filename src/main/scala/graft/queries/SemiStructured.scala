@@ -40,6 +40,22 @@ object SemiStructured {
         |  round(cast(list_sort(embedding)[1] as double), 4) as sorted0
         |from embeddings""".stripMargin),
 
+    // Q28b — array constructors: sequence/slice + higher-order fold
+    QuerySpec.sql("q28b_array_ctors",
+      """select p_partkey,
+        |  size(sequence(1, p_size % 10 + 1)) as seq_len,
+        |  cast(aggregate(sequence(1, p_size % 10 + 1), cast(0 as bigint),
+        |                 (a, x) -> a + x) as bigint) as tri,
+        |  cast(element_at(slice(sequence(1, 20), 3, 4), 1) as bigint) as sliced0,
+        |  cast(array_position(sequence(0, 18, 2), 8) as bigint) as pos8
+        |from part""".stripMargin,
+      """select p_partkey,
+        |  len(range(1, p_size % 10 + 2)) as seq_len,
+        |  cast(list_sum(range(1, p_size % 10 + 2)) as bigint) as tri,
+        |  cast(range(1, 21)[3:6][1] as bigint) as sliced0,
+        |  cast(list_position(range(0, 19, 2), 8) as bigint) as pos8
+        |from part""".stripMargin),
+
     // Q29 — explode / UDTF shape: word histogram over documents
     QuerySpec.df("q29_explode",
       """select word, count(*) as cnt, count(distinct doc_id) as n_docs
@@ -117,6 +133,26 @@ object SemiStructured {
             coalesce(col("F"), lit(0.0)).as("rev_f"),
             coalesce(col("O"), lit(0.0)).as("rev_o"),
             coalesce(col("P"), lit(0.0)).as("rev_p"))
+    },
+
+    // Q33b — unpivot (wide → long), oracle via the portable UNION ALL form
+    QuerySpec.df("q33b_unpivot",
+      """select l_orderkey, l_linenumber, 'price' as metric, l_extendedprice as v
+        |from lineitem where l_orderkey % 200 = 0
+        |union all
+        |select l_orderkey, l_linenumber, 'disc', l_discount
+        |from lineitem where l_orderkey % 200 = 0
+        |union all
+        |select l_orderkey, l_linenumber, 'tax', l_tax
+        |from lineitem where l_orderkey % 200 = 0""".stripMargin) {
+      (s, d) =>
+        Fixtures.table(s, d, "lineitem")
+          .filter(col("l_orderkey") % 200 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").as("price"),
+            col("l_discount").as("disc"), col("l_tax").as("tax"))
+          .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("price"), col("disc"), col("tax")), "metric", "v")
     },
 
     // Q34 — sampling: engine-specific RNG → rows-only check
