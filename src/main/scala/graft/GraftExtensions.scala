@@ -27,7 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private[graft] val expressionFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_base32" -> (exprs => Base32Fixed(exprs.head)),
-    "graft_dot" -> (exprs => graft.functions.FloatDot(exprs(0), exprs(1))))
+    "graft_dot" -> (exprs => graft.functions.FloatDot(exprs(0), exprs(1))),
+    "graft_shingles" -> (exprs => graft.functions.WordShingles(
+      exprs.head, exprs.lift(1).map(foldToInt).getOrElse(3))),
+    "graft_minhash" -> (exprs => graft.functions.MinHashSig(
+      exprs(0), foldToInt(exprs(1)))))
+
+  private def foldToInt(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
 
   /** Register everything on an already-running session: the raw
     * expression functions plus UDAF-based vector functions.

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-at-a-time kernels for text shingling and MinHash, called from
+  * generated code (one static call per row — the pattern Spark itself
+  * uses for string kernels). The higher-order-function formulation of
+  * shingling (`transform(sequence(...), i -> concat_ws(...))`) is
+  * CodegenFallback and pays per-ELEMENT interpretation overhead
+  * (lambda-variable binding + boxing); measured ~17 µs/shingle vs
+  * <0.1 µs here, which dominated the near-dup pipeline at sf0.1.
+  */
+object TextShingleOps {
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct k-word shingles of `text` split on single spaces —
+    * identical semantics to the previous HOF formulation (and the
+    * DuckDB oracle in queries/Llm.scala): `split(text, " ")`, grams
+    * joined with one space, first-occurrence order, whole text when
+    * the doc has fewer than k words.
+    */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    // splitSQL(-1) is what the SQL split() expression calls — keeps
+    // trailing empty strings, matching the previous HOF formulation.
+    val words = text.splitSQL(SPACE, -1)
+    if (words.length < k)
+      return new GenericArrayData(Array[Any](text))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val gram = new Array[UTF8String](k)
+    var i = 0
+    while (i + k <= words.length) {
+      var o = 0
+      while (o < k) { gram(o) = words(i + o); o += 1 }
+      seen.add(UTF8String.concatWs(SPACE, gram: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray())
+  }
+
+  /** `numHashes` MinHash signature values of a string array in one
+    * pass: sig[j] = min over elements of xxhash64(j, elem) (the same
+    * values `min(xxhash64(lit(j), col))` aggregates to — int-typed j
+    * folded at seed 42, then the string bytes). Evaluating all J
+    * hashes per element here removes the explode + groupBy shuffle
+    * the aggregation formulation needs.
+    */
+  def minhash(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val len = s.numBytes()
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, XXH64.hashInt(j, 42L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sig)
+  }
+}
+
+/** Codegen'd distinct k-word shingle set of a text column
+  * (SURVEY.md §2.6 L2 building block; reference near-dup semantics
+  * are the devkit-external north star in BASELINE.json).
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles needs (string, k>=1), got ${child.dataType.sql}, k=$k")
+
+  override def nullSafeEval(t: Any): Any =
+    TextShingleOps.shingles(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextShingleOps.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Codegen'd MinHash signature (array<long> of `numHashes` values)
+  * over a string-array column — one pass, no shuffle.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash needs (array<string>, n>=1), got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    TextShingleOps.minhash(a.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextShingleOps.minhash($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object TextShingles {
+  def shingles(text: Column, k: Int = 3): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(WordShingles(GraftShim.toExpression(spark, text), k))
+  }
+  def minhashSig(shingles: Column, numHashes: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(
+      MinHashSig(GraftShim.toExpression(spark, shingles), numHashes))
+  }
+}

@@ -20,30 +20,18 @@ object TextDedup {
     df.groupBy(col(on))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-k-shingle set of a text column (k-gram shingling for
-    * near-dup detection). Documents shorter than k words shingle to the
-    * whole text.
+  /** Add a distinct-shingle-set column derived from `textCol`.
     *
-    * PERF: higher-order functions are CodegenFallback (interpreted), so
-    * any expression referenced inside the lambda re-evaluates per
-    * element. `fromWords` therefore expects the word array as a bound
-    * column; `withShingles` materializes it at a projection boundary
-    * (CollapseProject keeps multi-referenced non-trivial aliases
-    * materialized), making shingling O(words) instead of
-    * O(words × split-cost).
+    * PERF: the obvious `transform(sequence(...), i -> concat_ws(...))`
+    * formulation is a CodegenFallback higher-order function that pays
+    * per-element interpretation overhead (~17 µs/shingle measured);
+    * `WordShingles` is a codegen'd kernel (<0.1 µs/shingle) with
+    * identical semantics — split on single spaces, k-gram join with
+    * one space, first-occurrence-ordered distinct, whole text for
+    * docs shorter than k words.
     */
-  def shinglesFromWords(words: Column, text: Column, k: Int = 3): Column = {
-    val idx = sequence(lit(0), size(words) - k)
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until k).map(o => element_at(words, (i + o + 1).cast("int"))): _*))
-    when(size(words) < k, array(text)).otherwise(array_distinct(grams))
-  }
-
-  /** Add a distinct-shingle-set column derived from `textCol`. */
   def withShingles(df: DataFrame, textCol: String, out: String, k: Int = 3): DataFrame =
-    df.withColumn("_gr_words", split(col(textCol), " "))
-      .withColumn(out, shinglesFromWords(col("_gr_words"), col(textCol), k))
-      .drop("_gr_words")
+    df.withColumn(out, graft.functions.TextShingles.shingles(col(textCol), k))
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -53,11 +41,14 @@ object TextDedup {
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline (each step one shuffle):
-    *  1. shingle each doc (k-word grams, distinct);
-    *  2. `numHashes` MinHash signatures: min over shingles of
-    *     xxhash64(seed_j, shingle) — deterministic seeds, map-side
-    *     partial min, one groupBy;
+    * Pipeline:
+    *  1. shingle each doc (k-word grams, distinct) — codegen'd kernel;
+    *  2. `numHashes` MinHash signature values per doc in ONE map-side
+    *     pass (`MinHashSig`): sig[j] = min over shingles of
+    *     xxhash64(j, shingle), deterministic seeds. No explode, no
+    *     aggregation shuffle — at 100 TB this is the difference
+    *     between shuffling O(total shingles) rows and shuffling
+    *     nothing at this stage;
     *  3. band the signature (`bands` bands of numHashes/bands rows),
     *     bucket key = hash of the band slice; self-join per bucket
     *     yields candidates (only colliding docs ever meet);
@@ -84,16 +75,14 @@ object TextDedup {
       docs.select(col(idCol).as("id"), col(textCol)), textCol, "sh", shingleK)
       .select("id", "sh")
 
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    val sigCols = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("s"))).as(s"h$j"))
-    val sigs = exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigs = sh.select(col("id"),
+      graft.functions.TextShingles.minhashSig(col("sh"), numHashes).as("sig"))
 
     // one pass over sigs: explode an array of (band, bandHash) structs —
-    // a per-band union would recompute the signature aggregation `bands`
-    // times (union branches don't share subtrees without caching)
+    // a per-band union would recompute the signatures `bands` times
+    // (union branches don't share subtrees without caching)
     val bandStructs = array((0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      val slice = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
     }: _*)
     val banded = sigs.select(col("id"), explode(bandStructs).as("bs"))

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc probe; not part of the engine. */
 object Scratch {
@@ -13,17 +14,36 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Fixtures.table(spark, "/root/testdata/sf0.1", "documents")
-    def run(): Double = {
-      val t0 = System.nanoTime()
-      graft.llm.TextDedup.minhashLshPairs(docs, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    import graft.llm.TextDedup._
+
+    // equivalence: new codegen'd kernel vs the old HOF formulation
+    val oldSh = {
+      val words = split(col("text"), " ")
+      val idx = sequence(lit(0), size(words) - 3)
+      val grams = transform(idx, i =>
+        concat_ws(" ", (0 until 3).map(o =>
+          element_at(words, (i + o + 1).cast("int"))): _*))
+      when(size(words) < 3, array(col("text"))).otherwise(array_distinct(grams))
     }
-    // cold: first invocation in this JVM (no plan-cache hits), after a
-    // generic warmup of the session
-    docs.groupBy("lang").count().write.format("noop").mode("overwrite").save()
-    println(f"[probe] l02 cold (persist, fresh plan): ${run()}%.2f s")
-    println(f"[probe] l02 warm rerun (plan-cache): ${run()}%.2f s")
+    val cmp = docs.select(
+      graft.functions.TextShingles.shingles(col("text"), 3).as("nw"),
+      oldSh.as("ol"))
+      .filter(not(col("nw") === col("ol")))
+    println("[probe] shingle mismatches vs old HOF: " + cmp.count())
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("full l02 run1")(
+      minhashLshPairs(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+    time("full l02 run2")(
+      minhashLshPairs(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+    println("[probe] l02 pairs: " +
+      minhashLshPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
 }
