@@ -33,13 +33,18 @@ object GraftExtensions {
     "graft_minhash" -> (exprs => graft.functions.MinHashSig(
       exprs(0), foldToInt(exprs(1)))))
 
-  private def foldToInt(e: Expression): Int =
+  private def foldToInt(e: Expression): Int = {
+    // non-foldable args (e.g. graft_minhash(sh, some_col)) would throw an
+    // opaque UnsupportedOperationException from AttributeReference.eval
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"expected integer literal, got non-constant expression ${e.sql}")
     e.eval(null) match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long => Math.toIntExact(l)
       case other => throw new IllegalArgumentException(
         s"expected integer literal, got $other")
     }
+  }
 
   /** Register everything on an already-running session: the raw
     * expression functions plus UDAF-based vector functions.

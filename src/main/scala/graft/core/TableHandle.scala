@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -28,7 +28,7 @@ final class TableHandle(
 
   private sealed trait Pending
   private case class PendAppend(df: DataFrame) extends Pending
-  private case class PendUpsert(df: DataFrame) extends Pending
+  private case class PendUpsert(df: DataFrame, orderBy: Seq[Column]) extends Pending
   private val pending = ArrayBuffer.empty[Pending]
 
   // ---- Table.init (node.py:269-297) ----------------------------------
@@ -118,10 +118,19 @@ final class TableHandle(
   def appendRecords(records: Seq[Map[String, Any]]): Unit =
     append(inferRecords(spark, records, meta.schemaDdl))
 
-  def upsert(df: DataFrame): Unit = {
+  /** Insert-or-update on the `unique_on` keys (node.py:318-334).
+    *
+    * `orderBy`: which duplicate wins when one batch carries several rows
+    * for the same key — the row with the GREATEST `orderBy` tuple is
+    * kept. Without it the tie-break falls back to arrival order via
+    * `monotonically_increasing_id()`, which is NOT stable under task
+    * retry or AQE repartitioning; pass an explicit ordering column when
+    * within-batch duplicates are possible and determinism matters.
+    */
+  def upsert(df: DataFrame, orderBy: Seq[Column] = Nil): Unit = {
     requireWrite()
     require(meta.uniqueOn.nonEmpty, s"upsert on '$name' needs init(uniqueOn=...)")
-    pending += PendUpsert(df)
+    pending += PendUpsert(df, orderBy)
   }
 
   def upsertRecords(records: Seq[Map[String, Any]]): Unit =
@@ -189,7 +198,7 @@ final class TableHandle(
     }
     grouped.foreach {
       case PendAppend(df) => doAppend(df)
-      case PendUpsert(df) => doUpsert(df)
+      case PendUpsert(df, orderBy) => doUpsert(df, orderBy)
     }
   }
 
@@ -216,6 +225,16 @@ final class TableHandle(
     out
   }
 
+  /** Run `write` on `df` with an observed row count piggy-backed on the
+    * write job itself — no post-write re-read, no recompute (at 100 TB a
+    * count-back would double write-path I/O; VERDICT r2 item 3).
+    */
+  private def writeCounted(df: DataFrame, write: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("n")))
+    obs.get("n").asInstanceOf[Long]
+  }
+
   private def doAppend(df: DataFrame): Unit = {
     val m = meta
     m.activeVersion match {
@@ -226,8 +245,8 @@ final class TableHandle(
         if (existing.schema == incoming.schema ||
             sameColumns(existing.schema, incoming.schema)) {
           val aligned = incoming.select(existing.columns.map(col): _*)
-          aligned.write.mode("append").parquet(path)
-          catalog.setRecordCount(name, v, catalog.recordCount(name) + aligned.count())
+          val added = writeCounted(aligned, _.write.mode("append").parquet(path))
+          catalog.setRecordCount(name, v, catalog.recordCount(name) + added)
         } else {
           // widen-only schema evolution: rewrite into a fresh version
           writeNewVersion(unionWiden(existing, incoming))
@@ -251,11 +270,14 @@ final class TableHandle(
     * partitions, not table size (the 100 TB requirement; on an object
     * store the link step becomes a manifest entry instead).
     */
-  private def doUpsert(df: DataFrame): Unit = {
+  private def doUpsert(df: DataFrame, orderBy: Seq[Column]): Unit = {
     val keys = meta.uniqueOn
     val incomingRaw = withAutoFields(df, batchSeqFor())
+    val tieBreak =
+      if (orderBy.nonEmpty) orderBy.map(_.desc) // greatest tuple wins
+      else Seq(monotonically_increasing_id().desc) // arrival order (nondeterministic under retry)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(monotonically_increasing_id().desc)
+      .orderBy(tieBreak: _*)
     val incoming = incomingRaw
       .withColumn("_gr_rn", row_number().over(w))
       .filter(col("_gr_rn") === 1).drop("_gr_rn")
@@ -267,19 +289,36 @@ final class TableHandle(
       val touched = incoming.select(parts.map(col): _*).distinct().collect()
         .map(r => parts.indices.map(i => String.valueOf(r.get(i))).toList)
       val touchedSet = touched.toSet
-      val pred = touched.map(t =>
-          parts.zip(t).map { case (p, v) => col(p) === lit(v) }.reduce(_ && _))
-        .reduceOption(_ || _).getOrElse(lit(false))
-      val existingTouched = read.filter(pred) // partition-pruned scan
-      val merged = mergeFrames(existingTouched, incoming, keys)
+      // Touched-partition scan predicate: a literal OR-chain lets the
+      // parquet source prune partitions statically, but its expression
+      // tree grows with the partition count (codegen blowup on wide
+      // upserts) — above the threshold switch to a broadcast semi-join
+      // on the partition-value tuple (DPP/AQE prune at runtime).
+      val existingTouched =
+        if (touched.length <= PrunePredicateMaxPartitions) {
+          val pred = touched.map(t =>
+              parts.zip(t).map { case (p, v) => col(p) === lit(v) }.reduce(_ && _))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          read.filter(pred) // statically partition-pruned scan
+        } else {
+          val touchedDf = incoming.select(parts.map(col): _*).distinct()
+          read.join(broadcast(touchedDf), parts, "left_semi")
+        }
+      val prevTotal = catalog.recordCount(name)
+      val obsTouched = org.apache.spark.sql.Observation()
+      val existingObserved =
+        existingTouched.observe(obsTouched, count(lit(1)).as("n"))
+      val merged = mergeFrames(existingObserved, incoming, keys)
 
       val oldPath = catalog.activePath(name).get
       val v = catalog.newVersion(name)
       val newPath = catalog.versionPath(name, v)
-      val parted = merged.write.mode("overwrite").partitionBy(parts: _*)
-      parted.parquet(newPath)
+      val mergedN = writeCounted(merged,
+        _.write.mode("overwrite").partitionBy(parts: _*).parquet(newPath))
       TableHandle.linkUntouchedPartitions(oldPath, newPath, parts.size, touchedSet)
-      val n = spark.read.parquet(newPath).count()
+      // linked (untouched) rows = previous total minus the touched rows
+      // the merge consumed — both observed, nothing re-read
+      val n = mergedN + (prevTotal - obsTouched.get("n").asInstanceOf[Long])
       catalog.setActive(name, v, n)
     } else {
       writeNewVersion(mergeFrames(read, incoming, keys))
@@ -307,9 +346,10 @@ final class TableHandle(
     val v = catalog.newVersion(name)
     val path = catalog.versionPath(name, v)
     val parts = meta.partitionBy.filter(df.columns.contains)
-    val writer = df.write.mode("overwrite")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(path)
-    val n = spark.read.parquet(path).count()
+    val n = writeCounted(df, d => {
+      val writer = d.write.mode("overwrite")
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(path)
+    })
     catalog.setActive(name, v, n)
   }
 
@@ -321,6 +361,12 @@ object TableHandle {
 
   /** Derived hash-bucket partition column (init(hashBuckets=…)). */
   val BucketCol = "_gr_bucket"
+
+  /** Above this many touched partitions the upsert scan predicate
+    * switches from a literal OR-chain (statically prunable) to a
+    * broadcast semi-join (bounded expression size).
+    */
+  val PrunePredicateMaxPartitions = 64
   // (an earlier RowIterOps implicit here recursed into itself — the
   // java-iterator conversion must come from CollectionConverters only)
 

@@ -58,15 +58,19 @@ object TextShingleOps {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val s = shingles.getUTF8String(i)
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val len = s.numBytes()
-      var j = 0
-      while (j < numHashes) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, XXH64.hashInt(j, 42L))
-        if (h < sig(j)) sig(j) = h
-        j += 1
+      // SQL callers may pass array<string> with nulls — skip them
+      // (matches min() aggregation semantics, which ignores nulls)
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, XXH64.hashInt(j, 42L))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
       }
       i += 1
     }

@@ -60,6 +60,12 @@ final class GraphRunner(
   private val states = mutable.Map.empty[String, State]
   private[graph] val signals = mutable.ArrayBuffer.empty[(String, String)]
 
+  // logical clock: ticks once per runNode; changedAt/ranAt let run()
+  // detect nodes whose input store changed AFTER they last ran
+  private var clock: Int = 0
+  private val changedAt = mutable.Map.empty[String, Int]
+  private val ranAt = mutable.Map.empty[String, Int]
+
   def stateFor(nodeId: String): State =
     states.getOrElseUpdate(nodeId, new State(warehouse, nodeId))
 
@@ -67,6 +73,7 @@ final class GraphRunner(
     new TableHandle(spark, catalog, store, "rw", onSignal = (t, kind) => {
       signals += ((t, kind))
       changedStores += t
+      changedAt(t) = clock
     })
 
   /** Flattened node list: subgraphs and components expand recursively,
@@ -164,6 +171,8 @@ final class GraphRunner(
 
   /** Run one node (manual trigger — services/trigger.py:10-22). */
   def runNode(id: String): Unit = {
+    clock += 1
+    ranAt(id) = clock
     val (f, m) = nodeById(id)
     f.kind match {
       case "sql" => runSqlNode(id, f, m)
@@ -197,8 +206,11 @@ final class GraphRunner(
     tableHandle(out).replace(result)
   }
 
-  /** Run the whole graph once: topological pass, then propagate store
-    * signals to dependents until quiescent (bounded by `maxWaves`).
+  /** Run the whole graph once: topological pass, then re-run any node
+    * whose input store changed AFTER that node last ran (possible only
+    * for out-of-band writes — e.g. a code node writing to a store it
+    * does not declare as an output, so topo order could not sequence
+    * the consumer after it). Repeats until quiescent or `maxWaves`.
     */
   def run(maxWaves: Int = 3): Unit = {
     val errors = validate()
@@ -206,20 +218,21 @@ final class GraphRunner(
     changedStores.clear()
     topoOrder.foreach(runNode)
     var wave = 0
-    while (changedStores.nonEmpty && wave < maxWaves) {
-      val changed = changedStores.toSet
-      changedStores.clear()
-      val dependents = topoOrder.filter { id =>
-        val (f, _) = nodeById(id)
-        f.kind != "webhook" && f.inputs.values.exists(changed.contains) &&
-          // only re-run stream-style consumers in propagation waves:
-          // batch nodes already saw this wave's input in topo order
-          wave > 0
-      }
-      dependents.foreach(runNode)
+    var stale = staleNodes()
+    while (stale.nonEmpty && wave < maxWaves) {
+      stale.foreach(runNode)
       wave += 1
+      stale = staleNodes()
     }
   }
+
+  /** Nodes holding an input store that changed after their last run. */
+  private def staleNodes(): List[String] =
+    topoOrder.filter { id =>
+      val (f, _) = nodeById(id)
+      f.kind != "webhook" && f.inputs.values.exists(store =>
+        changedAt.getOrElse(store, 0) > ranAt.getOrElse(id, 0))
+    }
 
   /** Webhook ingest: append JSON-lines micro-batch to the webhook's
     * auto-created same-name table (create.py:177-197; node.py:544-553).
@@ -250,6 +263,14 @@ final class GraphRunner(
     flatNodes.collect {
       case (id, f, _) if f.trigger.exists(Cron(_).matches(t)) => id
     }
+
+  private[graph] def changedStoresSnapshot: Set[String] = changedStores.toSet
+  /** Drop pending change signals (requestNewRun(triggerDownstream=false)
+    * suppresses downstream propagation of that run's writes —
+    * node.py:483-499).
+    */
+  private[graph] def suppressChanges(stores: Set[String]): Unit =
+    changedStores --= stores
 
   /** Run dependents of stores changed since the last call (one signal
     * wave — G4); returns the node ids that ran.
@@ -285,11 +306,15 @@ final class Scheduler(runner: GraphRunner) {
     dueFollowUps.foreach(followUps.remove)
     val due = (runner.dueNodes(t) ++ dueFollowUps).distinct
     due.foreach { id =>
+      val before = runner.changedStoresSnapshot
       runner.runNode(id)
       val st = runner.stateFor(id)
       st.pendingNewRun.foreach { case (triggerDownstream, waitSecs) =>
         followUps(id) = t.plusSeconds(waitSecs)
-        if (!triggerDownstream) () // follow-up only; wave below covers the rest
+        // trigger_downstream=false: schedule the follow-up but keep this
+        // run's writes out of the propagation wave (node.py:483-499)
+        if (!triggerDownstream)
+          runner.suppressChanges(runner.changedStoresSnapshot -- before)
       }
       st.clearNewRun()
     }

@@ -115,14 +115,16 @@ object Relational {
       (s, d) =>
         // Aggregate below the join: orders collapse to one row per
         // custkey before meeting customer, so the join moves |custkeys|
-        // rows instead of |orders| and the joined side becomes
-        // broadcastable. Count/sum over the pre-aggregate distribute
-        // exactly (count of null group → 0 via coalesce).
+        // rows instead of |orders|. Count/sum over the pre-aggregate
+        // distribute exactly (count of null group → 0 via coalesce).
+        // No broadcast hint: perCust is proportional to the number of
+        // distinct customers with orders, which at large scale exceeds
+        // broadcast limits — AQE picks broadcast when it actually fits.
         val perCust = t(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_o"), r2d(sum(dec(col("o_totalprice")))).as("sp"))
         t(s, d, "customer")
-          .join(broadcast(perCust), col("c_custkey") === col("o_custkey"), "left")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_custkey"),
             coalesce(col("n_o"), lit(0L)).as("n_orders"),
             coalesce(col("sp"), lit(0).cast("double")).as("spend"))

@@ -29,7 +29,8 @@ def main():
             try:
                 con.execute(sql).fetchall()
             except Exception as e:
-                best = -1.0
+                if best is None:  # keep a valid first-run timing if any
+                    best = -1.0
                 break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
