@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list
+  * (SURVEY.md §2.6 L2 "connected components (iterative join)") — the
+  * pairs→clusters step of near-duplicate collapse: every vertex ends
+  * up labeled with the minimum vertex id of its component.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every vertex takes the minimum label over itself and its
+  * neighbors (one shuffle join + min-aggregate), then compresses
+  * label chains by one self-join hop (`label(v) := label(label(v))`),
+  * which halves the remaining chain length — so convergence needs
+  * O(log diameter) rounds instead of O(diameter). Labels only ever
+  * decrease, so the label sum is a monotone convergence witness: a
+  * round that leaves the sum unchanged changed no label.
+  *
+  * Scale shape: per round two shuffles of O(|V| + |E|) rows, no
+  * driver-side state beyond one aggregated sum per round. Near-dup
+  * clusters from LSH pair emission are clique-dense (every copy pairs
+  * with most others), so real corpora converge in 2-3 rounds.
+  */
+object ConnectedComponents {
+
+  /** @param pairs edge list; one row per undirected edge
+    * @return (`id`, `component`) for every vertex appearing in `pairs`;
+    *         `component` = min vertex id of the connected component
+    */
+  def run(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // iterated over every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      // min over own label and every neighbor's label
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val propagated = labels.select("id", "component").union(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+      // pointer jump: follow the label one hop (label(v) := label(label(v)))
+      val next = propagated.alias("x")
+        .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).alias("y"),
+          col("x.component") === col("y.pid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.pcomp"), col("x.component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      round += 1
+    }
+    edges.unpersist()
+    System.err.println(s"[graft] connectedComponents: $round rounds" +
+      (if (converged) "" else s" (maxIter=$maxIter hit before fixpoint)"))
+    labels
+  }
+}

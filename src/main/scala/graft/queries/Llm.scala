@@ -22,6 +22,23 @@ object Llm {
   private def duckNorm(c: String) =
     s"sqrt(list_sum(list_transform($c, x -> cast(x as double) * cast(x as double))))"
 
+  /** Fixture embeddings (cast to double) plus a deterministic planted
+    * near-duplicate of each of the first 100 vectors — element i scaled
+    * by 1 + 0.01·(((vec_id·31 + i·17) % 7) − 3), exact integer-derived
+    * IEEE factors so Spark and DuckDB build bit-identical corpora.
+    * Shared by the l12b oracle query and the LlmSpec equality test.
+    */
+  def plantedCorpus(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val asDouble = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = emb.filter(col("vec_id") < 100).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") *
+          (lit(1) + lit(0.01) * ((col("vec_id") * 31 + (i + 1) * 17) % 7 - 3))
+      ).as("embedding"))
+    asDouble.unionByName(planted)
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // L1 — exact dedup on the normalized-text fingerprint
@@ -243,6 +260,100 @@ object Llm {
           .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
           .filter(col("cos") >= 0.4)
           .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    },
+
+    // L2e — near-dup cluster collapse: LSH pairs → connected components
+    // (iterative min-label propagation + pointer jumping). Oracle:
+    // brute-force pair set + recursive-CTE transitive closure, min
+    // reachable id per vertex — feasible at fixture scale.
+    QuerySpec.df("l13_neardup_clusters",
+      s"""with recursive sh as (
+         |  select doc_id, $duckShingles as sg
+         |  from (select doc_id, text, string_split(text, ' ') as words from documents)
+         |),
+         |pairs as (
+         |  select a.doc_id as id_a, b.doc_id as id_b
+         |  from sh a join sh b on b.doc_id > a.doc_id
+         |  where len(list_intersect(a.sg, b.sg)) * 1.0 /
+         |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8
+         |),
+         |edges as (select id_a as src, id_b as dst from pairs
+         |          union select id_b as src, id_a as dst from pairs),
+         |reach(v, r) as (
+         |  select src, src from edges
+         |  union
+         |  select e.src, reach.r from edges e join reach on reach.v = e.dst
+         |)
+         |select v as doc_id, min(r) as cluster from reach group by v""".stripMargin) {
+      (s, d) =>
+        TextDedup.nearDupClusters(
+          Fixtures.table(s, d, "documents"), "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.8)
+          .select(col("id").as("doc_id"), col("component").as("cluster"))
+    },
+
+    // L2f — the end-to-end collapse: survivors = min id per cluster
+    // plus every unpaired doc.
+    QuerySpec.df("l14_drop_neardup",
+      s"""with recursive sh as (
+         |  select doc_id, $duckShingles as sg
+         |  from (select doc_id, text, string_split(text, ' ') as words from documents)
+         |),
+         |pairs as (
+         |  select a.doc_id as id_a, b.doc_id as id_b
+         |  from sh a join sh b on b.doc_id > a.doc_id
+         |  where len(list_intersect(a.sg, b.sg)) * 1.0 /
+         |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8
+         |),
+         |edges as (select id_a as src, id_b as dst from pairs
+         |          union select id_b as src, id_a as dst from pairs),
+         |reach(v, r) as (
+         |  select src, src from edges
+         |  union
+         |  select e.src, reach.r from edges e join reach on reach.v = e.dst
+         |),
+         |losers as (
+         |  select v from (select v, min(r) as cluster from reach group by v)
+         |  where v <> cluster
+         |)
+         |select doc_id, lang from documents
+         |where doc_id not in (select v from losers)""".stripMargin) {
+      (s, d) =>
+        TextDedup.dropNearDuplicates(
+          Fixtures.table(s, d, "documents"), "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.8)
+          .select("doc_id", "lang")
+    },
+
+    // L2d' — the SCALE path for embedding near-dup: LSH prefilter +
+    // exact-cosine verify (Similarity.nearDupPairs), oracled against
+    // exact all-pairs. The raw fixture is isotropic noise (max pair
+    // cos ≈ 0.51 — no near-dup regime exists in it), so the corpus
+    // plants a deterministic near-duplicate of each of the first 100
+    // vectors: element i scaled by 1 + 0.01·(((vec_id·31 + i·17) % 7) − 3)
+    // — integer-derived factors, bit-identical in both engines — giving
+    // planted pairs at cos ≈ 0.9997, far above the 0.99 floor and far
+    // above everything else (≤ 0.55).
+    QuerySpec.df("l12b_embed_neardup_lsh",
+      s"""with corpus as (
+         |  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+         |  from embeddings
+         |  union all
+         |  select vec_id + 100000 as vec_id,
+         |    [embedding[i] * (1 + 0.01 * (((vec_id * 31 + i * 17) % 7) - 3))
+         |     for i in range(1, len(embedding) + 1)] as v
+         |  from embeddings where vec_id < 100
+         |)
+         |select id_a, id_b, round(cos, 4) as cos from (
+         |  select a.vec_id as id_a, b.vec_id as id_b,
+         |    ${duckDot.format("a.v", "b.v")} /
+         |    (${duckNorm("a.v")} * ${duckNorm("b.v")}) as cos
+         |  from corpus a join corpus b on b.vec_id > a.vec_id
+         |) t where cos >= 0.99""".stripMargin) {
+      (s, d) =>
+        Similarity.nearDupPairs(
+          plantedCorpus(Fixtures.table(s, d, "embeddings")),
+          "vec_id", "embedding", minCos = 0.99)
     },
 
     // L5b — per-partition feature-extraction plumbing (decode STUBBED;

@@ -22,6 +22,38 @@ class LlmSpec extends SparkSpec {
     assert(brute.nonEmpty) // fixture contains planted near-dups
   }
 
+  test("near-dup clusters match union-find over brute-force pairs; collapse keeps min-id survivors") {
+    val sh = TextDedup.withShingles(docs.select("doc_id", "text"), "text", "sg", 3)
+      .select("doc_id", "sg")
+    val a = sh.select(col("doc_id").as("id_a"), col("sg").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sh_b"))
+    val brutePairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(TextDedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(brutePairs.nonEmpty)
+    // reference components: driver-side union-find on the brute pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    brutePairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val vertices = brutePairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = vertices.map(v => v -> find(v)).toMap
+    val got = TextDedup.nearDupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // collapse: survivors = all docs minus non-min cluster members
+    val losers = expected.collect { case (v, c) if v != c => v }.toSet
+    val survivors = TextDedup.dropNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allDocs = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (allDocs -- losers))
+  }
+
   test("simhash: near-dup pairs have small hamming distance, random pairs large") {
     val sims = TextDedup.simhash(docs, "doc_id", "text")
     val nearDups = TextDedup.minhashLshPairs(docs, "doc_id", "text")
@@ -62,6 +94,20 @@ class LlmSpec extends SparkSpec {
     val b2 = emb.limit(20).select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), planes).as("bucket"))
     assert(b.collect().map(_.toString).sorted.sameElements(b2.collect().map(_.toString).sorted))
+  }
+
+  test("nearDupPairs (LSH prefilter + verify) equals all-pairs on a near-dup corpus") {
+    val corpus = graft.queries.Llm.plantedCorpus(emb)
+    val got = Similarity.nearDupPairs(corpus, "vec_id", "embedding", minCos = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val brute = a.join(b, col("id_b") > col("id_a"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    // every planted near-duplicate is recovered, nothing else qualifies
+    assert(brute == (0L until 100L).map(i => (i, i + 100000L)).toSet)
   }
 
   test("multimodal feature extraction is deterministic with stable shape") {
