@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
   * Measurement notes:
   *  - results are written to the `noop` sink so the full plan executes
   *    (a bare count() would let Catalyst skip projections);
-  *  - each query runs twice, min is reported (steady state: the first
-  *    run pays codegen/classload, which a long-lived cluster amortizes);
+  *  - each query runs 3×, the MEDIAN is reported (steady state: the
+  *    first run pays codegen/classload, which a long-lived cluster
+  *    amortizes; the median rejects one-off interference spikes);
+  *  - a query whose min/max diverge >3× gets a stderr warning and a
+  *    `divergent` entry in the JSON — a nonempty list means the
+  *    machine was loaded and the numbers should not be trusted
+  *    (VERDICT r2/r3: two rounds committed contaminated artifacts);
   *  - engine-demo queries (temp-warehouse setup) and oracle-less checks
   *    are excluded — they measure I/O harness, not query execution.
   */
@@ -47,15 +52,26 @@ object Bench {
     // warm the session (parquet footers, codegen infra) off the clock
     once(specs.head.name)
 
+    val divergent = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = specs.map { q =>
-      val a = once(q.name)
-      val b = once(q.name)
-      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq.fill(3)(once(q.name))
+      if (runs.exists(_ < 0)) q.name -> -1.0
+      else {
+        val sorted = runs.sorted
+        if (sorted.head > 0 && sorted.last / sorted.head > 3.0) {
+          divergent += q.name
+          System.err.println(
+            f"[bench] WARNING ${q.name}: min ${sorted.head}%.3fs vs max ${sorted.last}%.3fs " +
+              "diverge >3x - machine load contaminating measurement")
+        }
+        q.name -> sorted(1) // median of 3
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val div = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}""")
     spark.stop()
   }
 }

@@ -47,12 +47,17 @@ object GraftExtensions {
   }
 
   /** Register everything on an already-running session: the raw
-    * expression functions plus UDAF-based vector functions.
+    * expression functions plus UDAF-based vector functions. Idempotent
+    * — re-registering an existing name would log a SimpleFunctionRegistry
+    * "replaced a previously registered function" warning per function
+    * per query (VERDICT r3 item 6).
     */
   def register(spark: SparkSession): Unit = {
     expressionFunctions.foreach { case (name, builder) =>
-      GraftShim.registerTempFunction(spark, name, builder)
+      if (!spark.catalog.functionExists(name))
+        GraftShim.registerTempFunction(spark, name, builder)
     }
-    spark.udf.register("vector_avg", udaf(VectorAvg))
+    if (!spark.catalog.functionExists("vector_avg"))
+      spark.udf.register("vector_avg", udaf(VectorAvg))
   }
 }

@@ -40,6 +40,24 @@ object CommonModel {
   def resolve(t: String): DataType =
     toCatalyst.getOrElse(t, DataType.fromDDL(t))
 
+  // ---- named-schema registry ------------------------------------------
+  // Table.init(schema=...) accepts "a CommonModel Schema object or str
+  // name" (node.py:269-283; store nodes reference schemas by name,
+  // edit.py:133) — the name resolves against a registry the app/engine
+  // populates at startup.
+  private val named =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def registerSchema(name: String, schema: StructType): Unit =
+    named.put(name, schema)
+  def registerSchema(name: String, fields: Seq[(String, String)]): Unit =
+    named.put(name, structFromDict(fields))
+  def namedSchema(name: String): Option[StructType] = Option(named.get(name))
+
+  /** Resolve a registered schema name, else parse as struct DDL. */
+  def resolveSchema(nameOrDdl: String): StructType =
+    namedSchema(nameOrDdl).getOrElse(StructType.fromDDL(nameOrDdl))
+
   /** schema_hints semantics (node.py:283): override the *inferred* type
     * of individual fields by casting after the fact. Unknown fields are
     * ignored (the reference treats hints as advisory).

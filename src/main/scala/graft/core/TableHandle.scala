@@ -40,6 +40,7 @@ final class TableHandle(
     */
   def init(
       schema: Seq[(String, String)] = Nil,
+      schemaRef: Option[String] = None,
       schemaHints: Map[String, String] = Map.empty,
       uniqueOn: Seq[String] = Nil,
       addCreated: Option[String] = None,
@@ -57,8 +58,13 @@ final class TableHandle(
         addCreated.map("created" -> _)
       val parts = (partitionBy ++ hashBuckets.map(_ => TableHandle.BucketCol)).toList
       m.copy(
+        // schema precedence: explicit field dict > named/DDL reference
+        // (node.py:269-283 "a CommonModel Schema object or str name, or
+        // a dictionary of field names to field types")
         schemaDdl = if (schema.nonEmpty)
-          Some(CommonModel.structFromDict(schema).toDDL) else m.schemaDdl,
+          Some(CommonModel.structFromDict(schema).toDDL)
+        else schemaRef.map(r => CommonModel.resolveSchema(r).toDDL)
+          .orElse(m.schemaDdl),
         schemaHints = m.schemaHints ++ schemaHints,
         uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
         addCreated = addCreated.orElse(m.addCreated),
@@ -278,52 +284,65 @@ final class TableHandle(
       else Seq(monotonically_increasing_id().desc) // arrival order (nondeterministic under retry)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tieBreak: _*)
+    // persist the deduped batch: the touched-partition collect, the
+    // semi-join prune frame, and the merge join must all see the SAME
+    // winner rows — the monotonically_increasing_id tie-break is not
+    // stable across independent re-evaluations (ADVICE r3)
     val incoming = incomingRaw
       .withColumn("_gr_rn", row_number().over(w))
       .filter(col("_gr_rn") === 1).drop("_gr_rn")
-    if (!exists) { writeNewVersion(incoming); onSignal(name, "create"); return }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!exists) { writeNewVersion(incoming); onSignal(name, "create"); return }
 
-    val m = meta
-    val parts = m.partitionBy
-    if (parts.nonEmpty && parts.forall(incoming.columns.contains)) {
-      val touched = incoming.select(parts.map(col): _*).distinct().collect()
-        .map(r => parts.indices.map(i => String.valueOf(r.get(i))).toList)
-      val touchedSet = touched.toSet
-      // Touched-partition scan predicate: a literal OR-chain lets the
-      // parquet source prune partitions statically, but its expression
-      // tree grows with the partition count (codegen blowup on wide
-      // upserts) — above the threshold switch to a broadcast semi-join
-      // on the partition-value tuple (DPP/AQE prune at runtime).
-      val existingTouched =
-        if (touched.length <= PrunePredicateMaxPartitions) {
-          val pred = touched.map(t =>
-              parts.zip(t).map { case (p, v) => col(p) === lit(v) }.reduce(_ && _))
-            .reduceOption(_ || _).getOrElse(lit(false))
-          read.filter(pred) // statically partition-pruned scan
-        } else {
-          val touchedDf = incoming.select(parts.map(col): _*).distinct()
-          read.join(broadcast(touchedDf), parts, "left_semi")
-        }
-      val prevTotal = catalog.recordCount(name)
-      val obsTouched = org.apache.spark.sql.Observation()
-      val existingObserved =
-        existingTouched.observe(obsTouched, count(lit(1)).as("n"))
-      val merged = mergeFrames(existingObserved, incoming, keys)
+      val m = meta
+      val parts = m.partitionBy
+      if (parts.nonEmpty && parts.forall(incoming.columns.contains)) {
+        val touched = incoming.select(parts.map(col): _*).distinct().collect()
+          .map(r => parts.indices.map(i => r.get(i)).toList)
+        // path-segment comparison uses the same escaping parquet uses
+        // when writing partition directories (null/empty → the Hive
+        // default-partition sentinel) — String.valueOf would silently
+        // mismatch escaped or null values and hardlink touched
+        // partitions anyway (duplicate rows)
+        val touchedSet: Set[List[String]] =
+          touched.map(_.map(partitionPathValue)).toSet
+        // Touched-partition scan predicate: a literal OR-chain lets the
+        // parquet source prune partitions statically, but its expression
+        // tree grows with the partition count (codegen blowup on wide
+        // upserts) — above the threshold switch to a broadcast semi-join
+        // on the partition-value tuple (DPP/AQE prune at runtime).
+        val existingTouched =
+          if (touched.length <= PrunePredicateMaxPartitions) {
+            val pred = touched.map(t =>
+                parts.zip(t).map { case (p, v) => col(p) <=> lit(v) }.reduce(_ && _))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            read.filter(pred) // statically partition-pruned scan
+          } else {
+            val touchedDf = incoming.select(parts.map(col): _*).distinct()
+            read.join(broadcast(touchedDf), parts, "left_semi")
+          }
+        val prevTotal = catalog.recordCount(name)
+        val obsTouched = org.apache.spark.sql.Observation()
+        val existingObserved =
+          existingTouched.observe(obsTouched, count(lit(1)).as("n"))
+        val merged = mergeFrames(existingObserved, incoming, keys)
 
-      val oldPath = catalog.activePath(name).get
-      val v = catalog.newVersion(name)
-      val newPath = catalog.versionPath(name, v)
-      val mergedN = writeCounted(merged,
-        _.write.mode("overwrite").partitionBy(parts: _*).parquet(newPath))
-      TableHandle.linkUntouchedPartitions(oldPath, newPath, parts.size, touchedSet)
-      // linked (untouched) rows = previous total minus the touched rows
-      // the merge consumed — both observed, nothing re-read
-      val n = mergedN + (prevTotal - obsTouched.get("n").asInstanceOf[Long])
-      catalog.setActive(name, v, n)
-    } else {
-      writeNewVersion(mergeFrames(read, incoming, keys))
-    }
-    onSignal(name, "update")
+        val oldPath = catalog.activePath(name).get
+        val v = catalog.newVersion(name)
+        val newPath = catalog.versionPath(name, v)
+        val mergedN = writeCounted(merged,
+          _.write.mode("overwrite").partitionBy(parts: _*).parquet(newPath))
+        TableHandle.linkUntouchedPartitions(oldPath, newPath, parts.size, touchedSet)
+        // linked (untouched) rows = previous total minus the touched rows
+        // the merge consumed — both observed, nothing re-read
+        val n = mergedN + (prevTotal - obsTouched.get("n").asInstanceOf[Long])
+        catalog.setActive(name, v, n)
+      } else {
+        writeNewVersion(mergeFrames(read, incoming, keys))
+      }
+      onSignal(name, "update")
+    } finally incoming.unpersist()
   }
 
   private def mergeFrames(existing: DataFrame, incoming: DataFrame,
@@ -364,9 +383,28 @@ object TableHandle {
 
   /** Above this many touched partitions the upsert scan predicate
     * switches from a literal OR-chain (statically prunable) to a
-    * broadcast semi-join (bounded expression size).
+    * broadcast semi-join (bounded expression size). Mutable only so the
+    * spec suite can force both paths onto identical input.
     */
-  val PrunePredicateMaxPartitions = 64
+  private[core] var PrunePredicateMaxPartitions = 64
+
+  /** A partition value as it appears in the parquet directory name:
+    * the escaping `InsertIntoHadoopFsRelation` applies, with null and
+    * empty collapsing to the Hive default-partition sentinel. (Date and
+    * primitive values stringify identically to their path rendering;
+    * timestamp partition keys — an anti-pattern at any scale — are not
+    * normalized here.)
+    */
+  private[core] def partitionPathValue(v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    v match {
+      case null => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      case s =>
+        val str = String.valueOf(s)
+        if (str.isEmpty) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(str)
+    }
+  }
   // (an earlier RowIterOps implicit here recursed into itself — the
   // java-iterator conversion must come from CollectionConverters only)
 

@@ -224,6 +224,13 @@ final class GraphRunner(
       wave += 1
       stale = staleNodes()
     }
+    // Drain consumed change signals: every consumer just ran after its
+    // producers (the stale loop covered out-of-band writes), so keeping
+    // entries would make the next propagateOnce()/tick spuriously
+    // re-run dependents of everything this run wrote. Only stores a
+    // still-stale node (maxWaves exhausted) reads keep their entry.
+    val keep = staleNodes().flatMap(id => nodeById(id)._1.inputs.values).toSet
+    changedStores.filterInPlace(keep.contains)
   }
 
   /** Nodes holding an input store that changed after their last run. */
@@ -294,27 +301,34 @@ final class GraphRunner(
   * and embeddable (call `tick` from any timer).
   */
 final class Scheduler(runner: GraphRunner) {
+  // follow-up run time + whether that run's writes propagate downstream
   private val followUps =
-    scala.collection.mutable.Map.empty[String, java.time.LocalDateTime]
+    scala.collection.mutable.Map.empty[String, (java.time.LocalDateTime, Boolean)]
 
-  def pendingFollowUps: Map[String, java.time.LocalDateTime] = followUps.toMap
+  def pendingFollowUps: Map[String, java.time.LocalDateTime] =
+    followUps.view.mapValues(_._1).toMap
 
   def tick(t: java.time.LocalDateTime): Seq[String] = {
     val dueFollowUps = followUps.collect {
-      case (id, at) if !at.isAfter(t) => id
+      case (id, (at, _)) if !at.isAfter(t) => id
     }.toList
+    // trigger_downstream=false governs the REQUESTED follow-up run, not
+    // the run that requested it (node.py request_new_run): a follow-up
+    // scheduled with false executes, but its writes stay out of this
+    // tick's propagation wave. (A store another due node changed before
+    // this one ran is outside the before/after diff and still
+    // propagates.)
+    val suppressFor = dueFollowUps.filter(id => !followUps(id)._2).toSet
     dueFollowUps.foreach(followUps.remove)
     val due = (runner.dueNodes(t) ++ dueFollowUps).distinct
     due.foreach { id =>
       val before = runner.changedStoresSnapshot
       runner.runNode(id)
+      if (suppressFor(id))
+        runner.suppressChanges(runner.changedStoresSnapshot -- before)
       val st = runner.stateFor(id)
       st.pendingNewRun.foreach { case (triggerDownstream, waitSecs) =>
-        followUps(id) = t.plusSeconds(waitSecs)
-        // trigger_downstream=false: schedule the follow-up but keep this
-        // run's writes out of the propagation wave (node.py:483-499)
-        if (!triggerDownstream)
-          runner.suppressChanges(runner.changedStoresSnapshot -- before)
+        followUps(id) = (t.plusSeconds(waitSecs), triggerDownstream)
       }
       st.clearNewRun()
     }

@@ -42,6 +42,15 @@ object Relational {
     * decimal(38) partials if a 100 TB deployment sums quadrillions.
     */
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
+  /** Overflow-enforced scaled-bigint sum: `try_sum` yields null on
+    * 64-bit overflow (instead of the silent wraparound of plain `sum`)
+    * and the coalesce(raise_error) turns that null into a loud failure
+    * — the documented ~9e18 scaled-unit bound is enforced, not assumed.
+    * Same map-side-combinable Sum aggregate, TRY eval mode.
+    */
+  private def sumMoney(c: Column): Column =
+    coalesce(try_sum(c),
+      raise_error(lit("scaled-bigint money sum overflow (>~9e18 units): rerun with decimal partials")).cast("bigint"))
   /** scaled-bigint sum → exact decimal descale → round(2) → double */
   private def c2d(c: Column, scale: Int): Column =
     r2d(c.cast("decimal(38,0)") / math.pow(10, scale).toLong)
@@ -103,7 +112,7 @@ object Relational {
           .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name")
-          .agg(c2d(sum(netE4), 4).as("rev"), count(lit(1)).as("cnt"))
+          .agg(c2d(sumMoney(netE4), 4).as("rev"), count(lit(1)).as("cnt"))
     },
 
     // Q5 — left outer join preserving customers without orders
@@ -215,7 +224,7 @@ object Relational {
             && col("ts_b") <= col("ts_a") + expr("interval 1 hour"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"),
-            c2d(sum(col("vc_b") - col("vc_a")), 2).as("dv"))
+            c2d(sumMoney(col("vc_b") - col("vc_a")), 2).as("dv"))
     },
 
     // Q9 — as-of join: latest order of the same user at-or-before each event.
@@ -259,9 +268,9 @@ object Relational {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
-            c2d(sum(cents(col("l_extendedprice"))), 2).as("sum_base"),
-            c2d(sum(netE4), 4).as("sum_disc"),
-            c2d(sum(netE4 * (lit(100L) + cents(col("l_tax")))), 6).as("sum_charge"),
+            c2d(sumMoney(cents(col("l_extendedprice"))), 2).as("sum_base"),
+            c2d(sumMoney(netE4), 4).as("sum_disc"),
+            c2d(sumMoney(netE4 * (lit(100L) + cents(col("l_tax")))), 6).as("sum_charge"),
             round(avg(col("l_quantity")), 2).as("avg_qty"),
             count(lit(1)).as("cnt"))
     },

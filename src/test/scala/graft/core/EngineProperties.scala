@@ -49,6 +49,21 @@ object EngineProperties extends Properties("graft.core") {
       keys == (a.map(_._1) ++ b.map(_._1)).toSet
     }
 
+  property("upsert orderBy tie-break: same winner under arbitrary repartitioning") =
+    forAll(kvBatch, Gen.chooseNum(1, 16)) { (rows0, nPart) =>
+      import spark.implicits._
+      // unique seq per row: "greatest orderBy tuple wins" names one row
+      val rows = rows0.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      val (h, _) = freshTable()
+      h.init(uniqueOn = Seq("k"))
+      h.upsert(rows.toDF("k", "seq", "v").repartition(nPart), orderBy = Seq(col("seq")))
+      h.flush()
+      val got = h.read.select("k", "seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+      got == expected
+    }
+
   property("append+reset+append: versions are isolated") =
     forAll(Gen.chooseNum(1, 20), Gen.chooseNum(1, 20)) { (n1, n2) =>
       import spark.implicits._

@@ -201,6 +201,66 @@ class TableHandleSpec extends SparkSpec {
     assert(chunks.flatten.map(_("id").asInstanceOf[Long]).sorted == (1L to 10L).toList)
   }
 
+  test("upsert above the prune threshold: semi-join path matches OR-chain path") {
+    import spark.implicits._
+    def build(root: String): TableHandle = {
+      val h = handle(root).init(uniqueOn = Seq("id"), partitionBy = Seq("p"))
+      h.append((0 until 400).map(i => (i.toLong, i % 80, s"v$i")).toDF("id", "p", "s"))
+      h.flush()
+      h
+    }
+    // 70 touched partitions, mixed updates and inserts
+    val incoming = (0 until 140).map(i => (i.toLong * 2, (i * 2) % 80, s"NEW$i"))
+      .toDF("id", "p", "s")
+    val saved = TableHandle.PrunePredicateMaxPartitions
+    try {
+      TableHandle.PrunePredicateMaxPartitions = 1000 // literal OR-chain
+      val hOr = build(tmpDir("orchain"))
+      hOr.upsert(incoming); hOr.flush()
+      TableHandle.PrunePredicateMaxPartitions = 8 // broadcast semi-join
+      val hSemi = build(tmpDir("semij"))
+      hSemi.upsert(incoming); hSemi.flush()
+      val a = hOr.read.orderBy("id").collect().map(_.toString).toSeq
+      val b = hSemi.read.orderBy("id").collect().map(_.toString).toSeq
+      assert(a == b)
+      assert(hOr.recordCount == hSemi.recordCount)
+      // derived count formula matches the physical row count
+      assert(hSemi.recordCount == hSemi.read.count())
+    } finally TableHandle.PrunePredicateMaxPartitions = saved
+  }
+
+  test("upsert touching a null partition value neither duplicates nor drops rows") {
+    import spark.implicits._
+    val h = handle(tmpDir("nullpart")).init(uniqueOn = Seq("id"), partitionBy = Seq("p"))
+    h.append(Seq((1L, Option("a"), "x"), (2L, Option.empty[String], "y"),
+      (3L, Option.empty[String], "z"), (4L, Option("b"), "w")).toDF("id", "p", "s"))
+    h.flush()
+    // touch the null partition (id=2) and the 'a' partition (id=5)
+    h.upsert(Seq((2L, Option.empty[String], "Y2"), (5L, Option("a"), "n"))
+      .toDF("id", "p", "s"))
+    h.flush()
+    val rows = h.read.select("id", "s").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // null-partition rows merged (not hardlinked back as duplicates),
+    // untouched siblings in the null partition survive
+    assert(h.read.count() == 5)
+    assert(rows == Map(1L -> "x", 2L -> "Y2", 3L -> "z", 4L -> "w", 5L -> "n"))
+    assert(h.recordCount == 5)
+  }
+
+  test("init(schemaRef = name) resolves a registered CommonModel schema") {
+    CommonModel.registerSchema("doc_meta",
+      Seq("doc_id" -> "Integer", "title" -> "Text", "score" -> "Float"))
+    val h = handle(tmpDir("named")).init(schemaRef = Some("doc_meta"))
+    val df = h.read // no active version → declared schema drives the frame
+    assert(df.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("doc_id", "long"), ("title", "string"), ("score", "double")))
+    // unknown name falls through to DDL parsing, bad DDL fails loudly
+    intercept[Exception] {
+      handle(tmpDir("named2")).init(schemaRef = Some("no_such_schema")).read
+    }
+  }
+
   test("read-only mode rejects writes") {
     import spark.implicits._
     val root = tmpDir("tbl")

@@ -310,6 +310,90 @@ class GraphRunnerSpec extends SparkSpec {
     assert(sched.tick(LocalDateTime.of(2026, 1, 1, 9, 6)).isEmpty)
   }
 
+  test("out-of-band write: stale consumer reruns exactly once, change signals drain") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: consumer.scala
+        |    id: consume01
+        |    inputs: {side: side}
+        |    outputs: {out: sink}
+        |  - node_file: writer.scala
+        |    id: writer01
+        |    outputs: {out: a_out}
+        |stores:
+        |  - table: side
+        |  - table: a_out
+        |  - table: sink
+        |""".stripMargin)
+    val consumed = new java.util.concurrent.atomic.AtomicInteger
+    val consumer = new CodeNode {
+      def run(ctx: NodeContext): Unit = { consumed.incrementAndGet(); () }
+    }
+    val writer = new CodeNode {
+      def run(ctx: NodeContext): Unit = {
+        val out = ctx.table("out")
+        out.appendRecords(Seq(Map("x" -> 1L))); out.flush()
+        // NOT a declared output — topo order cannot sequence the
+        // consumer after this write; the stale loop must
+        val side = ctx.table("side")
+        side.appendRecords(Seq(Map("y" -> 1L))); side.flush()
+      }
+    }
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      codeNodes = Map("consumer.scala" -> consumer, "writer.scala" -> writer))
+    runner.run()
+    // topo pass ran the consumer before the out-of-band write; the
+    // stale wave reran it exactly once
+    assert(consumed.get == 2)
+    // consumed change signals drained: a later wave has nothing to do
+    assert(runner.propagateOnce().isEmpty)
+    assert(consumed.get == 2)
+  }
+
+  test("requestNewRun(triggerDownstream=false) suppresses the FOLLOW-UP run's propagation") {
+    import java.time.LocalDateTime
+    val dir = tmpDir("graph")
+    write(dir, "consume.sql", "select count(*) as n from {{ src }}")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: chunker.scala
+        |    id: chunker01
+        |    trigger: 0 * * * *
+        |    outputs: {out: src}
+        |  - node_file: consume.sql
+        |    id: consume01
+        |    inputs: {src: src}
+        |    outputs: {out: counts}
+        |stores:
+        |  - table: src
+        |  - table: counts
+        |""".stripMargin)
+    val chunker = new CodeNode {
+      def run(ctx: NodeContext): Unit = {
+        val done = ctx.state.getOrElse("batches", 0L).asInstanceOf[Long]
+        val out = ctx.table("out")
+        out.appendRecords(Seq(Map("batch" -> done))); out.flush()
+        ctx.state.set("batches", done + 1)
+        if (done == 0L)
+          ctx.state.requestNewRun(triggerDownstream = false, waitAtleastSeconds = 60)
+      }
+    }
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      codeNodes = Map("chunker.scala" -> chunker))
+    val sched = new Scheduler(runner)
+    // the run that CALLS requestNewRun(false) still propagates normally
+    // (the flag governs the requested follow-up, node.py request_new_run)
+    val ran1 = sched.tick(LocalDateTime.of(2026, 1, 1, 9, 0))
+    assert(ran1.contains("chunker01") && ran1.contains("consume01"))
+    assert(runner.tableHandle("counts").read.head().getLong(0) == 1L)
+    // the follow-up run executes but its writes do NOT trigger downstream
+    val ran2 = sched.tick(LocalDateTime.of(2026, 1, 1, 9, 2))
+    assert(ran2.contains("chunker01") && !ran2.contains("consume01"))
+    assert(runner.tableHandle("src").read.count() == 2)
+    assert(runner.tableHandle("counts").read.head().getLong(0) == 1L)
+  }
+
   test("dueNodes matches cron triggers for the given minute") {
     val dir = tmpDir("graph")
     write(dir, "q.sql", "select 1 as one")

@@ -20,7 +20,7 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    times = {}
+    times, errors = {}, {}
     for name, sql in sorted(oracles.items()):
         if only and name not in only: continue
         best = None
@@ -29,12 +29,18 @@ def main():
             try:
                 con.execute(sql).fetchall()
             except Exception as e:
-                if best is None:  # keep a valid first-run timing if any
+                # keep a valid first-run timing if any, but record the
+                # failure so intermittently failing queries stay visible
+                errors[name] = str(e).splitlines()[0]
+                if best is None:
                     best = -1.0
                 break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
+    if errors:
+        times["_errors"] = errors
+        print(f"[duckbench] {len(errors)} failing: {sorted(errors)}", file=sys.stderr)
     print(json.dumps(times))
 
 if __name__ == "__main__":
