@@ -31,7 +31,10 @@ object GraftExtensions {
     "graft_shingles" -> (exprs => graft.functions.WordShingles(
       exprs.head, exprs.lift(1).map(foldToInt).getOrElse(3))),
     "graft_minhash" -> (exprs => graft.functions.MinHashSig(
-      exprs(0), foldToInt(exprs(1)))))
+      exprs(0), foldToInt(exprs(1)))),
+    "graft_sign_lsh" -> (exprs => graft.functions.SignLshCodes(
+      exprs(0), foldToInt(exprs(1)), foldToInt(exprs(2)),
+      exprs.lift(3).map(e => foldToInt(e).toLong).getOrElse(42L))))
 
   private def foldToInt(e: Expression): Int = {
     // non-foldable args (e.g. graft_minhash(sh, some_col)) would throw an

@@ -83,12 +83,15 @@ object Similarity {
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nTables: Int = 4, nBits: Int = 16, probeRadius: Int = 1,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame = {
     require(nBits <= 62, s"bucket code must fit a long, got nBits=$nBits")
     val base = df.select(col(idCol).as("_nd_id"), col(vecCol).as("_nd_vec"))
-    // all nTables codes in one pass over the vectors
-    val codes = base.select(col("_nd_id"), array((0 until nTables).map(t =>
-        lshBucket(col("_nd_vec"), hyperplanes(dim, nBits, seed + t))): _*).as("_nd_codes"))
+    // all nTables codes in one pass over the vectors — the codegen'd
+    // SignLshCodes kernel; a per-bit Column formulation would carry
+    // nTables×nBits literal plane arrays through Catalyst (plan
+    // analysis dominates the query at any scale)
+    val codes = base.select(col("_nd_id"),
+      graft.functions.SignLsh.codes(col("_nd_vec"), nTables, nBits, seed).as("_nd_codes"))
     val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
       (0 until nBits).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val rhs = codes.select(col("_nd_id").as("id_b"),

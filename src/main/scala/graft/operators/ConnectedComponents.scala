@@ -41,7 +41,9 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
 
-    var prevSum = labelSum(labels)
+    // round 1 always lowers some label when an edge exists, so the
+    // initial sum needn't be materialized (one Spark action saved)
+    var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -49,8 +51,10 @@ object ConnectedComponents {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("component"))
+      // persisted: both sides of the pointer-jump self-join read it
       val propagated = labels.select("id", "component").union(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: follow the label one hop (label(v) := label(label(v)))
       val next = propagated.alias("x")
         .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).alias("y"),
@@ -60,8 +64,11 @@ object ConnectedComponents {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
       labels.unpersist()
+      propagated.unpersist()
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
+      // null sum = no vertices at all (empty pair set) → trivially done
+      converged = nextSum == null ||
+        (prevSum != null && nextSum.compareTo(prevSum) == 0)
       prevSum = nextSum
       round += 1
     }
