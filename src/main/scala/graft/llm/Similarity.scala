@@ -111,6 +111,66 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the partition-based scale
+    * path beside the sign-LSH one: a small coarse quantizer (k-means
+    * centroids) splits the corpus into `nCentroids` cells; each query
+    * probes its `nProbe` nearest cells and ranks candidates with exact
+    * cosine. Per query the work is nProbe/nCentroids of the corpus —
+    * the standard IVF trade (raise nProbe for recall, nCentroids for
+    * selectivity; at 1e9+ vectors use √n centroids).
+    *
+    * Quantizer training: deterministic seed sample (lowest xxhash64 of
+    * the id — no RNG, stable across runs/partitionings) refined by
+    * `lloydIters` rounds of assign + `VectorAvg` (map-side partial
+    * aggregation; one (dim+1)-double buffer per cell per partition).
+    * Centroids collect to the driver — they ARE the coarse quantizer
+    * and stay small by design; corpus and queries never do.
+    *
+    * Corpus side expects `array<float>` vectors (the storage format);
+    * cell assignment runs in the codegen'd NearestCells kernel.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    import graft.functions.Ivf
+    def collectCentroids(df: DataFrame, vecCol: String): Array[Array[Double]] =
+      df.select(vecCol).collect().map(_.getSeq[Any](0).toArray.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      })
+    // deterministic seed sample: lowest hash wins, stable under shuffle
+    var centroids = Ivf.normalize(collectCentroids(
+      corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nCentroids), cVec))
+    (1 to lloydIters).foreach { _ =>
+      val byCell = corpus
+        .withColumn("_ivf_cell",
+          element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
+        .groupBy("_ivf_cell")
+        .agg(graft.functions.VectorAvg.vectorAvg(col(cVec)).as("_ivf_mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty cells keep their previous centroid
+      centroids = Ivf.normalize(centroids.indices.map(i =>
+        byCell.getOrElse(i, centroids(i))).toArray)
+    }
+    val c = corpus.withColumn("_ivf_cell",
+      element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
+    val q = queries.withColumn("_ivf_cell",
+      explode(Ivf.nearestCells(col(qVec), centroids, nProbe)))
+    // a corpus row lives in exactly one cell → each (query, corpus)
+    // pair meets at most once; no distinct needed (unlike LSH probing)
+    val pairs = q.join(c, "_ivf_cell")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(round(col("cos"), 6).desc, col(cId).asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+
   /** Approximate top-k via sign-LSH bucketing: corpus and queries hash
     * to `nBits`-bit buckets; candidates are same-bucket pairs, then
     * exact cosine ranks them. The bucket join is a shuffle on bucket id

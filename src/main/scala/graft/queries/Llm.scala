@@ -325,6 +325,18 @@ object Llm {
           .select("doc_id", "lang")
     },
 
+    // L3d — IVF ANN (coarse-quantizer cells + nProbe probing), the
+    // partition-based scale path beside l05b's sign-LSH; approximate
+    // by design → rows-only, recall property in LlmSpec.
+    QuerySpec.unchecked("l15_ivf_ann") { (s, d) =>
+      val emb = Fixtures.table(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "q_id", "c_id", "q_vec", "c_vec", k = 5)
+    },
+
     // L2d' — the SCALE path for embedding near-dup: LSH prefilter +
     // exact-cosine verify (Similarity.nearDupPairs), oracled against
     // exact all-pairs. The raw fixture is isotropic noise (max pair

@@ -110,6 +110,25 @@ class LlmSpec extends SparkSpec {
     assert(brute == (0L until 100L).map(i => (i, i + 100000L)).toSet)
   }
 
+  test("IVF ANN: planted near-dup queries retrieve their originals; output deterministic") {
+    // corpus = raw float fixture; queries = the planted noisy copies
+    // (true NN of planted vec_id i+100000 is original i at cos≈0.9997,
+    // everything else <=0.55 — unambiguous)
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = graft.queries.Llm.plantedCorpus(emb)
+      .filter(col("vec_id") >= 100000L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.ivfTopK(queries, corpus,
+      "q_id", "c_id", "q_vec", "c_vec", k = 1)
+    val hits = top.filter(col("rk") === 1 && col("c_id") === col("q_id") - 100000L)
+      .count()
+    assert(hits >= 95, s"IVF recalled $hits/100 planted true nearest neighbors")
+    val again = Similarity.ivfTopK(queries, corpus,
+      "q_id", "c_id", "q_vec", "c_vec", k = 1)
+      .collect().map(_.toString).sorted
+    assert(top.collect().map(_.toString).sorted.sameElements(again))
+  }
+
   test("multimodal feature extraction is deterministic with stable shape") {
     val withPayload = Multimodal.attachPayload(docs, "text")
     val f1 = Multimodal.extractFeatures(withPayload, "payload", dim = 16)
