@@ -1,9 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import graft.core.{Catalog, TableHandle}
+
+/** A closed user session emitted by `StreamingBridge.sessionize`. */
+case class Session(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long)
 
 /** Structured-Streaming surface over the versioned table store.
   *
@@ -41,6 +48,66 @@ object StreamingBridge {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("sum_value"))
+
+  /** Gap-based sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` surface (SURVEY.md §2.2 T8): per-user
+    * state holds the open session (start, end, count); a batch's
+    * events merge into it in event-time order, sessions closed by a
+    * gap > `gapMinutes` emit immediately, and the open session emits
+    * when the event-time watermark passes its end + gap (event-time
+    * timeout). The batch q16b sessionization is the oracle shape.
+    *
+    * Scale: state is three longs per ACTIVE user (not per event);
+    * partial sessions never buffer raw events across batches. Per key
+    * per batch the events sort in memory — the contract of this API.
+    */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+      gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state and gap math in MICROSECONDS (event timestamps carry them;
+    // millisecond state would shift emitted session bounds)
+    val gapUs = gapMinutes * 60L * 1000000L
+    def usOf(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def tsOf(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    events
+      .select(col(userCol).cast("long").as("_u"),
+        col(tsCol).cast("timestamp").as("_ts"))
+      .withWatermark("_ts", watermark)
+      .as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator(Session(user, tsOf(s), tsOf(e), n))
+          } else {
+            val ts = rows.map(r => usOf(r._2)).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some((s, e, n)) if t - e <= gapUs =>
+                  Some((s, math.max(e, t), n + 1))
+                case Some((s, e, n)) =>
+                  closed ::= Session(user, tsOf(s), tsOf(e), n)
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp((c._2 + gapUs) / 1000L) // millis API
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 
   /** Drain a streaming query into a new version of `outTable` using
     * AvailableNow (process-everything-then-stop — the streaming

@@ -34,6 +34,50 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(streamedOut.exceptAll(batch.select(streamedOut.columns.map(col): _*)).count() == 0)
   }
 
+  test("stateful sessionize (flatMapGroupsWithState) emits exactly the batch sessions it can close") {
+    import org.apache.spark.sql.expressions.Window
+    val root = tmpDir("stream-sess")
+    val cat = new Catalog(root)
+    val events = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val src = new TableHandle(spark, cat, "events_src")
+    src.append(events); src.flush()
+
+    val sessions = StreamingBridge.sessionize(
+      StreamingBridge.readStream(spark, cat, "events_src"),
+      tsCol = "ts", userCol = "user_id", gapMinutes = 30)
+    StreamingBridge.drainTo(spark, cat, sessions.toDF(), "sessions", root)
+    val got = new TableHandle(spark, cat, "sessions").read
+      .select("user_id", "session_start", "session_end", "n_events")
+
+    // batch oracle: q16b-shape gap sessionization
+    val w = Window.partitionBy("u").orderBy("ts")
+    val batch = events
+      .select(col("user_id").cast("long").as("u"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(w))
+      .groupBy("u", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+    val all = batch.select(col("u").as("user_id"),
+      col("session_start"), col("session_end"), col("n_events"))
+    // sessions the stream could NOT have closed yet: each user's last
+    // (no later event forces the gap; emission then depends on the
+    // event-time timeout firing before AvailableNow terminates)
+    val lastSid = batch.groupBy("u").agg(max("sid").as("sid"))
+    val closable = batch.join(lastSid, Seq("u", "sid"), "left_anti")
+      .select(col("u").as("user_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+
+    assert(closable.count() > 0)
+    // everything emitted is a true batch session...
+    assert(got.exceptAll(all.select(got.columns.map(col): _*)).count() == 0)
+    // ...and every in-batch-closable session was emitted
+    assert(closable.select(got.columns.map(col): _*).exceptAll(got).count() == 0)
+  }
+
   test("cron trigger parsing and next-fire computation") {
     import java.time.LocalDateTime
     val c = graft.graph.Cron("1 * * * *")
