@@ -30,13 +30,15 @@ object ConnectedComponents {
     *         `component` = min vertex id of the connected component
     */
   def run(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // iterated over every round
-    var labels = edges.select(col("src").as("id")).distinct()
+    var backing = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = backing
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
@@ -62,10 +64,16 @@ object ConnectedComponents {
         .select(col("x.id").as("id"),
           coalesce(col("y.pcomp"), col("x.component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
-      labels.unpersist()
+      val nextSum = labelSum(next) // materializes the persisted frame
+      // CUT THE LINEAGE: the jump self-join doubles the logical plan
+      // every round (exponential analysis cost / OOM past ~8 rounds —
+      // the classic iterative-Spark leak); a fresh LogicalRDD over the
+      // cached partitions keeps the per-round plan O(1)
+      val fresh = spark.createDataFrame(next.rdd, next.schema)
+      backing.unpersist()
       propagated.unpersist()
-      labels = next
+      backing = next
+      labels = fresh
       // null sum = no vertices at all (empty pair set) → trivially done
       converged = nextSum == null ||
         (prevSum != null && nextSum.compareTo(prevSum) == 0)

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("disjoint cliques and a bridge resolve to min-id labels") {
+    val got = run(Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle {1,2,3}
+      (10L, 11L),                                   // pair {10,11}
+      (3L, 4L)))                                    // bridge joins 4 to the triangle
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a long chain converges (pointer jumping beats O(diameter))") {
+    // path 0-1-2-...-40: worst case for plain propagation (diameter 40
+    // > default maxIter); the jump compresses label chains so the run
+    // must reach the fixpoint within the default round budget
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.keySet == (0L to 40L).toSet)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("empty pair set terminates immediately with an empty result") {
+    assert(run(Seq.empty).isEmpty)
+  }
+
+  test("duplicate and reversed edges are harmless") {
+    val got = run(Seq((2L, 1L), (1L, 2L), (2L, 1L), (5L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+}
