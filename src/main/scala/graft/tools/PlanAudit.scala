@@ -20,7 +20,8 @@ object PlanAudit {
     val sf = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter", "q04_join_broadcast", "q10_agg_tpch1",
-        "q15_window_rank", "l05_cosine_knn", "q09_join_asof")
+        "q15_window_rank", "l05_cosine_knn", "q09_join_asof",
+        "l02_minhash_lsh", "l12b_embed_neardup_lsh", "l13_neardup_clusters")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sf)
       val plan = df.queryExecution.explainString(
