@@ -143,6 +143,27 @@ object EngineDemo {
     println(bt.read.where(col("_gr_bucket") === 3).queryExecution.executedPlan
       .toString.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n").take(300))
 
+    // training-data pipeline: dedup a document corpus end-to-end —
+    // exact collapse, then near-dup cluster collapse (LSH pairs →
+    // connected components → min-id survivors), then quality gating
+    val docs = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "documents")
+    val afterExact = graft.llm.TextDedup.exact(
+      docs.withColumn("fp", graft.llm.TextAnalysis.fingerprint(col("text"))),
+      idCol = "doc_id", on = "fp")
+    val survivors = graft.llm.TextDedup.dropNearDuplicates(docs, "doc_id", "text")
+    val gated = survivors.filter(
+      graft.llm.TextAnalysis.langId(col("text")) =!= "und" &&
+        graft.llm.TextAnalysis.nWords(col("text")) >= 5)
+    println(s"== dedup pipeline: ${docs.count()} docs -> " +
+      s"${afterExact.count()} exact-distinct -> " +
+      s"${survivors.count()} after near-dup collapse -> " +
+      s"${gated.count()} after lang/quality gate")
+    // embedding near-dup scale path + IVF ANN probe
+    val emb = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val nd = graft.llm.Similarity.nearDupPairs(
+      graft.queries.Llm.plantedCorpus(emb), "vec_id", "embedding", minCos = 0.99)
+    println(s"== embedding near-dup pairs (LSH prefilter + verify): ${nd.count()}")
+
     // probe: broken graph must fail compile with platform-style errors
     Files.writeString(Paths.get(dir, "graph.yml"),
       """functions:
