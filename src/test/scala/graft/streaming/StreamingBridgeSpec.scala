@@ -78,6 +78,68 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(closable.select(got.columns.map(col): _*).exceptAll(got).count() == 0)
   }
 
+  test("sessionize state merges sessions across micro-batches (no fragments)") {
+    import org.apache.spark.sql.expressions.Window
+    val dataDir = tmpDir("sess-batches")
+    val events = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "user_id")
+    // split point chosen INSIDE a real multi-event session (its start
+    // timestamp): that session's first event lands in file 1, the rest
+    // in file 2 - guaranteeing the cross-batch state merge is exercised
+    val wPick = Window.partitionBy("u").orderBy("ts")
+    val median = events
+      .select(col("user_id").cast("long").as("u"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(wPick))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(wPick))
+      .groupBy("u", "sid")
+      .agg(min("ts").cast("double").as("s"), max("ts").cast("double").as("e"),
+        count(lit(1)).as("n"))
+      .filter(col("e") > col("s"))
+      .orderBy(col("n").desc, col("u"))
+      .select("s").head().getDouble(0)
+    val first = events.filter(col("ts").cast("double") <= median)
+    val second = events.filter(col("ts").cast("double") > median)
+    first.coalesce(1).write.parquet(s"$dataDir/p1")
+    Thread.sleep(1100) // distinct modification times → deterministic order
+    second.coalesce(1).write.parquet(s"$dataDir/p2")
+    val schema = first.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(s"$dataDir/p*")
+    val root = tmpDir("sess-batches-out")
+    val cat = new Catalog(root)
+    val sessions = StreamingBridge.sessionize(stream, "ts", "user_id", gapMinutes = 30)
+    StreamingBridge.drainTo(spark, cat, sessions.toDF(), "sessions", root)
+    val got = new TableHandle(spark, cat, "sessions").read
+      .select("user_id", "session_start", "session_end", "n_events")
+
+    val w = Window.partitionBy("u").orderBy("ts")
+    val batch = events
+      .select(col("user_id").cast("long").as("u"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(w))
+      .groupBy("u", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+    val all = batch.select(col("u").as("user_id"),
+      col("session_start"), col("session_end"), col("n_events"))
+    // a session whose events straddle the file split exercises the
+    // cross-batch state merge — make sure the scenario is real
+    val spanning = batch.filter(
+      col("session_start").cast("double") <= median &&
+        col("session_end").cast("double") > median)
+    assert(spanning.count() > 0, "fixture produced no boundary-spanning session")
+    // every emitted row is a COMPLETE true session — a fragment split
+    // at the batch boundary would not match any oracle row
+    assert(got.count() > 0)
+    assert(got.exceptAll(all.select(got.columns.map(col): _*)).count() == 0)
+  }
+
   test("cron trigger parsing and next-fire computation") {
     import java.time.LocalDateTime
     val c = graft.graph.Cron("1 * * * *")
