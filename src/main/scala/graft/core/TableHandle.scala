@@ -319,8 +319,15 @@ final class TableHandle(
               .reduceOption(_ || _).getOrElse(lit(false))
             read.filter(pred) // statically partition-pruned scan
           } else {
+            // null-safe join keys: a using-columns semi-join would use
+            // EqualTo and silently drop existing rows of a touched NULL
+            // partition (they'd then neither merge nor hardlink)
             val touchedDf = incoming.select(parts.map(col): _*).distinct()
-            read.join(broadcast(touchedDf), parts, "left_semi")
+            val ex = read.alias("_gr_ex")
+            val td = broadcast(touchedDf.alias("_gr_td"))
+            ex.join(td,
+              parts.map(p => col(s"_gr_ex.$p") <=> col(s"_gr_td.$p")).reduce(_ && _),
+              "left_semi")
           }
         val prevTotal = catalog.recordCount(name)
         val obsTouched = org.apache.spark.sql.Observation()

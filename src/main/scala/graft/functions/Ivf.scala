@@ -47,6 +47,12 @@ object IvfOps {
         if (!used(c2) && scores(c2) > bs) { bs = scores(c2); best = c2 }
         c2 += 1
       }
+      if (best < 0) {
+        // all remaining scores NaN (bad vector) — fall back to the
+        // lowest unused index instead of crashing the job
+        var c3 = 0
+        while (best < 0 && c3 < k) { if (!used(c3)) best = c3; c3 += 1 }
+      }
       used(best) = true
       out(o) = best
       o += 1

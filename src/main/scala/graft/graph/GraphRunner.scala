@@ -318,9 +318,13 @@ final class Scheduler(runner: GraphRunner) {
     // tick's propagation wave. (A store another due node changed before
     // this one ran is outside the before/after diff and still
     // propagates.)
-    val suppressFor = dueFollowUps.filter(id => !followUps(id)._2).toSet
+    val cronDue = runner.dueNodes(t)
+    // a node that is ALSO cron-due this tick runs on the schedule's
+    // authority — the follow-up's no-propagate flag must not mute it
+    val suppressFor =
+      dueFollowUps.filter(id => !followUps(id)._2).toSet -- cronDue
     dueFollowUps.foreach(followUps.remove)
-    val due = (runner.dueNodes(t) ++ dueFollowUps).distinct
+    val due = (cronDue ++ dueFollowUps).distinct
     due.foreach { id =>
       val before = runner.changedStoresSnapshot
       runner.runNode(id)

@@ -123,8 +123,12 @@ object Similarity {
     * the id — no RNG, stable across runs/partitionings) refined by
     * `lloydIters` rounds of assign + `VectorAvg` (map-side partial
     * aggregation; one (dim+1)-double buffer per cell per partition).
-    * Centroids collect to the driver — they ARE the coarse quantizer
-    * and stay small by design; corpus and queries never do.
+    * Partial-buffer MERGE order is not fixed, so refined means can
+    * wobble in the low double bits between runs; coordinates round to
+    * 1e-9 before normalization, so only a vector scoring two centroids
+    * identically to ~1e-9 could flip cells. Centroids collect to the
+    * driver — they ARE the coarse quantizer and stay small by design;
+    * corpus and queries never do.
     *
     * Corpus side expects `array<float>` vectors (the storage format);
     * cell assignment runs in the codegen'd NearestCells kernel.
@@ -150,7 +154,8 @@ object Similarity {
         .groupBy("_ivf_cell")
         .agg(graft.functions.VectorAvg.vectorAvg(col(cVec)).as("_ivf_mean"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](1).toArray.map(x => math.rint(x * 1e9) / 1e9)).toMap
       // empty cells keep their previous centroid
       centroids = Ivf.normalize(centroids.indices.map(i =>
         byCell.getOrElse(i, centroids(i))).toArray)

@@ -14,9 +14,10 @@ import org.apache.spark.storage.StorageLevel
   * neighbors (one shuffle join + min-aggregate), then compresses
   * label chains by one self-join hop (`label(v) := label(label(v))`),
   * which halves the remaining chain length — so convergence needs
-  * O(log diameter) rounds instead of O(diameter). Labels only ever
-  * decrease, so the label sum is a monotone convergence witness: a
-  * round that leaves the sum unchanged changed no label.
+  * O(log diameter) rounds instead of O(diameter). The convergence
+  * witness is a changed-label count against the previous round —
+  * type-agnostic (ids need only be orderable), unlike a numeric
+  * label sum.
   *
   * Scale shape: per round two shuffles of O(|V| + |E|) rows, no
   * driver-side state beyond one aggregated sum per round. Near-dup
@@ -27,7 +28,9 @@ object ConnectedComponents {
 
   /** @param pairs edge list; one row per undirected edge
     * @return (`id`, `component`) for every vertex appearing in `pairs`;
-    *         `component` = min vertex id of the connected component
+    *         `component` = min vertex id of the connected component.
+    *         The frame is persisted (MEMORY_AND_DISK) — callers may
+    *         `unpersist()` it once downstream results are materialized.
     */
   def run(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
@@ -40,12 +43,6 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = backing
 
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-
-    // round 1 always lowers some label when an edge exists, so the
-    // initial sum needn't be materialized (one Spark action saved)
-    var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -64,25 +61,28 @@ object ConnectedComponents {
         .select(col("x.id").as("id"),
           coalesce(col("y.pcomp"), col("x.component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next) // materializes the persisted frame
+      // convergence witness: did any vertex's label change this round?
+      // The full count also materializes the persisted frame. Works for
+      // any orderable id type (a numeric label-sum would cast string
+      // ids to null and falsely declare convergence).
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
       // CUT THE LINEAGE: the jump self-join doubles the logical plan
       // every round (exponential analysis cost / OOM past ~8 rounds —
       // the classic iterative-Spark leak); a fresh LogicalRDD over the
       // cached partitions keeps the per-round plan O(1)
-      val fresh = spark.createDataFrame(next.rdd, next.schema)
+      labels = spark.createDataFrame(next.rdd, next.schema)
       backing.unpersist()
       propagated.unpersist()
       backing = next
-      labels = fresh
-      // null sum = no vertices at all (empty pair set) → trivially done
-      converged = nextSum == null ||
-        (prevSum != null && nextSum.compareTo(prevSum) == 0)
-      prevSum = nextSum
+      converged = changed == 0
       round += 1
     }
     edges.unpersist()
     System.err.println(s"[graft] connectedComponents: $round rounds" +
       (if (converged) "" else s" (maxIter=$maxIter hit before fixpoint)"))
-    labels
+    backing // the persisted frame — caller owns the unpersist
   }
 }

@@ -49,8 +49,11 @@ object Relational {
     * Same map-side-combinable Sum aggregate, TRY eval mode.
     */
   private def sumMoney(c: Column): Column =
-    coalesce(try_sum(c),
-      raise_error(lit("scaled-bigint money sum overflow (>~9e18 units): rerun with decimal partials")).cast("bigint"))
+    // count(c) distinguishes a legitimately all-NULL group (sum is
+    // null, no overflow) from try_sum's overflow null
+    when(count(c) === 0, lit(null).cast("bigint")).otherwise(
+      coalesce(try_sum(c),
+        raise_error(lit("scaled-bigint money sum overflow (>~9e18 units): rerun with decimal partials")).cast("bigint")))
   /** scaled-bigint sum → exact decimal descale → round(2) → double */
   private def c2d(c: Column, scale: Int): Column =
     r2d(c.cast("decimal(38,0)") / math.pow(10, scale).toLong)

@@ -87,26 +87,40 @@ object StreamingBridge {
             state.remove()
             Iterator(Session(user, tsOf(s), tsOf(e), n))
           } else {
-            val ts = rows.map(r => usOf(r._2)).toArray.sorted
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur = cur match {
-                case Some((s, e, n)) if t - e <= gapUs =>
-                  Some((s, math.max(e, t), n + 1))
-                case Some((s, e, n)) =>
-                  closed ::= Session(user, tsOf(s), tsOf(e), n)
-                  Some((t, t, 1L))
-                case None => Some((t, t, 1L))
-              }
-            }
-            cur.foreach { c =>
+            val (closed, open) = StreamingBridge.mergeIntervals(
+              state.getOption, rows.map(r => usOf(r._2)).toArray, gapUs)
+            open.foreach { c =>
               state.update(c)
               state.setTimeoutTimestamp((c._2 + gapUs) / 1000L) // millis API
             }
-            closed.reverse.iterator
+            closed.iterator.map(c => Session(user, tsOf(c._1), tsOf(c._2), c._3))
           }
       }
+  }
+
+  /** Merge the open-session interval (if any) with a batch of event
+    * times into gap-separated sessions: everything sorts by interval
+    * start, consecutive intervals merge while the start-to-end gap is
+    * within `gapUs`. Late events that land BEFORE the open session
+    * either extend it backwards (within the gap) or close as their own
+    * earlier session — the signed `t - end` check that silently folded
+    * them into the open session's bounds was wrong. Events older than
+    * the watermark never reach this (Spark drops them); an
+    * eagerly-closed early session can still be final only up to that
+    * bound. Returns (closed sessions oldest-first, the open interval).
+    */
+  private[streaming] def mergeIntervals(
+      open: Option[(Long, Long, Long)], ts: Array[Long], gapUs: Long)
+      : (List[(Long, Long, Long)], Option[(Long, Long, Long)]) = {
+    val items = (open.toList ++ ts.sorted.map(t => (t, t, 1L)))
+      .sortBy(x => (x._1, x._2))
+    items.foldLeft(
+      (List.empty[(Long, Long, Long)], Option.empty[(Long, Long, Long)])) {
+      case ((closed, None), it) => (closed, Some(it))
+      case ((closed, Some((s, e, n))), (s2, e2, n2)) =>
+        if (s2 - e <= gapUs) (closed, Some((s, math.max(e, e2), n + n2)))
+        else (closed :+ ((s, e, n)), Some((s2, e2, n2)))
+    }
   }
 
   /** Drain a streaming query into a new version of `outTable` using

@@ -82,17 +82,7 @@ object EngineProperties extends Properties("graft.core") {
       import spark.implicits._
       val edges = edges0.filter { case (a, b) => a != b }
       edges.isEmpty || {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        edges.foreach { case (x, y) =>
-          val (rx, ry) = (find(x), find(y))
-          if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
-        }
-        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
-          .map(v => v -> find(v)).toMap
+        val expected = graft.TestOracles.unionFind(edges)
         val got = graft.operators.ConnectedComponents
           .run(edges.toDF("a", "b"), "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -205,12 +205,15 @@ class TableHandleSpec extends SparkSpec {
     import spark.implicits._
     def build(root: String): TableHandle = {
       val h = handle(root).init(uniqueOn = Seq("id"), partitionBy = Seq("p"))
-      h.append((0 until 400).map(i => (i.toLong, i % 80, s"v$i")).toDF("id", "p", "s"))
+      h.append(((0 until 400).map(i => (i.toLong, Option(i % 80), s"v$i")) ++
+        Seq((1000L, Option.empty[Int], "n0"), (1001L, Option.empty[Int], "n1")))
+        .toDF("id", "p", "s"))
       h.flush()
       h
     }
-    // 70 touched partitions, mixed updates and inserts
-    val incoming = (0 until 140).map(i => (i.toLong * 2, (i * 2) % 80, s"NEW$i"))
+    // 70 touched partitions + the NULL partition, mixed updates/inserts
+    val incoming = ((0 until 140).map(i => (i.toLong * 2, Option((i * 2) % 80), s"NEW$i")) ++
+      Seq((1001L, Option.empty[Int], "NULLNEW")))
       .toDF("id", "p", "s")
     val saved = TableHandle.PrunePredicateMaxPartitions
     try {
@@ -226,6 +229,11 @@ class TableHandleSpec extends SparkSpec {
       assert(hOr.recordCount == hSemi.recordCount)
       // derived count formula matches the physical row count
       assert(hSemi.recordCount == hSemi.read.count())
+      // null partition on the semi-join path: untouched sibling kept,
+      // touched row merged, nothing duplicated or dropped
+      val nulls = hSemi.read.filter(col("id") >= 1000L).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("s")).toMap
+      assert(nulls == Map(1000L -> "n0", 1001L -> "NULLNEW"))
     } finally TableHandle.PrunePredicateMaxPartitions = saved
   }
 
@@ -259,6 +267,21 @@ class TableHandleSpec extends SparkSpec {
     intercept[Exception] {
       handle(tmpDir("named2")).init(schemaRef = Some("no_such_schema")).read
     }
+  }
+
+  test("upsert on a composite unique_on key") {
+    import spark.implicits._
+    val h = handle(tmpDir("composite")).init(uniqueOn = Seq("org", "id"))
+    h.append(Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 1L, "z"))
+      .toDF("org", "id", "s"))
+    h.flush()
+    // same id under a different org is an INSERT, same (org, id) updates
+    h.upsert(Seq(("b", 2L, "new"), ("a", 1L, "X2")).toDF("org", "id", "s"))
+    h.flush()
+    val rows = h.read.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(rows == Map(("a", 1L) -> "X2", ("a", 2L) -> "y",
+      ("b", 1L) -> "z", ("b", 2L) -> "new"))
   }
 
   test("read-only mode rejects writes") {

@@ -32,17 +32,7 @@ class LlmSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(brutePairs.nonEmpty)
     // reference components: driver-side union-find on the brute pair set
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    brutePairs.foreach { case (x, y) =>
-      val (rx, ry) = (find(x), find(y))
-      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
-    }
-    val vertices = brutePairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val expected = vertices.map(v => v -> find(v)).toMap
+    val expected = graft.TestOracles.unionFind(brutePairs)
     val got = TextDedup.nearDupClusters(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)

@@ -26,6 +26,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("string vertex ids cluster correctly (witness must not assume numeric labels)") {
+    val got = ConnectedComponents.run(
+      Seq(("b", "c"), ("a", "b"), ("d", "e"), ("c", "d")).toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a"))
+  }
+
   test("empty pair set terminates immediately with an empty result") {
     assert(run(Seq.empty).isEmpty)
   }

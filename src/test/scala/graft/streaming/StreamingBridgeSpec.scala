@@ -140,6 +140,27 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(got.exceptAll(all.select(got.columns.map(col): _*)).count() == 0)
   }
 
+  test("mergeIntervals: out-of-order and late events keep session bounds honest") {
+    val gap = 100L
+    // late event within gap BEFORE the open session extends it backwards
+    assert(StreamingBridge.mergeIntervals(Some((1000L, 1100L, 2L)), Array(950L), gap) ==
+      (Nil, Some((950L, 1100L, 3L))))
+    // late event far before the open session closes as its own session
+    assert(StreamingBridge.mergeIntervals(Some((1000L, 1100L, 2L)), Array(500L), gap) ==
+      (List((500L, 500L, 1L)), Some((1000L, 1100L, 2L))))
+    // in-order growth and a gap split
+    assert(StreamingBridge.mergeIntervals(None, Array(1L, 50L, 300L), gap) ==
+      (List((1L, 50L, 2L)), Some((300L, 300L, 1L))))
+    // event inside the open interval only bumps the count
+    assert(StreamingBridge.mergeIntervals(Some((100L, 400L, 3L)), Array(250L), gap) ==
+      (Nil, Some((100L, 400L, 4L))))
+    // chains merge left-to-right; a too-wide gap still splits
+    assert(StreamingBridge.mergeIntervals(Some((500L, 600L, 2L)), Array(450L, 200L, 150L), gap) ==
+      (List((150L, 200L, 2L)), Some((450L, 600L, 3L))))
+    // empty batch with no state
+    assert(StreamingBridge.mergeIntervals(None, Array.empty, gap) == (Nil, None))
+  }
+
   test("cron trigger parsing and next-fire computation") {
     import java.time.LocalDateTime
     val c = graft.graph.Cron("1 * * * *")

@@ -39,8 +39,9 @@ def main():
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
     if errors:
-        times["_errors"] = errors
-        print(f"[duckbench] {len(errors)} failing: {sorted(errors)}", file=sys.stderr)
+        # stderr only: the stdout contract stays a flat {query: seconds}
+        for name in sorted(errors):
+            print(f"[duckbench] FAILED {name}: {errors[name]}", file=sys.stderr)
     print(json.dumps(times))
 
 if __name__ == "__main__":
