@@ -319,15 +319,28 @@ final class TableHandle(
               .reduceOption(_ || _).getOrElse(lit(false))
             read.filter(pred) // statically partition-pruned scan
           } else {
-            // null-safe join keys: a using-columns semi-join would use
-            // EqualTo and silently drop existing rows of a touched NULL
-            // partition (they'd then neither merge nor hardlink)
-            val touchedDf = incoming.select(parts.map(col): _*).distinct()
-            val ex = read.alias("_gr_ex")
-            val td = broadcast(touchedDf.alias("_gr_td"))
-            ex.join(td,
-              parts.map(p => col(s"_gr_ex.$p") <=> col(s"_gr_td.$p")).reduce(_ && _),
-              "left_semi")
+            // Split tuples: plain (no nulls) ride an EqualTo semi-join
+            // against a driver-built local frame (DPP-eligible — a
+            // null-safe join key would be rewritten past what partition
+            // pruning matches, reverting the scan to O(table)); the
+            // usually-tiny null-bearing subset goes through a
+            // statically-pruned <=> filter. EqualTo never matches null
+            // partition rows, so the union is disjoint.
+            val (nullTuples, plainTuples) = touched.partition(_.contains(null))
+            val partsSchema = StructType(
+              incoming.select(parts.map(col): _*).schema.map(_.copy(nullable = true)))
+            val plainDf = spark.createDataFrame(
+              java.util.Arrays.asList(plainTuples.map(t => Row(t: _*)): _*), partsSchema)
+            val eqJoin = read.join(broadcast(plainDf), parts, "left_semi")
+            val nullPred = nullTuples.map(t =>
+                parts.zip(t).map { case (p, v) => col(p) <=> lit(v) }.reduce(_ && _))
+              .reduceOption(_ || _)
+            (plainTuples.nonEmpty, nullPred) match {
+              case (true, Some(pred)) => eqJoin.unionByName(read.filter(pred))
+              case (true, None) => eqJoin
+              case (false, Some(pred)) => read.filter(pred)
+              case (false, None) => read.filter(lit(false))
+            }
           }
         val prevTotal = catalog.recordCount(name)
         val obsTouched = org.apache.spark.sql.Observation()

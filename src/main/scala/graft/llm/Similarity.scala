@@ -37,6 +37,7 @@ object Similarity {
     val pairs = corpus.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .filter(!isnan(col("cos"))) // NaN sorts above every double in desc order
     val w = Window.partitionBy(col(qId))
       .orderBy(round(col("cos"), 6).desc, col(cId).asc)
     pairs.withColumn("rk", row_number().over(w))
@@ -169,6 +170,9 @@ object Similarity {
     val pairs = q.join(c, "_ivf_cell")
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", cosine(col(qVec), col(cVec)))
+      // NaN cosines (corrupt vectors) must not outrank real neighbors:
+      // Spark's descending sort orders NaN above every double
+      .filter(!isnan(col("cos")))
     val w = Window.partitionBy(col(qId))
       .orderBy(round(col("cos"), 6).desc, col(cId).asc)
     pairs.withColumn("rk", row_number().over(w))
@@ -208,6 +212,7 @@ object Similarity {
     val pairs = probes.join(c, "bucket")
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .filter(!isnan(col("cos"))) // NaN sorts above every double in desc order
       .select(col(qId), col(cId), col("cos")).distinct()
     val w = Window.partitionBy(col(qId))
       .orderBy(round(col("cos"), 6).desc, col(cId).asc)

@@ -142,8 +142,14 @@ object TextDedup {
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val clusters = nearDupClusters(docs, idCol, textCol, numHashes, bands, shingleK, threshold)
+    // materialize the (small — only duplicate losers) drop set, then
+    // release the full per-vertex label cache ConnectedComponents hands
+    // us: the caller's repeated actions re-read only the loser set
     val losers = clusters.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    clusters.unpersist()
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -19,10 +19,11 @@ import org.apache.spark.storage.StorageLevel
   * type-agnostic (ids need only be orderable), unlike a numeric
   * label sum.
   *
-  * Scale shape: per round two shuffles of O(|V| + |E|) rows, no
-  * driver-side state beyond one aggregated sum per round. Near-dup
-  * clusters from LSH pair emission are clique-dense (every copy pairs
-  * with most others), so real corpora converge in 2-3 rounds.
+  * Scale shape: per round three shuffle joins of O(|V| + |E|) rows
+  * (propagate, pointer jump, changed-count witness), one action, no
+  * driver-side state beyond the changed count. Near-dup clusters from
+  * LSH pair emission are clique-dense (every copy pairs with most
+  * others), so real corpora converge in 2-3 rounds.
   */
 object ConnectedComponents {
 

@@ -51,15 +51,19 @@ object StreamingBridge {
 
   /** Gap-based sessionization with CUSTOM state — the
     * `flatMapGroupsWithState` surface (SURVEY.md §2.2 T8): per-user
-    * state holds the open session (start, end, count); a batch's
-    * events merge into it in event-time order, sessions closed by a
-    * gap > `gapMinutes` emit immediately, and the open session emits
-    * when the event-time watermark passes its end + gap (event-time
-    * timeout). The batch q16b sessionization is the oracle shape.
+    * state holds the OPEN sessions as (start, end, count) intervals; a
+    * batch's events merge into them in event-time order, and a session
+    * emits only once the event-time watermark passes its end + gap —
+    * at that point no admissible late event can extend or bridge it,
+    * so every emitted row is final (append-mode correct even when late
+    * events arrive batches later; eager emission on the first in-batch
+    * gap would emit fragments a bridging late event then contradicts).
+    * The batch q16b sessionization is the oracle shape.
     *
-    * Scale: state is three longs per ACTIVE user (not per event);
-    * partial sessions never buffer raw events across batches. Per key
-    * per batch the events sort in memory — the contract of this API.
+    * Scale: state is three longs per still-open session per active
+    * user (sessions drain as the watermark advances); raw events never
+    * buffer across batches. Per key per batch the events sort in
+    * memory — the contract of this API.
     */
   def sessionize(events: DataFrame, tsCol: String, userCol: String,
       gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[Session] = {
@@ -79,48 +83,45 @@ object StreamingBridge {
       .withWatermark("_ts", watermark)
       .as[(Long, java.time.Instant)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), Session](
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state) =>
-          if (!rows.hasNext && state.hasTimedOut) {
-            val (s, e, n) = state.get
-            state.remove()
-            Iterator(Session(user, tsOf(s), tsOf(e), n))
-          } else {
-            val (closed, open) = StreamingBridge.mergeIntervals(
-              state.getOption, rows.map(r => usOf(r._2)).toArray, gapUs)
-            open.foreach { c =>
-              state.update(c)
-              state.setTimeoutTimestamp((c._2 + gapUs) / 1000L) // millis API
-            }
-            closed.iterator.map(c => Session(user, tsOf(c._1), tsOf(c._2), c._3))
-          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val merged = StreamingBridge.mergeIntervals(
+            state.getOption.getOrElse(Seq.empty),
+            rows.map(r => usOf(r._2)).toArray, gapUs)
+          // final = no event above the watermark can still reach it
+          val (fin, open) = merged.partition { case (_, e, _) => e + gapUs <= wmUs }
+          if (open.nonEmpty) {
+            state.update(open)
+            // fire when the earliest open session becomes final (+1ms:
+            // the API requires a timestamp strictly beyond the watermark)
+            state.setTimeoutTimestamp((open.map(_._2).min + gapUs) / 1000L + 1)
+          } else state.remove()
+          fin.iterator.map(c => Session(user, tsOf(c._1), tsOf(c._2), c._3))
       }
   }
 
-  /** Merge the open-session interval (if any) with a batch of event
-    * times into gap-separated sessions: everything sorts by interval
-    * start, consecutive intervals merge while the start-to-end gap is
-    * within `gapUs`. Late events that land BEFORE the open session
-    * either extend it backwards (within the gap) or close as their own
-    * earlier session — the signed `t - end` check that silently folded
-    * them into the open session's bounds was wrong. Events older than
-    * the watermark never reach this (Spark drops them); an
-    * eagerly-closed early session can still be final only up to that
-    * bound. Returns (closed sessions oldest-first, the open interval).
+  /** Merge open-session intervals with a batch of event times into
+    * gap-separated sessions: everything sorts by interval start, and
+    * consecutive intervals merge while the start-to-end gap is within
+    * `gapUs`. Late events that land before or between open sessions
+    * extend/bridge them (a bridging event may fuse two previously
+    * separate sessions — which is why nothing may emit before the
+    * watermark passes its end + gap). Linear in events after the sort;
+    * returns the merged intervals oldest-first.
     */
   private[streaming] def mergeIntervals(
-      open: Option[(Long, Long, Long)], ts: Array[Long], gapUs: Long)
-      : (List[(Long, Long, Long)], Option[(Long, Long, Long)]) = {
-    val items = (open.toList ++ ts.sorted.map(t => (t, t, 1L)))
+      open: Seq[(Long, Long, Long)], ts: Array[Long], gapUs: Long)
+      : Seq[(Long, Long, Long)] = {
+    val items = (open ++ ts.sorted.map(t => (t, t, 1L)))
       .sortBy(x => (x._1, x._2))
-    items.foldLeft(
-      (List.empty[(Long, Long, Long)], Option.empty[(Long, Long, Long)])) {
-      case ((closed, None), it) => (closed, Some(it))
-      case ((closed, Some((s, e, n))), (s2, e2, n2)) =>
-        if (s2 - e <= gapUs) (closed, Some((s, math.max(e, e2), n + n2)))
-        else (closed :+ ((s, e, n)), Some((s2, e2, n2)))
-    }
+    items.foldLeft(List.empty[(Long, Long, Long)]) {
+      case (Nil, it) => it :: Nil
+      case ((s, e, n) :: done, (s2, e2, n2)) =>
+        if (s2 - e <= gapUs) (s, math.max(e, e2), n + n2) :: done
+        else (s2, e2, n2) :: (s, e, n) :: done
+    }.reverse
   }
 
   /** Drain a streaming query into a new version of `outTable` using

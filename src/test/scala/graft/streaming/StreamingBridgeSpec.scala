@@ -63,19 +63,15 @@ class StreamingBridgeSpec extends SparkSpec {
         count(lit(1)).as("n_events"))
     val all = batch.select(col("u").as("user_id"),
       col("session_start"), col("session_end"), col("n_events"))
-    // sessions the stream could NOT have closed yet: each user's last
-    // (no later event forces the gap; emission then depends on the
-    // event-time timeout firing before AvailableNow terminates)
-    val lastSid = batch.groupBy("u").agg(max("sid").as("sid"))
-    val closable = batch.join(lastSid, Seq("u", "sid"), "left_anti")
-      .select(col("u").as("user_id"),
-        col("session_start"), col("session_end"), col("n_events"))
-
-    assert(closable.count() > 0)
-    // everything emitted is a true batch session...
-    assert(got.exceptAll(all.select(got.columns.map(col): _*)).count() == 0)
-    // ...and every in-batch-closable session was emitted
-    assert(closable.select(got.columns.map(col): _*).exceptAll(got).count() == 0)
+    // the stream emits EXACTLY the sessions the final watermark
+    // (max event time - 2h, ms precision) finalized: end + gap passed
+    val maxTsMs = events.agg(max("ts")).head().getTimestamp(0).getTime
+    val wmUs = (maxTsMs - 2L * 3600 * 1000) * 1000L
+    val expected = all.filter(
+      unix_micros(col("session_end")) + 30L * 60 * 1000000 <= wmUs)
+    assert(expected.count() > 0)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).count() == 0)
   }
 
   test("sessionize state merges sessions across micro-batches (no fragments)") {
@@ -135,30 +131,41 @@ class StreamingBridgeSpec extends SparkSpec {
         col("session_end").cast("double") > median)
     assert(spanning.count() > 0, "fixture produced no boundary-spanning session")
     // every emitted row is a COMPLETE true session — a fragment split
-    // at the batch boundary would not match any oracle row
+    // at the batch boundary would not match any oracle row — and the
+    // emitted set is exactly the watermark-finalized one
+    val maxTsMs = events.agg(max("ts")).head().getTimestamp(0).getTime
+    val wmUs = (maxTsMs - 2L * 3600 * 1000) * 1000L
+    val expected = all.filter(
+      unix_micros(col("session_end")) + 30L * 60 * 1000000 <= wmUs)
     assert(got.count() > 0)
-    assert(got.exceptAll(all.select(got.columns.map(col): _*)).count() == 0)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).count() == 0)
   }
 
   test("mergeIntervals: out-of-order and late events keep session bounds honest") {
     val gap = 100L
-    // late event within gap BEFORE the open session extends it backwards
-    assert(StreamingBridge.mergeIntervals(Some((1000L, 1100L, 2L)), Array(950L), gap) ==
-      (Nil, Some((950L, 1100L, 3L))))
-    // late event far before the open session closes as its own session
-    assert(StreamingBridge.mergeIntervals(Some((1000L, 1100L, 2L)), Array(500L), gap) ==
-      (List((500L, 500L, 1L)), Some((1000L, 1100L, 2L))))
+    // late event within gap BEFORE an open session extends it backwards
+    assert(StreamingBridge.mergeIntervals(Seq((1000L, 1100L, 2L)), Array(950L), gap) ==
+      Seq((950L, 1100L, 3L)))
+    // late event far before an open session stands alone
+    assert(StreamingBridge.mergeIntervals(Seq((1000L, 1100L, 2L)), Array(500L), gap) ==
+      Seq((500L, 500L, 1L), (1000L, 1100L, 2L)))
     // in-order growth and a gap split
-    assert(StreamingBridge.mergeIntervals(None, Array(1L, 50L, 300L), gap) ==
-      (List((1L, 50L, 2L)), Some((300L, 300L, 1L))))
-    // event inside the open interval only bumps the count
-    assert(StreamingBridge.mergeIntervals(Some((100L, 400L, 3L)), Array(250L), gap) ==
-      (Nil, Some((100L, 400L, 4L))))
+    assert(StreamingBridge.mergeIntervals(Seq.empty, Array(1L, 50L, 300L), gap) ==
+      Seq((1L, 50L, 2L), (300L, 300L, 1L)))
+    // event inside an open interval only bumps the count
+    assert(StreamingBridge.mergeIntervals(Seq((100L, 400L, 3L)), Array(250L), gap) ==
+      Seq((100L, 400L, 4L)))
+    // a late bridging event FUSES two previously separate sessions —
+    // the reason sessions may only emit once the watermark passes them
+    assert(StreamingBridge.mergeIntervals(
+      Seq((100L, 150L, 2L), (400L, 450L, 2L)), Array(280L), 150L) ==
+      Seq((100L, 450L, 5L)))
     // chains merge left-to-right; a too-wide gap still splits
-    assert(StreamingBridge.mergeIntervals(Some((500L, 600L, 2L)), Array(450L, 200L, 150L), gap) ==
-      (List((150L, 200L, 2L)), Some((450L, 600L, 3L))))
+    assert(StreamingBridge.mergeIntervals(Seq((500L, 600L, 2L)), Array(450L, 200L, 150L), gap) ==
+      Seq((150L, 200L, 2L), (450L, 600L, 3L)))
     // empty batch with no state
-    assert(StreamingBridge.mergeIntervals(None, Array.empty, gap) == (Nil, None))
+    assert(StreamingBridge.mergeIntervals(Seq.empty, Array.empty, gap) == Seq.empty)
   }
 
   test("cron trigger parsing and next-fire computation") {
