@@ -170,7 +170,10 @@ final class TableHandle(
     val lower = s.toLowerCase
     if (exists) read.createOrReplaceTempView(name)
     if (lower.startsWith("create table") || lower.startsWith("create or replace table")) {
-      val select = s.substring(s.toLowerCase.indexOf(" as ") + 4)
+      val asIdx = lower.indexOf(" as ")
+      require(asIdx >= 0,
+        s"executeSql on '$name' only supports CREATE TABLE ... AS SELECT (got: ${s.take(60)}...)")
+      val select = s.substring(asIdx + 4)
       replace(spark.sql(select))                       // CTAS → new version
     } else if (lower.startsWith("insert into")) {
       val select = s.substring(s.toLowerCase.indexOf("select"))
