@@ -30,7 +30,9 @@ final case class TableMeta(
     addMonotonicId: Option[String],
     partitionBy: List[String],
     hashBuckets: Option[Int],
-    nextSeq: Long)
+    nextSeq: Long,
+    // Option so meta.json written before this field existed still parses
+    clusterBy: Option[List[String]] = None)
 
 object TableMeta {
   def fresh(name: String): TableMeta =

@@ -48,7 +48,8 @@ final class TableHandle(
       strictlyMonotonicOrdering: Option[String] = None,
       createdOrdering: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      hashBuckets: Option[Int] = None): this.type = {
+      hashBuckets: Option[Int] = None,
+      clusterBy: Seq[String] = Nil): this.type = {
     catalog.update(name) { m =>
       val orderings = m.orderings ++
         strictlyMonotonicOrdering.map("monotonic" -> _) ++
@@ -71,6 +72,7 @@ final class TableHandle(
         addMonotonicId = addMonotonicId.orElse(m.addMonotonicId),
         partitionBy = if (parts.nonEmpty) parts else m.partitionBy,
         hashBuckets = hashBuckets.orElse(m.hashBuckets),
+        clusterBy = if (clusterBy.nonEmpty) Some(clusterBy.toList) else m.clusterBy,
         orderings = orderings)
     }
     this
@@ -253,8 +255,15 @@ final class TableHandle(
         val incoming = withAutoFields(df, batchSeqFor())
         if (existing.schema == incoming.schema ||
             sameColumns(existing.schema, incoming.schema)) {
-          val aligned = incoming.select(existing.columns.map(col): _*)
-          val added = writeCounted(aligned, _.write.mode("append").parquet(path))
+          val aligned = clusterLight(incoming.select(existing.columns.map(col): _*))
+          // partitioned tables MUST append through partitionBy or the
+          // new files land flat at the version root and corrupt the
+          // directory layout (partition discovery then drops them)
+          val parts = m.partitionBy.filter(aligned.columns.contains)
+          val added = writeCounted(aligned, d => {
+            val w = d.write.mode("append")
+            (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+          })
           catalog.setRecordCount(name, v, catalog.recordCount(name) + added)
         } else {
           // widen-only schema evolution: rewrite into a fresh version
@@ -384,11 +393,78 @@ final class TableHandle(
       }: _*)
   }
 
+  /** Range-cluster + sort rows by `init(clusterBy=...)` keys before a
+    * full-version write: parquet row-group / file min-max stats become
+    * tight, near-disjoint ranges, so scans filtering on the cluster
+    * keys skip whole row groups and files (the poor man's Z-order —
+    * single-key or prefix-ordered multi-key locality). `n` overrides
+    * the range partition count (compaction's bin-packing).
+    */
+  private def clustered(df: DataFrame, n: Option[Int] = None): DataFrame =
+    meta.clusterBy match {
+      case Some(cols) if cols.forall(df.columns.contains) =>
+        val cs = cols.map(col)
+        val ranged = n.map(df.repartitionByRange(_, cs: _*))
+          .getOrElse(df.repartitionByRange(cs: _*))
+        ranged.sortWithinPartitions(cs: _*)
+      case _ => df
+    }
+
+  /** Shuffle-free clustering for incremental appends: sort only within
+    * the incoming batch's partitions (a global range shuffle per append
+    * would defeat buffered-append economics).
+    */
+  private def clusterLight(df: DataFrame): DataFrame = meta.clusterBy match {
+    case Some(cols) if cols.forall(df.columns.contains) =>
+      df.sortWithinPartitions(cols.map(col): _*)
+    case _ => df
+  }
+
+  /** Bin-pack the active version's data files into ~`targetFileBytes`
+    * outputs as a NEW version (atomic swap; the old version's files are
+    * retained until vacuum). Fixes the many-small-files tax of frequent
+    * appends — per-file open/footer overhead and tiny row groups.
+    * Partitioned tables get one file per partition directory; clustered
+    * tables are globally re-range-clustered. Purely physical: record
+    * data is unchanged, so NO update signal is emitted (downstream
+    * consumers must not re-trigger). Returns the new version id.
+    */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    requireWrite()
+    flush()
+    val pathOpt = catalog.activePath(name)
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.exists(_))
+    pathOpt.map { path =>
+      import scala.jdk.CollectionConverters._
+      val bytes = java.nio.file.Files.walk(path).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val df = read
+      val parts = meta.partitionBy.filter(df.columns.contains)
+      val packed =
+        if (meta.clusterBy.exists(_.forall(df.columns.contains)))
+          clustered(df, Some(nFiles))
+        else if (parts.nonEmpty)
+          df.repartition(nFiles, parts.map(col): _*) // one file per dir
+        else df.coalesce(nFiles) // narrow: no shuffle
+      val v = catalog.newVersion(name)
+      val newPath = catalog.versionPath(name, v)
+      val n = writeCounted(packed, d => {
+        val w = d.write.mode("overwrite")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(newPath)
+      })
+      catalog.setActive(name, v, n)
+      v
+    }
+  }
+
   private def writeNewVersion(df: DataFrame): Unit = {
     val v = catalog.newVersion(name)
     val path = catalog.versionPath(name, v)
     val parts = meta.partitionBy.filter(df.columns.contains)
-    val n = writeCounted(df, d => {
+    val n = writeCounted(clustered(df), d => {
       val writer = d.write.mode("overwrite")
       (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(path)
     })

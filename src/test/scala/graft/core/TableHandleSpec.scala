@@ -284,6 +284,80 @@ class TableHandleSpec extends SparkSpec {
       ("b", 1L) -> "z", ("b", 2L) -> "new"))
   }
 
+  private def parquetFiles(h: TableHandle): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(h.catalog.activePath(h.name).get)
+    java.nio.file.Files.walk(p).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+  }
+
+  test("compact bin-packs small append files into a new version, no signal") {
+    import spark.implicits._
+    var signals = List.empty[String]
+    val root = tmpDir("compact")
+    val h = new TableHandle(spark, new Catalog(root), "t",
+      onSignal = (_, kind) => signals ::= kind)
+    (0 until 6).foreach { i =>
+      h.append(Seq((i.toLong, s"v$i")).toDF("id", "s")); h.flush()
+    }
+    val before = h.read.orderBy("id").collect().map(_.toString).toSeq
+    assert(parquetFiles(h).size >= 6)
+    val v0 = h.meta.activeVersion.get
+    signals = Nil
+    val v = h.compact()
+    assert(v.isDefined && h.meta.activeVersion.get != v0)
+    assert(parquetFiles(h).size == 1)
+    assert(h.read.orderBy("id").collect().map(_.toString).toSeq == before)
+    assert(h.recordCount == 6)
+    // physical-only operation: downstream must not re-trigger
+    assert(signals.isEmpty)
+  }
+
+  test("compact on a partitioned table leaves one file per partition dir") {
+    import spark.implicits._
+    val h = handle(tmpDir("compactp")).init(partitionBy = Seq("p"))
+    (0 until 4).foreach { i =>
+      h.append((0 until 10).map(j => (i * 10L + j, j % 3, s"x$i$j")).toDF("id", "p", "s"))
+      h.flush()
+    }
+    h.compact()
+    val byDir = parquetFiles(h).groupBy(_.getParent.getFileName.toString)
+    assert(byDir.keySet == Set("p=0", "p=1", "p=2"))
+    assert(byDir.values.forall(_.size == 1))
+    assert(h.read.count() == 40 && h.recordCount == 40)
+  }
+
+  test("clusterBy writes range-clustered files with near-disjoint min/max stats") {
+    import spark.implicits._
+    val h = handle(tmpDir("clustered")).init(clusterBy = Seq("k"))
+    // shuffled input: without clustering every file would span ~the full range
+    val rows = scala.util.Random.shuffle((0 until 4000).toList)
+      .map(i => (i.toLong, s"pay$i"))
+    // AQE would coalesce this tiny write to one range partition and
+    // make the multi-file assertion vacuous
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try h.replace(rows.toDF("k", "s").repartition(8))
+    finally saved match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    val files = parquetFiles(h)
+    assert(files.size > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // ranges must not overlap: each file's min exceeds the previous max
+    ranges.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) => assert(s2 > e1,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(h.read.count() == 4000)
+  }
+
   test("read-only mode rejects writes") {
     import spark.implicits._
     val root = tmpDir("tbl")
