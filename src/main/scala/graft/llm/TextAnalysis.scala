@@ -90,4 +90,26 @@ object TextAnalysis {
     */
   def minShingleHash(shingleCol: Column): Column =
     array_min(transform(shingleCol, s => xxhash64(s)))
+
+  /** Per-document token (Shannon) entropy in bits — a vocabulary-
+    * diversity quality signal: repetitive or templated text scores low,
+    * natural prose high. Aggregation-shaped (explode → per-(doc, token)
+    * count → per-doc fold; both groupBys combine map-side), unlike the
+    * pure column expressions above. Documents with no tokens are
+    * absent from the result. `+ 0.0` normalizes the `-0.0` a
+    * single-token document would otherwise produce (both engines).
+    */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val withN = counts.withColumn("n",
+      sum("c").over(Window.partitionBy(idCol)))
+    withN.groupBy(col(idCol))
+      .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))) + lit(0.0), 6)
+        .as("entropy"))
+  }
 }

@@ -207,6 +207,25 @@ object Llm {
           .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    // L4e — per-document token entropy (vocabulary-diversity quality
+    // signal; repetitive text scores low). Both sides fold
+    // (c/n)·log2(c/n) per (doc, token); summation-order float drift is
+    // ~1e-15 and round(,6) absorbs it (the libm rule in QuerySpec).
+    QuerySpec.df("l16_entropy",
+      """with w as (
+        |  select doc_id, unnest(string_split_regex(trim(text), '\s+')) as w
+        |  from documents
+        |),
+        |c as (select doc_id, w, count(*) as c from w where length(w) > 0 group by 1, 2),
+        |t as (select doc_id, c, sum(c) over (partition by doc_id) as n from c)
+        |select doc_id,
+        |  round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 6) as entropy
+        |from t group by doc_id""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.tokenEntropy(
+          Fixtures.table(s, d, "documents"), "doc_id", "text")
+    },
+
     // L5 — multimodal binary-column plumbing (payload + metadata)
     QuerySpec.df("l10_multimodal",
       """select doc_id,
