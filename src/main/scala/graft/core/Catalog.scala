@@ -102,6 +102,16 @@ final class Catalog(val root: String) {
     id
   }
 
+  /** Consume one sequence number for a write batch (monotonic-id batch
+    * component — node.py:291-294's strict monotonicity requires every
+    * batch to get a FRESH value, version-creating or not).
+    */
+  def nextBatchSeq(name: String): Long = {
+    var s = 0L
+    update(name) { m => s = m.nextSeq; m.copy(nextSeq = m.nextSeq + 1) }
+    s
+  }
+
   def versionPath(name: String, versionId: String): String =
     tableDir(name).resolve(versionId).toString
 

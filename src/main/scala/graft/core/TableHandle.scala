@@ -252,10 +252,24 @@ final class TableHandle(
       case Some(v) =>
         val path = catalog.versionPath(name, v)
         val existing = spark.read.parquet(path)
-        val incoming = withAutoFields(df, batchSeqFor())
+        val incomingRaw = withAutoFields(df, batchSeqFor())
+        // partition-directory values read back type-INFERRED (a string
+        // "2024-01-01" partition key comes back DATE); align the
+        // incoming partition columns to the inferred types so such
+        // tables don't fall into a full-table rewrite on every append.
+        // (Values whose string and inferred forms differ — "01" vs 1 —
+        // need a declared schema; see init scaladoc.)
+        val incoming = m.partitionBy.foldLeft(incomingRaw) { (d, p) =>
+          (existing.schema.find(_.name == p), d.schema.find(_.name == p)) match {
+            case (Some(ef), Some(inf)) if ef.dataType != inf.dataType =>
+              d.withColumn(p, col(p).cast(ef.dataType))
+            case _ => d
+          }
+        }
         if (existing.schema == incoming.schema ||
             sameColumns(existing.schema, incoming.schema)) {
-          val aligned = clusterLight(incoming.select(existing.columns.map(col): _*))
+          val aligned = clusterLight(
+            incoming.select(existing.columns.map(col): _*), m.clusterBy)
           // partitioned tables MUST append through partitionBy or the
           // new files land flat at the version root and corrupt the
           // directory layout (partition discovery then drops them)
@@ -363,7 +377,7 @@ final class TableHandle(
         val oldPath = catalog.activePath(name).get
         val v = catalog.newVersion(name)
         val newPath = catalog.versionPath(name, v)
-        val mergedN = writeCounted(merged,
+        val mergedN = writeCounted(clusterLight(merged, m.clusterBy),
           _.write.mode("overwrite").partitionBy(parts: _*).parquet(newPath))
         TableHandle.linkUntouchedPartitions(oldPath, newPath, parts.size, touchedSet)
         // linked (untouched) rows = previous total minus the touched rows
@@ -400,8 +414,9 @@ final class TableHandle(
     * single-key or prefix-ordered multi-key locality). `n` overrides
     * the range partition count (compaction's bin-packing).
     */
-  private def clustered(df: DataFrame, n: Option[Int] = None): DataFrame =
-    meta.clusterBy match {
+  private def clustered(df: DataFrame, clusterBy: Option[List[String]],
+      n: Option[Int] = None): DataFrame =
+    clusterBy match {
       case Some(cols) if cols.forall(df.columns.contains) =>
         val cs = cols.map(col)
         val ranged = n.map(df.repartitionByRange(_, cs: _*))
@@ -410,68 +425,86 @@ final class TableHandle(
       case _ => df
     }
 
-  /** Shuffle-free clustering for incremental appends: sort only within
-    * the incoming batch's partitions (a global range shuffle per append
-    * would defeat buffered-append economics).
+  /** Shuffle-free clustering for incremental/pruned writes: sort only
+    * within the batch's partitions (a global range shuffle per append
+    * or per upsert would defeat their economics; row-group stats still
+    * tighten within each written file).
     */
-  private def clusterLight(df: DataFrame): DataFrame = meta.clusterBy match {
-    case Some(cols) if cols.forall(df.columns.contains) =>
-      df.sortWithinPartitions(cols.map(col): _*)
-    case _ => df
-  }
+  private def clusterLight(df: DataFrame, clusterBy: Option[List[String]]): DataFrame =
+    clusterBy match {
+      case Some(cols) if cols.forall(df.columns.contains) =>
+        df.sortWithinPartitions(cols.map(col): _*)
+      case _ => df
+    }
 
   /** Bin-pack the active version's data files into ~`targetFileBytes`
     * outputs as a NEW version (atomic swap; the old version's files are
     * retained until vacuum). Fixes the many-small-files tax of frequent
     * appends — per-file open/footer overhead and tiny row groups.
-    * Partitioned tables get one file per partition directory; clustered
-    * tables are globally re-range-clustered. Purely physical: record
-    * data is unchanged, so NO update signal is emitted (downstream
-    * consumers must not re-trigger). Returns the new version id.
+    * Partitioned tables end with one file per partition directory
+    * (cluster keys sorted within each); unpartitioned clustered tables
+    * re-range-cluster globally; plain tables coalesce (narrow, no
+    * shuffle). Already-packed tables (file count <= target) are a
+    * NO-OP. Purely physical: record data is unchanged, so NO update
+    * signal is emitted (downstream consumers must not re-trigger) —
+    * but a long-running streaming reader tailing the old version dir
+    * will not see post-compact appends; restart such streams (the
+    * AvailableNow drain pattern re-resolves the path per run).
+    * Returns the new version id, None when nothing was rewritten.
     */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Option[String] = {
     requireWrite()
     flush()
-    val pathOpt = catalog.activePath(name)
+    val m = meta
+    catalog.activePath(name)
       .map(java.nio.file.Paths.get(_))
       .filter(java.nio.file.Files.exists(_))
-    pathOpt.map { path =>
-      import scala.jdk.CollectionConverters._
-      val bytes = java.nio.file.Files.walk(path).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(java.nio.file.Files.size(_)).sum
-      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      val df = read
-      val parts = meta.partitionBy.filter(df.columns.contains)
-      val packed =
-        if (meta.clusterBy.exists(_.forall(df.columns.contains)))
-          clustered(df, Some(nFiles))
-        else if (parts.nonEmpty)
-          df.repartition(nFiles, parts.map(col): _*) // one file per dir
-        else df.coalesce(nFiles) // narrow: no shuffle
-      val v = catalog.newVersion(name)
-      val newPath = catalog.versionPath(name, v)
-      val n = writeCounted(packed, d => {
-        val w = d.write.mode("overwrite")
-        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(newPath)
-      })
-      catalog.setActive(name, v, n)
-      v
-    }
+      .flatMap { path =>
+        import scala.jdk.CollectionConverters._
+        val sizes = java.nio.file.Files.walk(path).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size(_)).toList
+        val nFiles = math.max(1, math.ceil(sizes.sum.toDouble / targetFileBytes).toInt)
+        if (sizes.length <= nFiles) None // already packed: skip the rewrite
+        else {
+          val df = read
+          val parts = m.partitionBy.filter(df.columns.contains)
+          val packed =
+            if (parts.nonEmpty) // one task (→ one file) per partition dir
+              clusterLight(df.repartition(nFiles, parts.map(col): _*), m.clusterBy)
+            else if (m.clusterBy.exists(_.forall(df.columns.contains)))
+              clustered(df, m.clusterBy, Some(nFiles))
+            else df.coalesce(nFiles) // narrow: no shuffle
+          Some(commitNewVersion(packed, parts))
+        }
+      }
   }
 
-  private def writeNewVersion(df: DataFrame): Unit = {
+  /** Allocate + write + activate a new version; shared by full writes
+    * and compaction so the commit sequence exists once. */
+  private def commitNewVersion(df: DataFrame, parts: Seq[String]): String = {
     val v = catalog.newVersion(name)
     val path = catalog.versionPath(name, v)
-    val parts = meta.partitionBy.filter(df.columns.contains)
-    val n = writeCounted(clustered(df), d => {
+    val n = writeCounted(df, d => {
       val writer = d.write.mode("overwrite")
       (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(path)
     })
     catalog.setActive(name, v, n)
+    v
   }
 
-  private def batchSeqFor(): Long = meta.nextSeq
+  private def writeNewVersion(df: DataFrame): Unit = {
+    val m = meta
+    commitNewVersion(clustered(df, m.clusterBy),
+      m.partitionBy.filter(df.columns.contains))
+  }
+
+  /** One fresh sequence per write batch: in-place appends previously
+    * reused meta.nextSeq without advancing it, so consecutive appends
+    * minted COLLIDING monotonic ids (same batch component, row numbers
+    * restarting at zero). Version ids share the sequence and need not
+    * be contiguous. */
+  private def batchSeqFor(): Long = catalog.nextBatchSeq(name)
 }
 
 object TableHandle {

@@ -95,15 +95,20 @@ class TableHandleSpec extends SparkSpec {
       addCreated = Some("created_at"), addMonotonicId = Some("mid"))
     h.append(Seq("a", "b", "c").toDF("s")); h.flush()
     h.append(Seq("d").toDF("s")); h.flush()
+    // third in-place append: each batch must consume a FRESH sequence —
+    // reusing meta.nextSeq minted colliding ids (row numbers restart per
+    // batch), which only a 3rd append exposed
+    h.append(Seq("e").toDF("s")); h.flush()
     val rows = h.read.orderBy("mid").collect()
-    assert(rows.length == 4)
+    assert(rows.length == 5)
     val mids = rows.map(_.getAs[String]("mid"))
     assert(mids.sorted.sameElements(mids))
-    assert(mids.distinct.length == 4)
-    // second batch sorts strictly after the first
+    assert(mids.distinct.length == 5)
+    // later batches sort strictly after earlier ones
     val batch2 = h.read.where(col("s") === "d").select("mid").head().getString(0)
-    val batch1Max = mids.filter(_ != batch2).max
-    assert(batch2 > batch1Max)
+    val batch3 = h.read.where(col("s") === "e").select("mid").head().getString(0)
+    val batch1Max = mids.filter(m => m != batch2 && m != batch3).max
+    assert(batch2 > batch1Max && batch3 > batch2)
     assert(rows.forall(_.getAs[java.sql.Timestamp]("created_at") != null))
   }
 
