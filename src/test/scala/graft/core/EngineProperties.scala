@@ -90,6 +90,66 @@ object EngineProperties extends Properties("graft.core") {
       }
     }
 
+  // ---- model-based table semantics ------------------------------------
+  // random append/upsert/replace/truncate/compact sequences against a
+  // driver-side reference: catches operation-interaction bugs no
+  // single-op spec can (e.g. the r4 append-after-append seq collision)
+  private sealed trait TOp
+  private case class OpAppend(rows: List[(Long, Long)]) extends TOp
+  private case class OpUpsert(rows: List[(Long, Long)]) extends TOp
+  private case class OpReplace(rows: List[(Long, Long)]) extends TOp
+  private case object OpTruncate extends TOp
+  private case object OpCompact extends TOp
+
+  private val rowsGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 99L)))
+  private val opGen: Gen[TOp] = Gen.frequency(
+    3 -> rowsGen.map(OpAppend), 4 -> rowsGen.map(OpUpsert),
+    1 -> rowsGen.map(OpReplace), 1 -> Gen.const(OpTruncate),
+    2 -> Gen.const(OpCompact))
+
+  property("table model: op sequences match a reference interpreter") =
+    forAll(Gen.listOfN(6, opGen)) { ops =>
+      import spark.implicits._
+      val (h, _) = freshTable()
+      h.init(uniqueOn = Seq("k"))
+      // reference rows carry (k, seq, v); seq is globally unique so the
+      // upsert orderBy winner is well-defined
+      var model = Vector.empty[(Long, Long, Long)]
+      var seq = 0L
+      def stamp(rows: List[(Long, Long)]): List[(Long, Long, Long)] =
+        rows.map { case (k, v) => seq += 1; (k, seq, v) }
+      ops.foreach {
+        case OpAppend(rows) =>
+          val b = stamp(rows)
+          h.append(b.toDF("k", "seq", "v")); h.flush()
+          model = model ++ b
+        case OpUpsert(rows) =>
+          val b = stamp(rows)
+          h.upsert(b.toDF("k", "seq", "v"), orderBy = Seq(col("seq"))); h.flush()
+          // last (greatest seq) wins within the batch; existing rows of
+          // a matched key take the winner's values IN PLACE (full-outer
+          // merge preserves duplicate-row multiplicity), new keys append
+          val winners = b.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+          model = model.map { case r @ (k, _, _) => winners.getOrElse(k, r) } ++
+            winners.collect {
+              case (k, w) if !model.exists(_._1 == k) => w
+            }
+        case OpReplace(rows) =>
+          val b = stamp(rows)
+          h.replace(b.toDF("k", "seq", "v"))
+          model = b.toVector
+        case OpTruncate =>
+          h.truncate()
+          model = Vector.empty
+        case OpCompact =>
+          h.compact(Long.MaxValue) // bin-pack everything into one file
+      }
+      val got = h.read.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toVector
+      got == model.sorted && h.recordCount == got.size
+    }
+
   private val consumeOps: Gen[List[Int]] = // 0=consume one, 1=checkpoint, 2=rollback
     Gen.listOfN(12, Gen.chooseNum(0, 2))
 
