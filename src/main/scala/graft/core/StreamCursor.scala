@@ -105,6 +105,22 @@ object StreamCursor {
       .orElse(table.meta.orderings.get("created"))
       .getOrElse(throw new IllegalArgumentException(
         s"table '${table.name}' has no ordering role; pass order_by"))
+    // Offsets round-trip through strings (State stores them as text):
+    // lossless for numeric/string/date/timestamp/boolean, silently
+    // corrupting for binary/struct/array/map — reject those up front.
+    // (Schema check only once the table has data; a cursor may be
+    // created ahead of the first append.)
+    (if (table.exists) table.read.schema else StructType(Nil)).find(_.name == ord).foreach { f =>
+      f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+            TimestampNTZType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"stream ordering column '$ord' of table '${table.name}' has " +
+            s"unsupported type ${other.simpleString}: offsets persist as " +
+            "strings, which round-trips only atomic numeric/string/" +
+            "date/timestamp/boolean columns")
+      }
+    }
     new StreamCursor(table, state, ord, startingValue)
   }
 }

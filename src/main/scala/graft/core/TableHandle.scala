@@ -178,7 +178,11 @@ final class TableHandle(
       val select = s.substring(asIdx + 4)
       replace(spark.sql(select))                       // CTAS → new version
     } else if (lower.startsWith("insert into")) {
-      val select = s.substring(s.toLowerCase.indexOf("select"))
+      val selIdx = lower.indexOf("select")
+      require(selIdx >= 0,
+        s"executeSql on '$name' only supports INSERT INTO ... SELECT " +
+          s"(VALUES form unsupported; use append()) (got: ${s.take(60)}...)")
+      val select = s.substring(selIdx)
       append(spark.sql(select)); flush()               // DML insert → append
     } else if (lower.startsWith("delete from")) {
       val whereIdx = lower.indexOf("where")

@@ -66,11 +66,12 @@ final class GraphRunner(
   private val changedAt = mutable.Map.empty[String, Int]
   private val ranAt = mutable.Map.empty[String, Int]
 
-  def stateFor(nodeId: String): State =
+  def stateFor(nodeId: String): State = this.synchronized {
     states.getOrElseUpdate(nodeId, new State(warehouse, nodeId))
+  }
 
   def tableHandle(store: String): TableHandle =
-    new TableHandle(spark, catalog, store, "rw", onSignal = (t, kind) => {
+    new TableHandle(spark, catalog, store, "rw", onSignal = (t, kind) => this.synchronized {
       signals += ((t, kind))
       changedStores += t
       changedAt(t) = clock
@@ -163,6 +164,52 @@ final class GraphRunner(
     order.toList
   }
 
+  /** Topological order sliced into dependency levels: every node's
+    * producers sit in strictly earlier waves, so the nodes of one wave
+    * are mutually independent and can execute concurrently (G10 —
+    * wide graphs at scale: independent branches submit their Spark jobs
+    * together and the scheduler interleaves their stages across the
+    * cluster instead of serializing whole branches).
+    */
+  private[graph] def waveOrder: List[List[String]] = {
+    val producers = flatNodes.flatMap { case (id, f, _) =>
+      f.outputs.values.map(_ -> id) ++ f.webhook.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deps = flatNodes.map { case (id, f, _) =>
+      id -> (f.inputs.values.flatMap(producers.getOrElse(_, Nil)).toSet - id)
+    }.toMap
+    val level = mutable.Map.empty[String, Int]
+    def levelOf(n: String): Int = level.get(n) match {
+      case Some(l) => l
+      case None =>
+        val ds = deps.getOrElse(n, Set.empty)
+        val l = if (ds.isEmpty) 0 else ds.map(levelOf).max + 1
+        level(n) = l
+        l
+    }
+    flatNodes.map(_._1).groupBy(levelOf).toList.sortBy(_._1).map(_._2)
+  }
+
+  /** One wave: a single node runs inline; independent siblings submit
+    * concurrently (Spark sessions are thread-safe; concurrent actions
+    * from one session fan out across the scheduler). Failures rethrow
+    * the original cause after the wave's threads wind down.
+    */
+  private def runWave(ids: List[String]): Unit = ids match {
+    case single :: Nil => runNode(single)
+    case many =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(many.size, 8))
+      try {
+        val futs = many.map(id => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = runNode(id)
+        }))
+        futs.foreach { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+  }
+
   private def nodeById(id: String): (FunctionNode, GraphManifest) = {
     val (_, f, m) = flatNodes.find(_._1 == id).getOrElse(
       throw new IllegalArgumentException(s"unknown node '$id'"))
@@ -171,8 +218,7 @@ final class GraphRunner(
 
   /** Run one node (manual trigger — services/trigger.py:10-22). */
   def runNode(id: String): Unit = {
-    clock += 1
-    ranAt(id) = clock
+    this.synchronized { clock += 1; ranAt(id) = clock }
     val (f, m) = nodeById(id)
     f.kind match {
       case "sql" => runSqlNode(id, f, m)
@@ -206,17 +252,18 @@ final class GraphRunner(
     tableHandle(out).replace(result)
   }
 
-  /** Run the whole graph once: topological pass, then re-run any node
+  /** Run the whole graph once: dependency waves in order (independent
+    * nodes within a wave execute concurrently), then re-run any node
     * whose input store changed AFTER that node last ran (possible only
     * for out-of-band writes — e.g. a code node writing to a store it
-    * does not declare as an output, so topo order could not sequence
+    * does not declare as an output, so wave order could not sequence
     * the consumer after it). Repeats until quiescent or `maxWaves`.
     */
   def run(maxWaves: Int = 3): Unit = {
     val errors = validate()
     require(errors.isEmpty, s"graph compile errors:\n${errors.mkString("\n")}")
     changedStores.clear()
-    topoOrder.foreach(runNode)
+    waveOrder.foreach(runWave)
     var wave = 0
     var stale = staleNodes()
     while (stale.nonEmpty && wave < maxWaves) {
@@ -249,6 +296,34 @@ final class GraphRunner(
     val h = tableHandle(name)
     h.append(df)
     h.flush()
+  }
+
+  /** Webhook ingest from in-memory JSON bodies (the HTTP edge's path):
+    * parse with Spark's JSON inference, stamp the request key the
+    * respond contract is keyed on (node.py:544-553).
+    */
+  def ingestWebhookJson(name: String, jsonBodies: Seq[String],
+      requestKey: String): Unit = {
+    import spark.implicits._
+    val df = spark.read.json(jsonBodies.toDS())
+      .withColumn("patterns_request_key",
+        org.apache.spark.sql.functions.lit(requestKey))
+    val h = tableHandle(name)
+    h.append(df)
+    h.flush()
+  }
+
+  /** Response row for a request key, as a JSON object with the key
+    * column stripped (the HTTP edge returns the node's payload, not the
+    * plumbing). None until `respondToRequest` has written it.
+    */
+  def webhookResponse(webhookName: String, requestKey: String): Option[String] = {
+    val h = tableHandle(s"${webhookName}_responses")
+    if (!h.exists) return None
+    val hits = h.read
+      .filter(org.apache.spark.sql.functions.col("patterns_request_key") === requestKey)
+      .drop("patterns_request_key")
+    hits.toJSON.take(1).headOption
   }
 
   /** respond_to_request (node.py:544-553): reply to a webhook request by

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with typed metadata; decode /
   * feature-extract steps are per-partition batch operators.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
+  * Images decode for REAL via the JDK's `javax.imageio` (PNG/JPEG/BMP/
+  * GIF): `imageMeta` reads width/height/format from the container
+  * header without materializing pixels, and `extractFeatures` with an
+  * image mime fully decodes and derives features from actual pixel
+  * data. Audio/video decode is STUBBED (no media libraries in this
   * environment): `fakeFeatures` derives a deterministic feature vector
   * from the bytes so the Spark-side plumbing — schema, partitioning,
-  * batch shape, metadata — is real and testable. Swap `decodeStub` for
-  * a real decoder (e.g. a JNI/ONNX call) without touching the plumbing.
+  * batch shape, metadata — is real and testable. Swap the stub for a
+  * real decoder (e.g. a JNI/ONNX call) without touching the plumbing.
   */
 object Multimodal {
 
@@ -51,23 +55,136 @@ object Multimodal {
     out
   }
 
-  /** Per-partition batched "decode" over the payload column: the real
-    * pattern for media feature extraction (one decoder instance per
-    * partition, rows processed in a batch loop). Deterministic stub
-    * features; real decoders drop in at the marked line.
+  /** Deterministic tiny RGB PNG — a real image container, used to put
+    * honest decodable bytes in the payload column (pixel (x,y) color is
+    * an integer function of (seed, x, y), so pixel statistics are
+    * reproducible in any engine that knows the formula).
     */
-  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int = 16): DataFrame = {
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((seed + x * 31 + y * 17) % 256).toInt
+        val g = ((seed * 7 + x * 13 + y * 29) % 256).toInt
+        val b = ((seed * 3 + x * 11 + y * 23) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Attach a REAL image payload per row: a PNG whose dimensions are a
+    * known function of the id column (`w = id%16+1`, `h = id*7%16+1`) so
+    * downstream decode results are oracle-checkable. Encoded per
+    * partition — the ingest shape of a real media pipeline.
+    */
+  def attachImagePayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("payload_meta", payloadMeta))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val metaSource = idCol
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = pngBytes((id % 16).toInt + 1, ((id * 7) % 16).toInt + 1, id)
+        Row.fromSeq(r.toSeq ++ Seq(bytes, Row("image/png", bytes.length, metaSource)))
+      }
+    }(encoder)
+  }
+
+  /** Header-only image metadata decode (real `javax.imageio`): width /
+    * height / format read from the container header via an ImageReader,
+    * WITHOUT decoding pixel data — the scale-correct way to harvest
+    * image metadata from 100 TB of media (IO-bound, never pixel-bound).
+    * One reader per image (readers are stateful); undecodable payloads
+    * yield nulls rather than failing the batch.
+    */
+  def imageMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("img_width", IntegerType))
+      .add(StructField("img_height", IntegerType))
+      .add(StructField("img_format", StringType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        val extra: Seq[Any] =
+          if (readers.hasNext) {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis)
+              Seq(rd.getWidth(0), rd.getHeight(0), rd.getFormatName.toLowerCase)
+            } catch {
+              case _: java.io.IOException => Seq(null, null, null)
+            } finally { rd.dispose(); iis.close() }
+          } else { iis.close(); Seq(null, null, null) }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(encoder)
+  }
+
+  /** Per-partition batched decode over the payload column: the real
+    * pattern for media feature extraction (one decoder instance per
+    * partition, rows processed in a batch loop). Image mimes decode for
+    * REAL (`javax.imageio`): features are [width, height, mean R, mean
+    * G, mean B] from actual pixels, padded with a byte-fold tail. Other
+    * mimes fall back to the deterministic stub features.
+    */
+  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int = 16,
+      mimeCol: Option[String] = None): DataFrame = {
     val schema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val mimeIdx = mimeCol.map(df.schema.fieldIndex)
     df.mapPartitions { rows =>
       // real pipeline: initialize decoder ONCE per partition here
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val feats = fakeFeatures(bytes, dim) // <- STUB: real decode goes here
+        val mime = mimeIdx.map(r.getString).getOrElse("")
+        val feats =
+          if (mime.startsWith("image/")) imageFeatures(bytes, dim)
+          else fakeFeatures(bytes, dim) // <- STUB: real audio/video decode goes here
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(encoder)
+  }
+
+  /** Real image decode → feature vector: [w, h, mean R, mean G, mean B]
+    * from decoded pixels (0-255 scale), byte-fold tail past index 4.
+    */
+  def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return fakeFeatures(bytes, dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    val out = fakeFeatures(bytes, dim)
+    val head = Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
+    System.arraycopy(head, 0, out, 0, math.min(head.length, dim))
+    out
   }
 
   /** Frame-sampling stub for video-like payloads: emits `n` (offset,

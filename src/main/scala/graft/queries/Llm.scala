@@ -30,12 +30,18 @@ object Llm {
     */
   def plantedCorpus(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val asDouble = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val planted = emb.filter(col("vec_id") < 100).select(
-      (col("vec_id") + 100000L).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        x.cast("double") *
-          (lit(1) + lit(0.01) * ((col("vec_id") * 31 + (i + 1) * 17) % 7 - 3))
-      ).as("embedding"))
+    // The scale factor must bind the SOURCE id: rename it to src_id in a
+    // sub-frame first, because a single select aliasing `vec_id + 100000`
+    // AS vec_id would make Spark's lateral-column-alias resolution bind
+    // the factor's vec_id to the alias while DuckDB binds the source.
+    val planted = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("src_id"), col("embedding"))
+      .select(
+        (col("src_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") *
+            (lit(1) + lit(0.01) * ((col("src_id") * 31 + (i + 1) * 17) % 7 - 3))
+        ).as("embedding"))
     asDouble.unionByName(planted)
   }
 
@@ -370,10 +376,10 @@ object Llm {
          |  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
          |  from embeddings
          |  union all
-         |  select vec_id + 100000 as vec_id,
-         |    [embedding[i] * (1 + 0.01 * (((vec_id * 31 + i * 17) % 7) - 3))
+         |  select src_id + 100000 as vec_id,
+         |    [embedding[i] * (1 + 0.01 * (((src_id * 31 + i * 17) % 7) - 3))
          |     for i in range(1, len(embedding) + 1)] as v
-         |  from embeddings where vec_id < 100
+         |  from (select vec_id as src_id, embedding from embeddings where vec_id < 100)
          |)
          |select id_a, id_b, round(cos, 4) as cos from (
          |  select a.vec_id as id_a, b.vec_id as id_b,
@@ -395,6 +401,24 @@ object Llm {
       Multimodal.extractFeatures(withPayload, "payload", dim = 16)
         .select(col("doc_id"), size(col("features")).as("n_features"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    },
+
+    // L5c — REAL image decode (javax.imageio): each doc gets an actual
+    // PNG payload with planted dims (w = id%16+1, h = id*7%16+1); Spark
+    // round-trips encode → header-only metadata decode; the oracle
+    // recomputes the planted dims arithmetically. Proves the decode path
+    // reads real containers, not the payload-meta struct.
+    QuerySpec.df("l17_image_meta",
+      """select doc_id,
+        |  cast(doc_id % 16 + 1 as int) as img_width,
+        |  cast((doc_id * 7) % 16 + 1 as int) as img_height,
+        |  'png' as img_format
+        |from documents""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents").select("doc_id")
+        Multimodal.imageMeta(
+          Multimodal.attachImagePayload(docs, "doc_id"), "payload")
+          .select("doc_id", "img_width", "img_height", "img_format")
     },
   )
 }

@@ -155,10 +155,19 @@ object SemiStructured {
             Array(col("price"), col("disc"), col("tax")), "metric", "v")
     },
 
-    // Q34 — sampling: engine-specific RNG → rows-only check
-    QuerySpec.unchecked("q34_sample") { (s, d) =>
-      Fixtures.table(s, d, "lineitem").sample(withReplacement = false, 0.05, seed = 42)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-    },
+    // Q34 — sampling: hash-based seeded Bernoulli sample. A
+    // multiplicative hash over the row key replaces engine-RNG
+    // TABLESAMPLE so the SAME rows are selected by any engine, any
+    // retry, any partitioning — which is also the reproducibility
+    // property a 100 TB pipeline needs from its sampler (RNG sampling
+    // changes membership whenever a task re-runs). ~5% rate: the odd
+    // multiplier permutes Z_2^20, so `< 52429` of 1048576 keeps 5.0%.
+    // Intermediate products stay < 2^52 — no int64 overflow in either
+    // engine's checked arithmetic.
+    QuerySpec.shared("q34_sample",
+      """select l_orderkey, l_linenumber, l_quantity
+        |from lineitem
+        |where ((((l_orderkey * 9973 + l_linenumber) % 1000003) * 2654435761) % 1048576) < 52429
+        |""".stripMargin),
   )
 }

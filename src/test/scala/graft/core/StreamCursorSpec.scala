@@ -87,4 +87,23 @@ class StreamCursorSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       StreamCursor.forTable(h, new State(root, "n")))
   }
+
+  test("non-atomic ordering column rejected (offsets round-trip as strings)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("stream")
+    val h = new TableHandle(spark, new Catalog(root), "t")
+    h.append(Seq((1L, "a")).toDF("id", "s")
+      .withColumn("blob", encode(col("s"), "UTF-8"))
+      .withColumn("arr", array(col("id"))))
+    h.flush()
+    val eBin = intercept[IllegalArgumentException](
+      StreamCursor.forTable(h, new State(root, "n"), orderBy = Some("blob")))
+    assert(eBin.getMessage.contains("unsupported type binary"))
+    val eArr = intercept[IllegalArgumentException](
+      StreamCursor.forTable(h, new State(root, "n"), orderBy = Some("arr")))
+    assert(eArr.getMessage.contains("unsupported type"))
+    // atomic columns still fine
+    StreamCursor.forTable(h, new State(root, "n"), orderBy = Some("id"))
+  }
 }

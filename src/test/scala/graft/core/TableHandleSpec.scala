@@ -124,6 +124,18 @@ class TableHandleSpec extends SparkSpec {
     assert(h.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(100L, 200L))
   }
 
+  test("executeSql: INSERT ... VALUES fails with a clear unsupported error") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq((1L, 10.0)).toDF("id", "v")); h.flush()
+    val e = intercept[IllegalArgumentException] {
+      h.executeSql("insert into {{ t }} values (5, 50.0)")
+    }
+    assert(e.getMessage.contains("only supports INSERT INTO ... SELECT"))
+    assert(e.getMessage.contains("use append()"))
+    assert(h.read.count() == 1) // nothing was written
+  }
+
   test("readSql substitutes the table reference") {
     import spark.implicits._
     val h = handle(tmpDir("tbl"))

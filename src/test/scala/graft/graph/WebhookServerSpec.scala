@@ -1,0 +1,116 @@
+package graft.graph
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.core.StreamCursor
+
+class WebhookServerSpec extends SparkSpec {
+
+  private def write(dir: String, name: String, text: String): Unit =
+    Files.writeString(Paths.get(dir, name), text)
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST ingests a row, downstream consumes it, response row returned over HTTP") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - webhook: hook
+        |  - node_file: responder.scala
+        |    id: respond01
+        |    inputs: {hook: hook}
+        |    outputs: {out: seen}
+        |stores:
+        |  - table: seen
+        |""".stripMargin)
+    val responder = new CodeNode {
+      def run(ctx: NodeContext): Unit = {
+        val cur = ctx.stream("hook", Some("patterns_request_key"))
+        val responses = ctx.table("hook_responses")
+        val seen = ctx.table("out")
+        cur.records().foreach { rec =>
+          val key = rec("patterns_request_key").toString
+          responses.appendRecords(Seq(Map(
+            "patterns_request_key" -> key,
+            "echoed" -> rec("value"),
+            "status" -> "ok")))
+          seen.appendRecords(Seq(Map("key" -> key)))
+        }
+        responses.flush(); seen.flush()
+        cur.checkpoint()
+      }
+    }
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      codeNodes = Map("responder.scala" -> responder))
+    val server = new WebhookServer(runner, port = 0, responseTimeoutMs = 30000)
+    try {
+      // fire-and-forget: 202 + request key, row landed, downstream ran
+      val r1 = post(server.url("hook"), """{"value": 7}""")
+      assert(r1.statusCode() == 202, r1.body())
+      assert(r1.body().contains("patterns_request_key"))
+      assert(runner.tableHandle("hook").read.count() == 1)
+      assert(runner.tableHandle("seen").read.count() == 1)
+
+      // wait=true: blocks until the responder's row arrives, returns payload
+      val r2 = post(server.url("hook") + "?wait=true", """{"value": 42}""")
+      assert(r2.statusCode() == 200, r2.body())
+      assert(r2.body().contains("\"status\":\"ok\""))
+      assert(r2.body().contains("42"))
+      assert(!r2.body().contains("patterns_request_key")) // plumbing stripped
+      assert(runner.tableHandle("seen").read.count() == 2)
+
+      // malformed body / wrong method rejected cleanly
+      assert(post(server.url("hook"), "not json").statusCode() == 400)
+      val get = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(server.url("hook"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+    } finally server.stop()
+  }
+
+  test("independent branches of one wave execute concurrently") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: a.scala
+        |    id: brancha1
+        |    inputs: {src: src}
+        |    outputs: {out: outa}
+        |  - node_file: b.scala
+        |    id: branchb1
+        |    inputs: {src: src}
+        |    outputs: {out: outb}
+        |stores:
+        |  - table: src
+        |  - table: outa
+        |  - table: outb
+        |""".stripMargin)
+    // both nodes must be inside run() at the same instant to pass the
+    // barrier; sequential execution would time out here
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def node(tag: String) = new CodeNode {
+      def run(ctx: NodeContext): Unit = {
+        barrier.await(15, java.util.concurrent.TimeUnit.SECONDS)
+        val out = ctx.table("out")
+        out.appendRecords(Seq(Map("tag" -> tag)))
+        out.flush()
+      }
+    }
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      codeNodes = Map("a.scala" -> node("a"), "b.scala" -> node("b")))
+    import spark.implicits._
+    val src = runner.tableHandle("src")
+    src.append(Seq(1L).toDF("id")); src.flush()
+    assert(runner.waveOrder.exists(w =>
+      w.toSet == Set("brancha1", "branchb1"))) // same wave, no false dep
+    runner.run()
+    assert(runner.tableHandle("outa").read.count() == 1)
+    assert(runner.tableHandle("outb").read.count() == 1)
+  }
+}

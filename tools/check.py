@@ -6,7 +6,11 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the
 same fixture tables, canonicalizes both sides (columns sorted by name,
-rows sorted, doubles rounded to 2dp) and compares.
+rows sorted, doubles rounded to 6dp) and compares. 6dp matches the
+driver's hash precision: every query that emits floats rounds them
+in-query to 4 or 6dp (the determinism rule), so canonicalizing any
+coarser than 6dp would green-light divergences the driver's hash
+catches (this exact gap hid the round-4 l12b failure at 2dp).
 """
 import sys, json, glob, os
 import duckdb
@@ -17,7 +21,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == np.float64 or df[c].dtype == np.float32:
-            df[c] = df[c].astype(np.float64).round(2)
+            df[c] = df[c].astype(np.float64).round(6) + 0.0  # +0.0 kills -0.0
         # decimals / objects: stringify for stable compare
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
