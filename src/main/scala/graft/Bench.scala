@@ -59,7 +59,11 @@ object Bench {
       if (runs.exists(_ < 0)) q.name -> -1.0
       else {
         val sorted = runs.sorted
-        if (sorted.head > 0 && sorted.last / sorted.head > 3.0) {
+        // ratio alone trips on sub-second queries where 100 ms of
+        // scheduler jitter is already 3x — require a real absolute gap
+        // too before declaring the measurement contaminated
+        if (sorted.head > 0 && sorted.last / sorted.head > 3.0 &&
+            sorted.last - sorted.head > 0.5) {
           divergent += q.name
           System.err.println(
             f"[bench] WARNING ${q.name}: min ${sorted.head}%.3fs vs max ${sorted.last}%.3fs " +
@@ -72,7 +76,13 @@ object Bench {
       .mkString("{", ",", "}")
     val div = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}""")
+    // The JSON line must be the LAST thing on stdout: executor shutdown
+    // logs after it have pushed it out of the driver's tail capture
+    // before (round-4 bench artifact arrived unparsed) — stop Spark and
+    // silence loggers BEFORE printing, then flush.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}""")
+    System.out.flush()
   }
 }
