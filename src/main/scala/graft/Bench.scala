@@ -21,9 +21,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val excluded = Set(
     "s05_upsert", "t01_stream_seek", "g01_graph_slice", "s09_monotonic_id",
-    "q34_sample", "q32b_xxhash", "q12_approx_distinct",
+    "q32b_xxhash", "q12_approx_distinct",
     "l05b_cosine_ann", "l10b_multimodal_features", "l03_simhash",
-    "l15_ivf_ann")
+    "l15_ivf_ann", "l22_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-hygiene operators for training-data pipelines (SURVEY §2.6):
+  * boilerplate removal, benchmark decontamination, PII redaction,
+  * stratified sampling, sequence packing. Everything is expressed as
+  * shuffles on small derived keys (token, n-gram hash, stratum) — no
+  * all-pairs comparison anywhere, so each operator's cost is
+  * O(corpus + matches) and survives a 100 TB corpus.
+  */
+object Corpus {
+
+  /** Boilerplate removal, CCNet-style at token granularity: tokens that
+    * appear in ≥ `dfFrac` of all documents are corpus boilerplate
+    * (navigation chrome, legal footers); strip them from every document
+    * while preserving the original order of what remains.
+    *
+    * Scale shape: document frequency is one hash-aggregation over
+    * exploded tokens (map-side combine absorbs within-doc repeats); the
+    * resulting boilerplate vocabulary is tiny by construction (it is
+    * the tokens occurring in MOST documents — bounded by the
+    * vocabulary's heavy tail, a few thousand entries at any corpus
+    * size), so the subtraction is a broadcast anti-join against the
+    * exploded tokens, followed by one re-group on the document id to
+    * reassemble text. Nothing in the plan grows faster than the token
+    * count.
+    *
+    * Output: (id, n_kept, n_dropped, kept_text); documents whose every
+    * token was boilerplate drop out (nothing left to emit).
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      dfFrac: Double = 0.6): DataFrame = {
+    val nDocs = docs.count() // scalar: the df threshold, not data motion
+    val thr = math.ceil(dfFrac * nDocs).toLong
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val boiler = toks.groupBy("tok")
+      .agg(countDistinct("id").as("dfreq"))
+      .filter(col("dfreq") >= thr)
+      .select("tok")
+    val kept = toks.join(broadcast(boiler), Seq("tok"), "left_anti")
+    val reassembled = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")),
+        " ").as("kept_text"))
+    val totals = docs.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("n_total"))
+    reassembled.join(totals, "id")
+      .select(col("id").as(idCol), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"), col("kept_text"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * one k-word gram (default 8, the n-gram size common in published
+    * decontamination setups) with any benchmark document. Returns one
+    * row per (corpus doc, benchmark doc) pair with the count of shared
+    * distinct k-grams.
+    *
+    * Scale shape: both sides shingle with the codegen'd `WordShingles`
+    * kernel, explode, and equi-join on the gram — candidate volume is
+    * O(shared grams), never |corpus| × |benchmark|. The benchmark side
+    * is small in practice (eval sets, not corpora): Spark's planner
+    * broadcasts it under AQE; the corpus side streams.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      TextDedup.withShingles(df.select(col(idCol).as(as), col(textCol)),
+          textCol, "g", k)
+        .select(col(as), explode(col("g")).as("gram"))
+    grams(corpus, "doc_id_c").join(grams(benchmark, "bench_id"), "gram")
+      .groupBy("doc_id_c", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id_c").as(idCol), col("bench_id"), col("n_shared"))
+  }
+
+  /** PII patterns kept deliberately engine-portable (no lookarounds):
+    * the same source strings compile identically under Java regex and
+    * RE2-family engines, so redaction is reproducible off-Spark too.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+  /** Redact emails and phone-shaped tokens from `textCol` (pure
+    * columnar `regexp_replace` — codegen'd, no UDF in the hot path).
+    */
+  def redactPii(df: DataFrame, textCol: String, out: String = "redacted"): DataFrame =
+    df.withColumn(out,
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"))
+
+  /** Deterministic stratified sample: keep `k` documents per stratum,
+    * chosen by a multiplicative hash of the id (so membership is
+    * reproducible across engines, retries, and partitionings — the
+    * property RNG-based TABLESAMPLE loses on every task re-run).
+    *
+    * Scale note: one shuffle on the stratum column. With FEW massive
+    * strata (e.g. 5 languages over 100 TB) the window serializes each
+    * stratum through one partition — there, replace the rank with a
+    * per-stratum hash threshold (keep rows whose hash < k/N_stratum
+    * quantile, computed once) to stay fully parallel. For the common
+    * many-strata case (domain, source bucket) this rank form is exact
+    * and single-pass.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(1048576L)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Sequence packing: assign documents to context-window bins of at
+    * most `budget` tokens (greedy next-fit in id order), the step that
+    * turns a cleaned corpus into fixed-length training sequences.
+    *
+    * Scale shape: documents hash-partition by id, sort within each
+    * partition, and pack in one `mapPartitions` pass — no shuffle
+    * beyond the initial repartition, no driver state. Bin ids are
+    * (partitionId << 32 | localBin), unique without coordination.
+    * Oversized documents (> budget tokens) get a bin of their own —
+    * flagged `oversize` for the caller's chunking policy.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    val sized = docs.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).as("n_tokens"))
+      .repartition(n, col("id"))
+      .sortWithinPartitions("id")
+    val schema = StructType(Seq(
+      StructField("id", sized.schema("id").dataType),
+      StructField("n_tokens", IntegerType),
+      StructField("bin", LongType),
+      StructField("oversize", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    sized.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var localBin = 0L
+      var used = 0
+      var first = true
+      rows.map { r =>
+        val t = r.getInt(1)
+        if (!first && used + t > budget) { localBin += 1; used = 0 }
+        first = false
+        used += t
+        Row(r.get(0), t, (pid << 32) | localBin, t > budget)
+      }
+    }(enc).withColumnRenamed("id", idCol)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Fixtures
-import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.llm.{Corpus, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** SURVEY.md §2.6: LLM-training-data pipeline operators, each exposed
   * as a driver-checkable query over the documents/embeddings fixtures.
@@ -17,6 +17,15 @@ object Llm {
     """case when len(words) < 3 then [text]
       |     else list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
       |                         for i in range(1, len(words) - 1)]) end""".stripMargin
+  // 8-word grams with WordShingles semantics (first-occurrence distinct,
+  // whole text when shorter than 8 words) — expects `words`/`text` bound.
+  // concat_ws instead of || chains: a stripMargin line starting with ||
+  // loses its first pipe to the margin.
+  private val duckGrams8 =
+    """case when len(words) < 8 then [text]
+      |     else list_distinct([concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],
+      |                         words[i+4], words[i+5], words[i+6], words[i+7])
+      |                         for i in range(1, len(words) - 6)]) end""".stripMargin
   private val duckDot =
     "list_sum(list_transform(list_zip(%s, %s), s -> cast(s[1] as double) * cast(s[2] as double)))"
   private def duckNorm(c: String) =
@@ -401,6 +410,100 @@ object Llm {
       Multimodal.extractFeatures(withPayload, "payload", dim = 16)
         .select(col("doc_id"), size(col("features")).as("n_features"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    },
+
+    // L6a — corpus boilerplate removal: tokens in >=60% of documents
+    // are stripped; text reassembled in original token order
+    QuerySpec.df("l18_boilerplate",
+      """with tok as (
+        |  select doc_id, w, i
+        |  from (select doc_id, unnest(string_split(text, ' ')) as w,
+        |               generate_subscripts(string_split(text, ' '), 1) as i
+        |        from documents)
+        |),
+        |boiler as (
+        |  select w from tok group by w
+        |  having count(distinct doc_id) >= ceil(0.6 * (select count(*) from documents))
+        |),
+        |kept as (select * from tok where w not in (select w from boiler)),
+        |tot as (select doc_id, len(string_split(text, ' ')) as n_total from documents)
+        |select k.doc_id, count(*) as n_kept,
+        |       cast(any_value(t.n_total) - count(*) as bigint) as n_dropped,
+        |       string_agg(k.w, ' ' order by k.i) as kept_text
+        |from kept k join tot t using (doc_id)
+        |group by k.doc_id""".stripMargin) {
+      (s, d) =>
+        Corpus.removeBoilerplate(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", dfFrac = 0.6)
+    },
+
+    // L6b — benchmark decontamination: corpus docs sharing an 8-gram
+    // with the benchmark set (doc_id % 50 == 0); contamination planted
+    // by appending doc 0's text to every doc_id % 7 == 3 document so
+    // the overlap join provably fires
+    QuerySpec.df("l19_decontaminate",
+      s"""with d0 as (select text from documents where doc_id = 0),
+         |corpus as (
+         |  select doc_id,
+         |    case when doc_id % 7 = 3 then text || ' ' || (select text from d0)
+         |         else text end as text
+         |  from documents where doc_id % 50 <> 0),
+         |bench as (select doc_id, text from documents where doc_id % 50 = 0),
+         |cg as (select doc_id, $duckGrams8 as grams
+         |       from (select doc_id, text, string_split(text, ' ') as words from corpus)),
+         |bg as (select doc_id, $duckGrams8 as grams
+         |       from (select doc_id, text, string_split(text, ' ') as words from bench))
+         |select c.doc_id, b.doc_id as bench_id,
+         |       cast(len(list_intersect(c.grams, b.grams)) as bigint) as n_shared
+         |from cg c join bg b on len(list_intersect(c.grams, b.grams)) > 0""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 3,
+            concat(col("text"), lit(" " + d0))).otherwise(col("text")))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        Corpus.decontaminate(corpus, bench, "doc_id", "text", k = 8)
+    },
+
+    // L6c — PII redaction: plant an email + phone per doc, redact with
+    // engine-portable regexes, hash-compare the redacted text
+    QuerySpec.df("l20_pii_redact",
+      s"""select doc_id,
+         |  regexp_replace(regexp_replace(
+         |    text || ' contact user' || cast(doc_id as varchar)
+         |         || '@example.com or +1-555-123-4567 now',
+         |    '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Corpus.PhoneRe}', '<PHONE>', 'g') as redacted
+         |from documents""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-123-4567 now")).as("text"))
+        Corpus.redactPii(planted, "text").select("doc_id", "redacted")
+    },
+
+    // L6d — deterministic stratified sample: 20 docs per language by
+    // multiplicative-hash rank (reproducible across engines/retries)
+    QuerySpec.df("l21_stratified_sample",
+      """select doc_id, lang from (
+        |  select doc_id, lang, row_number() over (
+        |    partition by lang
+        |    order by (doc_id * 2654435761) % 1048576, doc_id) as rn
+        |  from documents) t where rn <= 20""".stripMargin) {
+      (s, d) =>
+        Corpus.stratifiedSample(
+          Fixtures.table(s, d, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", k = 20)
+    },
+
+    // L6e — sequence packing into 256-token bins (greedy next-fit per
+    // partition; bin ids depend on the partitioning → rows-only, the
+    // invariants are property-tested in LlmSpec)
+    QuerySpec.unchecked("l22_pack_sequences") { (s, d) =>
+      Corpus.packSequences(
+        Fixtures.table(s, d, "documents"), "doc_id", "text", budget = 256)
     },
 
     // L5c — REAL image decode (javax.imageio): each doc gets an actual

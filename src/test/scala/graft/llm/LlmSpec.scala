@@ -172,6 +172,50 @@ class LlmSpec extends SparkSpec {
       .select(min("count")).head().getLong(0) == 4)
   }
 
+  test("sequence packing: every doc once, bins within budget, packing is tight") {
+    val packed = Corpus.packSequences(docs, "doc_id", "text", budget = 256).cache()
+    val n = docs.count()
+    assert(packed.count() == n)                         // every doc assigned
+    assert(packed.select("doc_id").distinct().count() == n) // exactly once
+    val bins = packed.filter(!col("oversize"))
+      .groupBy("bin").agg(sum("n_tokens").as("t"), count(lit(1)).as("docs"))
+    assert(bins.filter(col("t") > 256).count() == 0)    // budget respected
+    // greedy next-fit packs multiple docs per bin when they fit
+    assert(bins.filter(col("docs") > 1).count() > 0)
+    // oversize docs (if any) sit alone
+    val over = packed.filter(col("oversize")).select("bin")
+    assert(over.join(packed, "bin").groupBy("bin").count()
+      .filter(col("count") > 1).count() == 0)
+    // deterministic: same input → same assignment
+    val again = Corpus.packSequences(docs, "doc_id", "text", budget = 256)
+    assert(packed.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+    packed.unpersist()
+  }
+
+  test("boilerplate removal strips exactly the high-df tokens, preserving order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the dog ran"), (3L, "the bird the worm"),
+      (4L, "a fish swam the sea")).toDF("doc_id", "text")
+    // 'the' is in 4/4 docs -> boilerplate at 0.6; everything else below
+    val out = Corpus.removeBoilerplate(corpus, "doc_id", "text", dfFrac = 0.6)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("cat sat", "dog ran", "bird worm", "a fish swam sea"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 2L, 1L)) // n_dropped
+  }
+
+  test("pii redaction replaces emails and phones, leaves the rest") {
+    import spark.implicits._
+    val df = Seq("mail bob.smith+x@sub.example.org and +1-555-123-4567 end",
+      "nothing here").toDF("text")
+    val red = Corpus.redactPii(df, "text").select("redacted")
+      .collect().map(_.getString(0))
+    assert(red.contains("mail <EMAIL> and <PHONE> end"))
+    assert(red.contains("nothing here"))
+  }
+
   test("quality/token/langid expressions handle edge cases") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "   "), (3L, "the of and a is"), (4L, "der und ist das nicht"))
