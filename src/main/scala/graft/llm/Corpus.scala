@@ -94,6 +94,45 @@ object Corpus {
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"))
 
+  /** URL pattern, engine-portable (no lookarounds; non-capturing group
+    * for the optional path) — identical under Java regex and RE2.
+    */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?"
+
+  /** Extract every URL from `textCol` (one output row per occurrence,
+    * duplicates preserved) with its domain, flagged against a domain
+    * blocklist — the source-filtering step of a web-corpus pipeline.
+    *
+    * Pure columnar `regexp_extract_all` + `explode`; the blocklist is a
+    * literal IN-list (curation blocklists are small), so the flag stays
+    * inside whole-stage codegen — no join, no shuffle beyond the scan.
+    */
+  def urlReport(df: DataFrame, idCol: String, textCol: String,
+      blockedDomains: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("domain",
+        regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1))
+      .withColumn("blocked",
+        col("domain").isInCollection(blockedDomains))
+
+  /** Incremental exact dedup: drop batch documents whose normalized
+    * text fingerprint already exists in the corpus — the per-ingest
+    * step that keeps a growing corpus duplicate-free without ever
+    * re-deduplicating history.
+    *
+    * Scale shape: both sides reduce to md5 fingerprints; the corpus
+    * side collapses to distinct fingerprints (map-side combine), and
+    * the anti-join shuffles 16-byte keys, never document text. Cost is
+    * O(batch + corpus fingerprints) per ingest.
+    */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    batch.withColumn("fp", fp)
+      .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+  }
+
   /** Deterministic stratified sample: keep `k` documents per stratum,
     * chosen by a multiplicative hash of the id (so membership is
     * reproducible across engines, retries, and partitionings — the

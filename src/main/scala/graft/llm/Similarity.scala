@@ -220,4 +220,32 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path for an ANN index over 100 TB of vectors (4× smaller than
+    * float32, 8× smaller than the double working form). Per vector:
+    * scale = max |x|, q_i = round(127·x_i/scale); reports the scale,
+    * the quantized checksum, and the reconstruction MSE so a pipeline
+    * can gate on quantization loss.
+    *
+    * Pure columnar HOFs with an explicit float→double cast and a
+    * sequential fold (same determinism contract as [[dot]]); zero
+    * vectors quantize to zeros rather than dividing by zero.
+    */
+  def quantize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    embeddings.select(col(idCol), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), a => abs(a))))
+      .withColumn("q", when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0).cast("int")))
+        .otherwise(transform(col("v"),
+          x => round(x * lit(127.0) / col("scale")).cast("int"))))
+      .select(col(idCol), round(col("scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        round(
+          aggregate(zip_with(col("v"), col("q"), (x, qi) => {
+            val err = x - qi.cast("double") * col("scale") / lit(127.0)
+            err * err
+          }), lit(0.0), (acc, e) => acc + e) / size(col("v")), 6).as("mse"))
+  }
 }

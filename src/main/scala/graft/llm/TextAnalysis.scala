@@ -91,6 +91,72 @@ object TextAnalysis {
   def minShingleHash(shingleCol: Column): Column =
     array_min(transform(shingleCol, s => xxhash64(s)))
 
+  /** Gopher-style intra-document repetition signals: fraction of mass
+    * in the most frequent token, distinct-token fraction, and fraction
+    * of bigram mass in the most frequent bigram — the standard
+    * repetition filters for pretraining corpora (templated/looping
+    * text scores high on top-fracs, low on distinct-frac).
+    *
+    * Aggregation-shaped like [[tokenEntropy]]: explode → per-(doc,gram)
+    * count → per-doc fold; both groupBys combine map-side, so cost is
+    * O(tokens) with no per-doc quadratic work and no driver state.
+    * Documents with no tokens are absent; single-token documents get
+    * top_bigram_frac 0.
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+      .filter(length(trim(col(textCol))) > 0)
+    val tokStats = base.select(col(idCol), explode(col("ws")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_tokens"),
+        max("c").as("top_c"),
+        count(lit(1)).as("n_distinct"))
+    // sequence() flips to a descending step when start > stop, so the
+    // single-token case must be guarded to an empty bigram list
+    val bigrams = base.select(col(idCol),
+      explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("b"))
+    val biStats = bigrams.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_b"), sum("c").as("n_b"))
+    tokStats.join(biStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(col("top_c") / col("n_tokens"), 6).as("top_token_frac"),
+        round(col("n_distinct") / col("n_tokens"), 6).as("distinct_frac"),
+        round(coalesce(col("top_b") / col("n_b"), lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Top-k TF-IDF terms per document (tf × ln(N/df), ties on term asc)
+    * — keyword extraction / topic signal for corpus curation.
+    *
+    * Scale shape: term frequency and document frequency are two
+    * map-side-combinable aggregations over the exploded tokens; the
+    * tf↔df join shuffles on the term (vocabulary-sized, not
+    * corpus-sized); the final top-k is one window per document. N is
+    * the only driver scalar.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val toks = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfreq, "w")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("dfreq")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("w").as("term"), col("score"), col("rank"))
+  }
+
   /** Per-document token (Shannon) entropy in bits — a vocabulary-
     * diversity quality signal: repetitive or templated text scores low,
     * natural prose high. Aggregation-shaped (explode → per-(doc, token)

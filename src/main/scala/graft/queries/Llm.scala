@@ -506,6 +506,127 @@ object Llm {
         Fixtures.table(s, d, "documents"), "doc_id", "text", budget = 256)
     },
 
+    // L6f — Gopher-style repetition signals: top-token / distinct-token
+    // / top-bigram fractions per document
+    QuerySpec.df("l23_repetition",
+      """with base as (select doc_id, string_split(text, ' ') as ws from documents),
+        |tc as (select doc_id, w, count(*) as c
+        |       from (select doc_id, unnest(ws) as w from base) group by 1, 2),
+        |ts as (select doc_id, sum(c) as n_tokens, max(c) as top_c,
+        |              count(*) as n_distinct from tc group by 1),
+        |bc as (select doc_id, b, count(*) as c
+        |       from (select doc_id,
+        |               unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) as b
+        |             from base where len(ws) >= 2) group by 1, 2),
+        |bs as (select doc_id, max(c) as top_b, sum(c) as n_b from bc group by 1)
+        |select t.doc_id, cast(t.n_tokens as bigint) as n_tokens,
+        |       round(t.top_c / t.n_tokens, 6) as top_token_frac,
+        |       round(t.n_distinct / t.n_tokens, 6) as distinct_frac,
+        |       round(coalesce(b.top_b / b.n_b, 0.0), 6) as top_bigram_frac
+        |from ts t left join bs b using (doc_id)""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.repetitionSignals(
+          Fixtures.table(s, d, "documents"), "doc_id", "text")
+    },
+
+    // L6g — top-3 TF-IDF terms per document (tf × ln(N/df), term-asc
+    // tie-break; scores rounded before ranking so both engines order
+    // identically)
+    QuerySpec.df("l26_tfidf",
+      """with tok as (select doc_id, unnest(string_split(text, ' ')) as w from documents),
+        |tf as (select doc_id, w, count(*) as tf from tok group by 1, 2),
+        |df as (select w, count(*) as dfreq from tf group by 1),
+        |sc as (select doc_id, w as term,
+        |         round(tf * ln((select count(*) from documents) / dfreq), 6) as score
+        |       from tf join df using (w))
+        |select doc_id, term, score, rank from (
+        |  select *, row_number() over (
+        |    partition by doc_id order by score desc, term) as rank from sc)
+        |where rank <= 3""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.tfidfTopTerms(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", k = 3)
+    },
+
+    // L6h — URL extraction + domain blocklist: two URLs planted per doc
+    // (one per-doc domain, one blocked for doc_id % 5 == 0)
+    QuerySpec.df("l24_url_filter",
+      s"""with planted as (
+         |  select doc_id,
+         |    text || ' see https://site' || cast(doc_id % 7 as varchar)
+         |         || '.example.com/p/' || cast(doc_id as varchar)
+         |         || case when doc_id % 5 = 0 then ' and http://spam.bad.net/x' else '' end
+         |      as text
+         |  from documents)
+         |select doc_id, url,
+         |       regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) as domain,
+         |       regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+         |         in ('spam.bad.net', 'malware.example.net') as blocked
+         |from (select doc_id, unnest(regexp_extract_all(text, '${Corpus.UrlRe}')) as url
+         |      from planted)""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"),
+            lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            when(col("doc_id") % 5 === 0, lit(" and http://spam.bad.net/x"))
+              .otherwise(lit(""))).as("text"))
+        Corpus.urlReport(planted, "doc_id", "text",
+          Seq("spam.bad.net", "malware.example.net"))
+    },
+
+    // L6i — incremental dedup: new batch (doc_id % 3 != 0) against the
+    // existing corpus (doc_id % 3 == 0); overlap planted by giving
+    // every doc_id % 11 == 5 batch doc the text of corpus doc 3
+    QuerySpec.df("l25_incremental_dedup",
+      """with corpus as (select text from documents where doc_id % 3 = 0),
+        |batch as (
+        |  select doc_id,
+        |    case when doc_id % 11 = 5
+        |         then (select text from documents where doc_id = 3)
+        |         else text end as text
+        |  from documents where doc_id % 3 <> 0)
+        |select b.doc_id,
+        |       md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) as fp
+        |from batch b
+        |where md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) not in
+        |      (select md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |       from corpus)""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val t3 = docs.filter(col("doc_id") === 3).select("text").head().getString(0)
+        val corpus = docs.filter(col("doc_id") % 3 === 0)
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 5, lit(t3)).otherwise(col("text")))
+        Corpus.dedupAgainstCorpus(batch, corpus, "text")
+          .select("doc_id", "fp")
+    },
+
+    // L6j — int8 embedding quantization: scale, quantized checksum, and
+    // reconstruction MSE per vector
+    QuerySpec.df("l27_quantize",
+      """with e as (select vec_id,
+        |             list_transform(embedding, x -> cast(x as double)) as v
+        |           from embeddings),
+        |s as (select vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) as scale from e),
+        |q as (select vec_id, v, scale,
+        |        case when scale = 0 then list_transform(v, x -> 0)
+        |             else list_transform(v, x -> cast(round(x * 127.0 / scale) as integer))
+        |        end as qs
+        |      from s)
+        |select vec_id, round(scale, 6) as scale,
+        |       cast(list_sum(qs) as bigint) as q_sum,
+        |       round(list_sum(list_transform(list_zip(v, qs),
+        |           p -> (p[1] - cast(p[2] as double) * scale / 127.0)
+        |              * (p[1] - cast(p[2] as double) * scale / 127.0)))
+        |         / len(v), 6) as mse
+        |from q""".stripMargin) {
+      (s, d) =>
+        Similarity.quantize(Fixtures.table(s, d, "embeddings"), "vec_id", "embedding")
+    },
+
     // L5c — REAL image decode (javax.imageio): each doc gets an actual
     // PNG payload with planted dims (w = id%16+1, h = id*7%16+1); Spark
     // round-trips encode → header-only metadata decode; the oracle

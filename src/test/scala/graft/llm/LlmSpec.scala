@@ -206,6 +206,70 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 2L, 1L)) // n_dropped
   }
 
+  test("repetition signals compute exact fractions; single-token doc is safe") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a a b"),        // top_token 3/4, distinct 2/4, top_bigram "a a" 2/3
+      (2L, "x y x y"),        // top_token 2/4, distinct 2/4, top_bigram "x y" 2/3
+      (3L, "solo"),           // 1 token: bigram frac 0
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3) // empty doc absent
+    assert(out(0).getDouble(2) == 0.75 && out(0).getDouble(3) == 0.5)
+    assert(out(0).getDouble(4) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(out(1).getDouble(2) == 0.5)
+    assert(out(2).getLong(1) == 1L && out(2).getDouble(4) == 0.0)
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones, k respected, ties on term") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the the bird")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+    val d1 = out.filter(col("doc_id") === 1).orderBy("rank").collect()
+    // 'cat' df=1 → ln(3) beats 'the' df=3 → ln(1)=0
+    assert(d1.map(_.getString(1)).toSeq == Seq("cat", "the"))
+    assert(d1.head.getDouble(2) == math.rint(math.log(3.0) * 1e6) / 1e6)
+    assert(out.groupBy("doc_id").count().filter(col("count") > 2).count() == 0)
+  }
+
+  test("url extraction: every occurrence, domain parse, blocklist flag") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "go to https://a.example.com/x and http://spam.bad.net/y then https://a.example.com/x"),
+      (2L, "no links here")).toDF("doc_id", "text")
+    val out = Corpus.urlReport(df, "doc_id", "text", Seq("spam.bad.net")).collect()
+    assert(out.length == 3) // duplicates preserved, doc 2 contributes none
+    assert(out.count(r => r.getString(2) == "a.example.com" && !r.getBoolean(3)) == 2)
+    assert(out.count(r => r.getString(2) == "spam.bad.net" && r.getBoolean(3)) == 1)
+  }
+
+  test("incremental dedup drops batch docs whose fingerprint exists in corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "Hello  World"), (2L, "unrelated")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "hello world"),   // normalizes to a corpus fingerprint → dropped
+      (11L, "brand new doc")).toDF("doc_id", "text")
+    val out = Corpus.dedupAgainstCorpus(batch, corpus, "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
+  test("quantization round-trips within scale/254 per element; zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantize(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(out(0).getDouble(1) == 1.0)               // scale = max |x|
+    assert(out(0).getLong(2) == (64 - 127 + 32))     // round(127*x/scale) per elem
+    // max per-element error is scale/254 → mse well under that squared
+    assert(out(0).getDouble(3) <= 1.0 / 254 / 254 + 1e-9)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getLong(2) == 0L
+      && out(1).getDouble(3) == 0.0)
+  }
+
   test("pii redaction replaces emails and phones, leaves the rest") {
     import spark.implicits._
     val df = Seq("mail bob.smith+x@sub.example.org and +1-555-123-4567 end",
