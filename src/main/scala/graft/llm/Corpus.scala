@@ -156,6 +156,55 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Split documents into overlapping token-window chunks (size
+    * `chunkTokens`, overlap `overlapTokens`) — the long-document step
+    * before embedding or context-window training. Chunk i covers
+    * tokens [i·stride+1, i·stride+chunkTokens], stride = size−overlap;
+    * documents at most one chunk long pass through whole.
+    *
+    * Pure columnar (`transform` over a per-doc `sequence` + one
+    * `posexplode`): no shuffle at all — chunking is embarrassingly
+    * parallel over the scan, and output order inside a document is the
+    * chunk index.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(overlapTokens < chunkTokens, "overlap must be < chunk size")
+    val stride = chunkTokens - overlapTokens
+    val ws = split(trim(col(textCol)), "\\s+")
+    val n = size(ws)
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(ceil((n - lit(overlapTokens)).cast("double") / stride).cast("long"))
+    docs.select(col(idCol), ws.as("ws"), nChunks.as("nc"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), col("nc") - 1),
+          i => slice(col("ws"), (i * stride + 1).cast("int"), lit(chunkTokens))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic source-mix resampling: keep each document with a
+    * per-source probability (`fractions`, else `defaultFrac`) decided
+    * by the same multiplicative id-hash as [[stratifiedSample]] — the
+    * data-mixture step that reweights corpus composition (e.g. keep
+    * 100% of books, 10% of common-crawl) reproducibly: membership is a
+    * pure function of the id, stable across engines, retries, and
+    * partitionings.
+    *
+    * Columnar filter, no shuffle; the mix map is a literal CASE.
+    */
+  def sourceMix(df: DataFrame, sourceCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFrac: Double): DataFrame = {
+    val frac = fractions.foldRight(lit(defaultFrac)) { case ((s, f), acc) =>
+      when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(
+      pmod(col(idCol) * lit(2654435761L), lit(1048576L)) <
+        frac * lit(1048576.0))
+  }
+
   /** Sequence packing: assign documents to context-window bins of at
     * most `budget` tokens (greedy next-fit in id order), the step that
     * turns a cleaned corpus into fixed-length training sequences.

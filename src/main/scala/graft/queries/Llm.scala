@@ -603,6 +603,36 @@ object Llm {
           .select("doc_id", "fp")
     },
 
+    // L6k — overlapping token-window chunking (8-token chunks, 2-token
+    // overlap → stride 6); last chunk clamps at the document end
+    QuerySpec.df("l28_chunk",
+      """with base as (select doc_id, string_split(text, ' ') as ws from documents),
+        |c as (select doc_id, ws,
+        |        case when len(ws) <= 8 then 1
+        |             else cast(ceil((len(ws) - 2) / 6.0) as bigint) end as nc
+        |      from base)
+        |select doc_id, i as chunk_idx,
+        |       cast(len(list_slice(ws, i*6 + 1, i*6 + 8)) as bigint) as chunk_tokens,
+        |       array_to_string(list_slice(ws, i*6 + 1, i*6 + 8), ' ') as chunk_text
+        |from (select doc_id, ws, unnest(range(0, nc)) as i from c)""".stripMargin) {
+      (s, d) =>
+        Corpus.chunkDocuments(Fixtures.table(s, d, "documents"),
+          "doc_id", "text", chunkTokens = 8, overlapTokens = 2)
+    },
+
+    // L6l — deterministic source-mix resampling: keep 100% of src0,
+    // 50% of src1, 10% of everything else by multiplicative id-hash
+    QuerySpec.df("l29_source_mix",
+      """select doc_id, source from documents
+        |where (doc_id * 2654435761) % 1048576 <
+        |  case source when 'src0' then 1.0 when 'src1' then 0.5 else 0.1 end
+        |    * 1048576""".stripMargin) {
+      (s, d) =>
+        Corpus.sourceMix(Fixtures.table(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5), defaultFrac = 0.1)
+          .select("doc_id", "source")
+    },
+
     // L6j — int8 embedding quantization: scale, quantized checksum, and
     // reconstruction MSE per vector
     QuerySpec.df("l27_quantize",

@@ -270,6 +270,35 @@ class LlmSpec extends SparkSpec {
       && out(1).getDouble(3) == 0.0)
   }
 
+  test("chunking covers every token with the declared overlap; short docs pass whole") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(df, "doc_id", "text", 8, 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getString(3)).toSeq ==
+      Seq("a b c d e f g h", "g h i j")) // stride 6, last clamps
+    assert(d1.map(_.getLong(2)).toSeq == Seq(8L, 4L))
+    assert(out.filter(_.getLong(0) == 2L).map(_.getString(3)).toSeq == Seq("x y"))
+    // every token of every doc appears in some chunk of that doc
+    val rebuilt = d1.flatMap(_.getString(3).split(" ")).toSet
+    assert(rebuilt == "a b c d e f g h i j".split(" ").toSet)
+  }
+
+  test("source mix keeps exact fractions at the extremes and is deterministic") {
+    val mixed = Corpus.sourceMix(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFrac = 0.1)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total0 = docs.filter(col("source") === "src0").count()
+    assert(bySrc("src0") == total0)          // frac 1.0 keeps everything
+    assert(!bySrc.contains("src1"))          // frac 0.0 keeps nothing
+    val again = Corpus.sourceMix(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFrac = 0.1)
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
   test("pii redaction replaces emails and phones, leaves the rest") {
     import spark.implicits._
     val df = Seq("mail bob.smith+x@sub.example.org and +1-555-123-4567 end",
