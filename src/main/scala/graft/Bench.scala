@@ -38,7 +38,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q01,l02 restricts to a subset (scaling probes /
+    // local iteration); unset = the full driver contract set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val specs = SparkEntry.registry.filterNot(q => excluded(q.name))
+      .filter(q => only.forall(_(q.name)))
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
