@@ -221,6 +221,33 @@ object Similarity {
       .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
   }
 
+  /** Embedding near-dup clusters: [[nearDupPairs]] (sign-LSH prefilter
+    * + exact-cosine verify) → connected components — the embedding-side
+    * analogue of `TextDedup.nearDupClusters`. Returns (`id`,
+    * `component`) for every vector in at least one near-dup pair;
+    * `component` = min id of its cluster. Same scale shape: candidate
+    * generation is bucketed, components run O(log diameter) rounds.
+    */
+  def embedNearDupClusters(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame =
+    graft.operators.ConnectedComponents.run(
+      nearDupPairs(emb, idCol, vecCol, minCos), "id_a", "id_b")
+
+  /** Collapse embedding near-duplicates: keep the min-id survivor per
+    * cluster plus every unpaired vector (anti-join against the small
+    * loser set only — the corpus never rewrites).
+    */
+  def dropEmbedNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val clusters = embedNearDupClusters(emb, idCol, vecCol, minCos)
+    val losers = clusters.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    clusters.unpersist()
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * path for an ANN index over 100 TB of vectors (4× smaller than
     * float32, 8× smaller than the double working form). Per vector:

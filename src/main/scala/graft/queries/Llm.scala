@@ -402,6 +402,78 @@ object Llm {
           "vec_id", "embedding", minCos = 0.99)
     },
 
+    // L2d'' — embedding near-dup CLUSTERS over the planted corpus
+    // (sign-LSH pairs → connected components); oracle: exact all-pairs
+    // + recursive-CTE transitive closure, as l13 does for text
+    QuerySpec.df("l30_embed_clusters",
+      s"""with recursive corpus as (
+         |  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+         |  from embeddings
+         |  union all
+         |  select src_id + 100000 as vec_id,
+         |    [embedding[i] * (1 + 0.01 * (((src_id * 31 + i * 17) % 7) - 3))
+         |     for i in range(1, len(embedding) + 1)] as v
+         |  from (select vec_id as src_id, embedding from embeddings where vec_id < 100)
+         |),
+         |pairs as (
+         |  select a.vec_id as id_a, b.vec_id as id_b
+         |  from corpus a join corpus b on b.vec_id > a.vec_id
+         |  where ${duckDot.format("a.v", "b.v")} /
+         |        (${duckNorm("a.v")} * ${duckNorm("b.v")}) >= 0.99
+         |),
+         |edges as (select id_a as src, id_b as dst from pairs
+         |          union select id_b as src, id_a as dst from pairs),
+         |reach(v, r) as (
+         |  select src, src from edges
+         |  union
+         |  select e.src, reach.r from edges e join reach on reach.v = e.dst
+         |)
+         |select v as vec_id, min(r) as cluster from reach group by v""".stripMargin) {
+      (s, d) =>
+        Similarity.embedNearDupClusters(
+          plantedCorpus(Fixtures.table(s, d, "embeddings")),
+          "vec_id", "embedding", minCos = 0.99)
+          .select(col("id").as("vec_id"), col("component").as("cluster"))
+    },
+
+    // L2d''' — the embedding collapse: min-id survivor per cluster plus
+    // every unpaired vector
+    QuerySpec.df("l31_embed_collapse",
+      s"""with recursive corpus as (
+         |  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+         |  from embeddings
+         |  union all
+         |  select src_id + 100000 as vec_id,
+         |    [embedding[i] * (1 + 0.01 * (((src_id * 31 + i * 17) % 7) - 3))
+         |     for i in range(1, len(embedding) + 1)] as v
+         |  from (select vec_id as src_id, embedding from embeddings where vec_id < 100)
+         |),
+         |pairs as (
+         |  select a.vec_id as id_a, b.vec_id as id_b
+         |  from corpus a join corpus b on b.vec_id > a.vec_id
+         |  where ${duckDot.format("a.v", "b.v")} /
+         |        (${duckNorm("a.v")} * ${duckNorm("b.v")}) >= 0.99
+         |),
+         |edges as (select id_a as src, id_b as dst from pairs
+         |          union select id_b as src, id_a as dst from pairs),
+         |reach(v, r) as (
+         |  select src, src from edges
+         |  union
+         |  select e.src, reach.r from edges e join reach on reach.v = e.dst
+         |),
+         |losers as (
+         |  select v from (select v, min(r) as cluster from reach group by v)
+         |  where v <> cluster
+         |)
+         |select vec_id from corpus
+         |where vec_id not in (select v from losers)""".stripMargin) {
+      (s, d) =>
+        Similarity.dropEmbedNearDuplicates(
+          plantedCorpus(Fixtures.table(s, d, "embeddings")),
+          "vec_id", "embedding", minCos = 0.99)
+          .select("vec_id")
+    },
+
     // L5b — per-partition feature-extraction plumbing (decode STUBBED;
     // deterministic fake features → rows-only)
     QuerySpec.unchecked("l10b_multimodal_features") { (s, d) =>

@@ -270,6 +270,20 @@ class LlmSpec extends SparkSpec {
       && out(1).getDouble(3) == 0.0)
   }
 
+  test("embedding clusters pair each planted copy with its source; collapse drops exactly the copies") {
+    val corpus = graft.queries.Llm.plantedCorpus(emb)
+    val clusters = Similarity.embedNearDupClusters(corpus, "vec_id", "embedding", 0.99)
+    val m = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 200) // 100 planted pairs, no false pairs among noise
+    (0L until 100L).foreach { i =>
+      assert(m(i) == i && m(i + 100000L) == i) // min-id source is the survivor
+    }
+    val survivors = Similarity.dropEmbedNearDuplicates(corpus, "vec_id", "embedding", 0.99)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(survivors.length == emb.count())    // every original survives
+    assert(!survivors.exists(_ >= 100000L))    // every planted copy dropped
+  }
+
   test("chunking covers every token with the declared overlap; short docs pass whole") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
