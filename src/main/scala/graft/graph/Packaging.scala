@@ -34,12 +34,15 @@ object Packaging {
   /** Files to ship: walk skipping VCS/build dirs and junk files. */
   private[graph] def contents(dir: Path): Seq[Path] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def walk(d: Path): Unit =
-      Files.list(d).iterator().asScala.toSeq.sortBy(_.toString).foreach { p =>
+    def walk(d: Path): Unit = {
+      val stream = Files.list(d) // must close: each list() holds a dir handle
+      val children = try stream.iterator().asScala.toSeq finally stream.close()
+      children.sortBy(_.toString).foreach { p =>
         if (Files.isDirectory(p)) {
           if (!ignoreDirs(p.getFileName.toString)) walk(p)
         } else if (!ignoreFile(p.getFileName.toString)) out += p
       }
+    }
     walk(dir)
     out.toSeq
   }

@@ -124,6 +124,47 @@ object StreamingBridge {
     }.reverse
   }
 
+  /** Streaming corpus ingestion with incremental exact dedup: each
+    * micro-batch first collapses its own duplicate fingerprints, then
+    * drops rows whose normalized-text fingerprint already exists in the
+    * corpus table, and appends the survivors — the streaming form of
+    * `Corpus.dedupAgainstCorpus`, keeping a growing corpus
+    * duplicate-free without ever re-deduplicating history. AvailableNow
+    * + checkpoint give exactly-once ingestion of the staging files;
+    * re-invoking with the same checkpoint resumes where the last drain
+    * stopped.
+    *
+    * Scale: per batch the corpus side reduces to distinct 16-byte
+    * fingerprints (map-side combine) for the anti-join; batch size is
+    * bounded by `maxFilesPerTrigger` upstream.
+    */
+  def dedupedIngest(spark: SparkSession, catalog: Catalog, staging: String,
+      corpus: TableHandle, textCol: String, checkpointRoot: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val stream = readStream(spark, catalog, staging, maxFilesPerTrigger)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$checkpointRoot/_checkpoints/ingest_${corpus.name}")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fp = graft.llm.TextAnalysis.fingerprint(col(textCol))
+        val inBatch = batch.withColumn("fp", fp)
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")
+              .orderBy(batch.columns.map(col): _*)))
+          .filter(col("_rn") === 1).drop("_rn", "fp")
+        val fresh =
+          if (corpus.exists)
+            graft.llm.Corpus.dedupAgainstCorpus(inBatch, corpus.read, textCol)
+              .drop("fp")
+          else inBatch
+        corpus.append(fresh)
+        corpus.flush()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming query into a new version of `outTable` using
     * AvailableNow (process-everything-then-stop — the streaming
     * equivalent of the reference's run-to-completion node execution).

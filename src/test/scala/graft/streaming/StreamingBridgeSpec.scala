@@ -181,4 +181,29 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(!step.matches(LocalDateTime.of(2026, 1, 2, 8, 30)))
     intercept[IllegalArgumentException](graft.graph.Cron("* * *"))
   }
+
+  test("deduped streaming ingest: within-batch, against-corpus, and exactly-once across drains") {
+    import spark.implicits._
+    val root = tmpDir("dedup-ingest")
+    val cat = new Catalog(root)
+    val staging = new TableHandle(spark, cat, "staging")
+    val corpus = new TableHandle(spark, cat, "corpus")
+    // batch 1: one in-batch duplicate pair (same normalized text)
+    staging.append(Seq(
+      (1L, "alpha beta gamma"), (2L, "Alpha  Beta   GAMMA"),
+      (3L, "wholly distinct")).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.dedupedIngest(spark, cat, "staging", corpus, "text", root)
+    assert(corpus.read.count() == 2) // in-batch dup collapsed
+    // batch 2: a dup of corpus content, plus one genuinely new doc
+    staging.append(Seq(
+      (4L, "alpha beta gamma"), (5L, "brand new")).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.dedupedIngest(spark, cat, "staging", corpus, "text", root)
+    val after = corpus.read
+    assert(after.count() == 3) // batch-1 files NOT reprocessed (checkpoint), dup dropped
+    assert(after.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L) || after.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 5L))
+  }
 }
