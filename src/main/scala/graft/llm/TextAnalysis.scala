@@ -157,6 +157,27 @@ object TextAnalysis {
       .select(col(idCol), col("w").as("term"), col("score"), col("rank"))
   }
 
+  /** Per-group corpus summary (the "describe" of a training corpus):
+    * document count, token totals/averages, exact p50/p90 token
+    * counts, average char length — the dataset-card numbers a curation
+    * pipeline reports per source/language/shard.
+    *
+    * One hash-aggregation; the exact percentiles sort only each
+    * group's token-count column (a long per doc), not documents.
+    */
+  def corpusStats(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(groupCol),
+        tokenCount(col(textCol)).cast("long").as("nt"),
+        length(col(textCol)).cast("long").as("nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("total_tokens"),
+        round(avg("nt"), 4).as("avg_tokens"),
+        expr("cast(percentile(nt, 0.5) as double)").as("p50_tokens"),
+        expr("cast(percentile(nt, 0.9) as double)").as("p90_tokens"),
+        round(avg("nc"), 4).as("avg_chars"))
+
   /** Per-document token (Shannon) entropy in bits — a vocabulary-
     * diversity quality signal: repetitive or templated text scores low,
     * natural prose high. Aggregation-shaped (explode → per-(doc, token)

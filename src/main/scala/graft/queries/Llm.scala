@@ -402,6 +402,23 @@ object Llm {
           "vec_id", "embedding", minCos = 0.99)
     },
 
+    // L6m — per-source corpus summary stats (dataset-card numbers):
+    // doc counts, token totals, exact p50/p90 token counts
+    QuerySpec.df("l32_corpus_stats",
+      s"""select source, count(*) as n_docs,
+         |  cast(sum(nt) as bigint) as total_tokens,
+         |  round(avg(nt), 4) as avg_tokens,
+         |  cast(quantile_cont(nt, 0.5) as double) as p50_tokens,
+         |  cast(quantile_cont(nt, 0.9) as double) as p90_tokens,
+         |  round(avg(nc), 4) as avg_chars
+         |from (select source, len($duckWords) as nt, length(text) as nc
+         |      from documents)
+         |group by source""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.corpusStats(
+          Fixtures.table(s, d, "documents"), "source", "text")
+    },
+
     // L2d'' — embedding near-dup CLUSTERS over the planted corpus
     // (sign-LSH pairs → connected components); oracle: exact all-pairs
     // + recursive-CTE transitive closure, as l13 does for text

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+/** Property suites for the corpus operators: chunk coverage/overlap,
+  * packing partition/budget invariants, source-mix determinism —
+  * randomized over document shapes the fixtures don't exercise
+  * (empty-ish, single-token, chunk-boundary-aligned lengths).
+  */
+object CorpusProperties extends Properties("graft.llm.corpus") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.SparkSpec.session
+  import spark.implicits._
+
+  // documents of 1..40 single-char tokens (token text irrelevant to the
+  // operators under test; lengths are what matter)
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1, 40)).map(_.zipWithIndex.map {
+      case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" "))
+    })
+
+  private val chunkParams: Gen[(Int, Int)] = for {
+    c <- Gen.chooseNum(2, 12)
+    o <- Gen.chooseNum(0, c - 1)
+  } yield (c, o)
+
+  property("chunking: count matches formula, sizes bounded, every token covered") =
+    forAll(docsGen, chunkParams) { case (docs, (c, o)) =>
+      val df = docs.toDF("doc_id", "text")
+      val out = Corpus.chunkDocuments(df, "doc_id", "text", c, o)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      docs.forall { case (id, text) =>
+        val n = text.split(" ").length
+        val stride = c - o
+        val expect = if (n <= c) 1L else math.ceil((n - o).toDouble / stride).toLong
+        val chunks = out(id).sortBy(_._2)
+        chunks.length == expect &&
+          chunks.forall(_._3 <= c) &&                     // no chunk over size
+          chunks.init.forall(_._3 == c) &&                // only the last is short
+          // coverage: last chunk reaches the final token
+          (expect - 1) * stride + chunks.last._3 == n
+      }
+    }
+
+  property("packing: every doc once, bins within budget, non-oversize bins nonempty") =
+    forAll(docsGen, Gen.chooseNum(5, 50)) { (docs, budget) =>
+      val df = docs.toDF("doc_id", "text")
+      val packed = Corpus.packSequences(df, "doc_id", "text", budget)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      val everyOnce = packed.length == docs.length &&
+        packed.map(_._1).distinct.length == docs.length
+      val binsOk = packed.filterNot(_._4).groupBy(_._3).values
+        .forall(_.map(_._2).sum <= budget)
+      // an oversize doc must sit alone in its bin
+      val oversizeAlone = packed.filter(_._4).map(_._3).forall(b =>
+        packed.count(_._3 == b) == 1)
+      everyOnce && binsOk && oversizeAlone
+    }
+
+  property("source mix: membership is a pure function of the id") =
+    forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (fa, fb) =>
+      val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+        .toDF("doc_id", "source")
+      def run() = Corpus.sourceMix(df, "source", "doc_id",
+        Map("a" -> fa), defaultFrac = fb)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val first = run()
+      // repartitioned input selects the identical membership
+      val second = Corpus.sourceMix(df.repartition(7), "source", "doc_id",
+        Map("a" -> fa), defaultFrac = fb)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      first == second
+    }
+}
