@@ -83,11 +83,23 @@ final class Catalog(val root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def update(name: String)(f: TableMeta => TableMeta): TableMeta = {
-    val m = f(metaOrFresh(name))
-    putMeta(m)
-    m
-  }
+  // Per-table lock: update() is read-modify-write on the meta file, so
+  // two concurrent updates to the SAME table would lose one (reachable
+  // since graph waves run independent nodes concurrently — e.g. a
+  // declared producer racing an out-of-band writer). Different tables
+  // never contend. Single-JVM driver is this engine's contract; a
+  // multi-driver deployment would swap this for a file lease.
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(name: String): Object =
+    tableLocks.computeIfAbsent(name, _ => new Object)
+
+  def update(name: String)(f: TableMeta => TableMeta): TableMeta =
+    lockFor(name).synchronized {
+      val m = f(metaOrFresh(name))
+      putMeta(m)
+      m
+    }
 
   /** Allocate a new (not yet active) version directory id; also used as
     * the batch sequence for the strictly-monotonic id (node.py:291-294).

@@ -129,6 +129,13 @@ final class GraphRunner(
     val producers = flatNodes.flatMap { case (id, f, _) =>
       f.outputs.values.map(_ -> id) ++ f.webhook.map(_ -> id)
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // one producer per store: two writers were silent last-wins under
+    // serial execution, but waves run independent nodes concurrently —
+    // make the ambiguity a compile error like the platform does
+    producers.foreach { case (store, ids) =>
+      if (ids.size > 1)
+        errors += s"store '$store' has multiple producers: ${ids.sorted.mkString(", ")}"
+    }
     val adj = flatNodes.map { case (id, f, _) =>
       id -> f.inputs.values.flatMap(producers.getOrElse(_, Nil)).toSet
     }.toMap

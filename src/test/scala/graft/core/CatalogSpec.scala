@@ -49,4 +49,16 @@ class CatalogSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(cat.versionPath("t", v1))))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(cat.versionPath("t", v2))))
   }
+
+  test("concurrent batch sequences are unique across threads (per-table lock)") {
+    val cat = new Catalog(tmpDir("cat-conc"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val seqs = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val futs = (1 to 8).map(_ => pool.submit(new Runnable {
+      def run(): Unit = (1 to 50).foreach(_ => seqs.add(cat.nextBatchSeq("t")))
+    }))
+    futs.foreach(_.get())
+    pool.shutdown()
+    assert(seqs.size == 400) // read-modify-write never lost an update
+  }
 }

@@ -410,4 +410,27 @@ class GraphRunnerSpec extends SparkSpec {
     assert(runner.dueNodes(java.time.LocalDateTime.of(2026, 1, 1, 5, 1)) == Seq("hourly01"))
     assert(runner.dueNodes(java.time.LocalDateTime.of(2026, 1, 1, 5, 2)).isEmpty)
   }
+
+  test("two producers of one store is a compile error (waves would race)") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: a.sql
+        |    id: writera1
+        |    inputs: {src: src}
+        |    outputs: {out: shared}
+        |  - node_file: b.sql
+        |    id: writerb1
+        |    inputs: {src: src}
+        |    outputs: {out: shared}
+        |stores:
+        |  - table: src
+        |  - table: shared
+        |""".stripMargin)
+    write(dir, "a.sql", "select 1 as one from {{ src }}")
+    write(dir, "b.sql", "select 2 as two from {{ src }}")
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    val errs = runner.validate()
+    assert(errs.exists(_.contains("multiple producers")), errs.mkString("; "))
+  }
 }
