@@ -95,6 +95,25 @@ final class TableHandle(
         java.util.Collections.emptyList[Row](), StructType.fromDDL(ddl))
   }
 
+  /** Retained version ids, oldest first, with record counts — versions
+    * are non-destructive (node.py:399-405) until `vacuum`.
+    */
+  def versions: Seq[(String, Long)] =
+    catalog.meta(name).map(_.versions.map(v => (v.id, v.recordCount)))
+      .getOrElse(Nil)
+
+  /** Time-travel read of a retained (possibly non-active) version.
+    * Version directories are immutable once written, so this reads
+    * consistently regardless of later swaps — the audit/rollback
+    * companion of the versioned catalog.
+    */
+  def readVersion(versionId: String): DataFrame = {
+    val p = catalog.versionPath(name, versionId)
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      s"table '$name' has no retained version '$versionId'")
+    spark.read.parquet(p)
+  }
+
   /** records format = driver-side convenience façade only (never used on
     * the distributed path — SURVEY.md §7.4.6).
     */

@@ -309,15 +309,22 @@ final class GraphRunner(
     * parse with Spark's JSON inference, stamp the request key the
     * respond contract is keyed on (node.py:544-553).
     */
+  private val ingestLock = new Object
   def ingestWebhookJson(name: String, jsonBodies: Seq[String],
       requestKey: String): Unit = {
     import spark.implicits._
     val df = spark.read.json(jsonBodies.toDS())
       .withColumn("patterns_request_key",
         org.apache.spark.sql.functions.lit(requestKey))
-    val h = tableHandle(name)
-    h.append(df)
-    h.flush()
+    // serialize ingest+propagate (concurrent FIRST writes would race
+    // version creation: two newVersion/setActive pairs, last one wins
+    // and the other's rows land in a non-active version); response
+    // POLLING stays concurrent — that is what the server pool buys
+    ingestLock.synchronized {
+      val h = tableHandle(name)
+      h.append(df)
+      h.flush()
+    }
   }
 
   /** Response row for a request key, as a JSON object with the key
@@ -364,7 +371,10 @@ final class GraphRunner(
   /** Run dependents of stores changed since the last call (one signal
     * wave — G4); returns the node ids that ran.
     */
-  def propagateOnce(): Seq[String] = {
+  def propagateOnce(): Seq[String] = ingestLock.synchronized {
+    // serialized with ingest: two concurrent signal drains would each
+    // run the same dependents (double processing) or lose a signal
+    // cleared by the other
     val changed = changedStores.toSet
     changedStores.clear()
     val dependents = topoOrder.filter { id =>

@@ -37,14 +37,20 @@ final class WebhookServer(runner: GraphRunner, port: Int = 0,
           respond(ex, 500, s"""{"error":${jsonStr(e.getMessage)}}""")
       } finally ex.close()
   })
-  server.setExecutor(null) // serial dispatch: one Spark write at a time
+  // Small pool, not serial dispatch: a `?wait=true` client polling for
+  // its response must not block other posts (including the one whose
+  // downstream run produces that response). Concurrent ingests to one
+  // table are safe: batch sequences and meta updates serialize behind
+  // the catalog's per-table lock.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
   server.start()
 
   /** Bound port (pass port=0 to let the OS pick a free one). */
   def boundPort: Int = server.getAddress.getPort
   def url(name: String): String = s"http://127.0.0.1:$boundPort/webhooks/$name"
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def route(ex: HttpExchange): Unit = {
     val name = ex.getRequestURI.getPath.stripPrefix("/webhooks/").takeWhile(_ != '/')

@@ -383,4 +383,17 @@ class TableHandleSpec extends SparkSpec {
     val r = new TableHandle(spark, new Catalog(root), "t", "r")
     intercept[IllegalArgumentException](r.append(Seq(2L).toDF("id")))
   }
+
+  test("time travel: a replaced-away version stays readable until vacuum") {
+    import spark.implicits._
+    val h = handle(tmpDir("tt"))
+    h.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")); h.flush()
+    val v1 = h.versions.last._1
+    h.replace(Seq((9L, "z")).toDF("k", "v")); h.flush()
+    assert(h.read.count() == 1)                      // active = replacement
+    assert(h.readVersion(v1).count() == 2)           // history intact
+    assert(h.versions.map(_._1).contains(v1))
+    val e = intercept[IllegalArgumentException](h.readVersion("v99999999"))
+    assert(e.getMessage.contains("no retained version"))
+  }
 }

@@ -113,4 +113,29 @@ class WebhookServerSpec extends SparkSpec {
     assert(runner.tableHandle("outa").read.count() == 1)
     assert(runner.tableHandle("outb").read.count() == 1)
   }
+
+  test("concurrent posts all land exactly once (pooled dispatch, serialized ingest)") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - webhook: hook
+        |stores: []
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    val server = new WebhookServer(runner)
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val futs = (1 to 12).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = post(server.url("hook"), s"""{"n":$i}""").statusCode()
+        })
+      }
+      assert(futs.map(_.get()).forall(_ == 202))
+      pool.shutdown()
+      val rows = runner.tableHandle("hook").read
+      assert(rows.count() == 12)
+      assert(rows.select("n").collect().map(_.getLong(0)).sorted.toSeq == (1L to 12L))
+      assert(rows.select("patterns_request_key").distinct().count() == 12)
+    } finally server.stop()
+  }
 }
