@@ -120,16 +120,9 @@ object Similarity {
     * the standard IVF trade (raise nProbe for recall, nCentroids for
     * selectivity; at 1e9+ vectors use √n centroids).
     *
-    * Quantizer training: deterministic seed sample (lowest xxhash64 of
-    * the id — no RNG, stable across runs/partitionings) refined by
-    * `lloydIters` rounds of assign + `VectorAvg` (map-side partial
-    * aggregation; one (dim+1)-double buffer per cell per partition).
-    * Partial-buffer MERGE order is not fixed, so refined means can
-    * wobble in the low double bits between runs; coordinates round to
-    * 1e-9 before normalization, so only a vector scoring two centroids
-    * identically to ~1e-9 could flip cells. Centroids collect to the
-    * driver — they ARE the coarse quantizer and stay small by design;
-    * corpus and queries never do.
+    * Quantizer training: [[trainIvfCentroids]] (deterministic, driver-
+    * held coarse quantizer — it IS the index and stays small by design;
+    * corpus and queries never collect).
     *
     * Corpus side expects `array<float>` vectors (the storage format);
     * cell assignment runs in the codegen'd NearestCells kernel.
@@ -139,6 +132,41 @@ object Similarity {
       qId: String, cId: String, qVec: String, cVec: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2): DataFrame = {
+    import graft.functions.Ivf
+    val centroids = trainIvfCentroids(corpus, cId, cVec, nCentroids, lloydIters)
+    val c = corpus.withColumn("_ivf_cell",
+      element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
+    val q = queries.withColumn("_ivf_cell",
+      explode(Ivf.nearestCells(col(qVec), centroids, nProbe)))
+    // a corpus row lives in exactly one cell → each (query, corpus)
+    // pair meets at most once; no distinct needed (unlike LSH probing)
+    val pairs = q.join(c, "_ivf_cell")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      // NaN cosines (corrupt vectors) must not outrank real neighbors:
+      // Spark's descending sort orders NaN above every double
+      .filter(!isnan(col("cos")))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(round(col("cos"), 6).desc, col(cId).asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+
+  /** Coarse-quantizer training for the IVF family (shared by [[ivfTopK]]
+    * and [[ivfPqTopK]]): deterministic seed sample (lowest xxhash64 of
+    * the id — no RNG, stable across runs/partitionings) refined by
+    * `lloydIters` rounds of assign + `VectorAvg` (map-side partial
+    * aggregation; one (dim+1)-double buffer per cell per partition).
+    * Partial-buffer MERGE order is not fixed, so refined means can
+    * wobble in the low double bits between runs; coordinates round to
+    * 1e-9 before normalization, so only a vector scoring two centroids
+    * identically to ~1e-9 could flip cells. Centroids collect to the
+    * driver — they ARE the coarse quantizer and stay small by design;
+    * the corpus never does.
+    */
+  def trainIvfCentroids(corpus: DataFrame, cId: String, cVec: String,
+      nCentroids: Int, lloydIters: Int): Array[Array[Double]] = {
     import graft.functions.Ivf
     def collectCentroids(df: DataFrame, vecCol: String): Array[Array[Double]] =
       df.select(vecCol).collect().map(_.getSeq[Any](0).toArray.map {
@@ -161,21 +189,73 @@ object Similarity {
       centroids = Ivf.normalize(centroids.indices.map(i =>
         byCell.getOrElse(i, centroids(i))).toArray)
     }
-    val c = corpus.withColumn("_ivf_cell",
-      element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
-    val q = queries.withColumn("_ivf_cell",
+    centroids
+  }
+
+  /** IVF + int8 scan + exact rerank — the memory-bounded ANN scale path
+    * (the IVF-ADC pattern from the FAISS/product-quantization
+    * literature, with a per-vector symmetric int8 code instead of a PQ
+    * codebook): the probe scan reads a compact index of (id, cell,
+    * int8 code) — 4× smaller than the float32 corpus, 8× smaller than
+    * the double working form, which at 100 TB of vectors is the
+    * difference between an in-memory candidate scan and a spill — and
+    * only the `rerankFactor × k` quantized survivors per query fetch
+    * their full-precision vectors for exact-cosine reranking.
+    *
+    * Cosine is scale-invariant, so ranking on the raw int8 code needs
+    * no stored scale (cos(q, code·s/127) = cos(q, code)) — the index
+    * row is just the id, the cell, and dim bytes. Quantization error
+    * perturbs each element by ≤ scale/254, so quantized cosines sit
+    * within ~1% of exact for unit-ish vectors: ordering flips happen
+    * only between near-tied candidates, which is exactly what the
+    * exact rerank repairs.
+    *
+    * Same probe shape as [[ivfTopK]]: a corpus row lives in exactly one
+    * cell, so no distinct is needed; per query the quantized scan
+    * touches nProbe/nCentroids of the index, and the full-precision
+    * fetch is a join on O(queries × rerankFactor × k) ids — never the
+    * corpus.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, rerankFactor: Int = 4): DataFrame = {
+    import graft.functions.Ivf
+    val centroids = trainIvfCentroids(corpus, cId, cVec, nCentroids, lloydIters)
+    val vd = transform(col(cVec), x => x.cast("double"))
+    val scale = array_max(transform(vd, a => abs(a)))
+    // the compact index: id, cell, int8 code — nothing else
+    val index = corpus
+      .withColumn("_pq_cell",
+        element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
+      .withColumn("_pq_code", when(scale === 0.0,
+          transform(vd, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(vd,
+          x => round(x * lit(127.0) / scale).cast("tinyint"))))
+      .select(col(cId), col("_pq_cell"), col("_pq_code"))
+    val probes = queries.withColumn("_pq_cell",
       explode(Ivf.nearestCells(col(qVec), centroids, nProbe)))
-    // a corpus row lives in exactly one cell → each (query, corpus)
-    // pair meets at most once; no distinct needed (unlike LSH probing)
-    val pairs = q.join(c, "_ivf_cell")
-      .filter(col(qId) =!= col(cId))
+    val shortlist = {
+      val cand = probes.join(index, "_pq_cell")
+        .filter(col(qId) =!= col(cId))
+        .withColumn("acos",
+          cosine(col(qVec), col("_pq_code").cast("array<double>")))
+        .filter(!isnan(col("acos"))) // NaN sorts above every double desc
+      val w = Window.partitionBy(col(qId))
+        .orderBy(round(col("acos"), 6).desc, col(cId).asc)
+      cand.withColumn("_pq_rk", row_number().over(w))
+        .filter(col("_pq_rk") <= k * rerankFactor)
+        .select(col(qId), col(cId), col(qVec))
+    }
+    // exact rerank: only the shortlist fetches full-precision vectors
+    val rer = shortlist
+      .join(corpus.select(col(cId), col(cVec)), cId)
       .withColumn("cos", cosine(col(qVec), col(cVec)))
-      // NaN cosines (corrupt vectors) must not outrank real neighbors:
-      // Spark's descending sort orders NaN above every double
       .filter(!isnan(col("cos")))
     val w = Window.partitionBy(col(qId))
       .orderBy(round(col("cos"), 6).desc, col(cId).asc)
-    pairs.withColumn("rk", row_number().over(w))
+    rer.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
   }

@@ -157,6 +157,78 @@ object TextAnalysis {
       .select(col(idCol), col("w").as("term"), col("score"), col("rank"))
   }
 
+  /** Corpus-level top-k n-gram frequency table — the vocabulary/
+    * boilerplate census a curation pipeline runs before choosing
+    * filters (the most frequent n-grams ARE the navigation chrome and
+    * template mass). One row per surviving n-gram with its total
+    * occurrence count and document frequency; rank is dense over
+    * (occurrences desc, gram asc) so the output is deterministic.
+    *
+    * Scale shape: contiguous n-grams explode straight off the scan
+    * (no shuffle), then ONE hash aggregation on the gram (map-side
+    * combine absorbs within-doc repeats for the doc-frequency count via
+    * the two-level groupBy), and the global top-k is a single-column
+    * sort of the vocabulary-sized aggregate — never the corpus. At
+    * 100 TB the aggregate is bounded by distinct grams, and a
+    * frequency floor (`minCount`) cuts the long tail before the sort.
+    */
+  def ngramTopK(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(trim(col(textCol)), "\\s+")
+    val grams = docs
+      .select(col(idCol), explode(when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => array_join(slice(ws, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val perDoc = grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val totals = perDoc.groupBy("gram")
+      .agg(sum("c").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+    val w = Window.orderBy(col("n_occurrences").desc, col("gram"))
+    totals.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Gopher-rule quality filter (Rae et al. 2021, §A1.1): the published
+    * heuristic gates for pretraining text, each surfaced as a signal
+    * plus the composite `keep` verdict —
+    * word count within [minWords, maxWords], mean word length within
+    * [3, 10], symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥ 80% of
+    * words containing an alphabetic character, and at least
+    * `minStopwords` hits on the required-stopword list.
+    *
+    * Pure column expressions (codegen'd, no shuffle): the filter is a
+    * scan-time verdict at any corpus size.
+    */
+  def gopherFilter(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val ws = words(text)
+    val nW = tokenCount(text).cast("long")
+    val meanLen = round(avgWordLen(text), 4)
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val symbolRatio = round(symbols.cast("double") /
+      greatest(nW, lit(1L)).cast("double"), 4)
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val alphaWordRatio = round(alphaWords.cast("double") /
+      greatest(nW, lit(1L)).cast("double"), 4)
+    val stopHits = stopwordHits(text, "en")
+    docs.select(col(idCol),
+      nW.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaWordRatio.as("alpha_word_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      (nW.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 &&
+        alphaWordRatio >= 0.8 &&
+        stopHits >= minStopwords).as("keep"))
+  }
+
   /** Per-group corpus summary (the "describe" of a training corpus):
     * document count, token totals/averages, exact p50/p90 token
     * counts, average char length — the dataset-card numbers a curation

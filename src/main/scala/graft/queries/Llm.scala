@@ -746,6 +746,80 @@ object Llm {
         Similarity.quantize(Fixtures.table(s, d, "embeddings"), "vec_id", "embedding")
     },
 
+    // L6n — corpus-level bigram census: top-20 bigrams by occurrence
+    // count with document frequency (the boilerplate/template survey a
+    // pipeline runs before choosing filters)
+    QuerySpec.df("l33_ngram_topk",
+      """with base as (
+        |  select doc_id, string_split_regex(trim(text), '\s+') as ws
+        |  from documents where length(trim(text)) > 0
+        |),
+        |g as (
+        |  select doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |                         for i in range(1, len(ws))]) as gram
+        |  from base where len(ws) >= 2
+        |),
+        |pd as (select doc_id, gram, count(*) as c from g group by 1, 2),
+        |t as (select gram, cast(sum(c) as bigint) as n_occurrences,
+        |             count(*) as n_docs from pd group by 1)
+        |select gram, n_occurrences, n_docs, rank from (
+        |  select *, row_number() over (
+        |    order by n_occurrences desc, gram) as rank from t)
+        |where rank <= 20""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.ngramTopK(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", n = 2, k = 20)
+    },
+
+    // L4f — Gopher-rule quality gates (word count, mean word length,
+    // symbol ratio, alpha-word fraction, stopword hits) + the composite
+    // keep verdict; minWords relaxed to 5 so the fixture corpus splits
+    // non-trivially
+    QuerySpec.df("l34_gopher_filter",
+      {
+        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
+        s"""select doc_id, n_words, mean_word_len, symbol_ratio,
+           |       alpha_word_ratio, stop_hits,
+           |       (n_words between 5 and 100000
+           |        and mean_word_len between 3 and 10
+           |        and symbol_ratio <= 0.1
+           |        and alpha_word_ratio >= 0.8
+           |        and stop_hits >= 2) as keep
+           |from (
+           |  select doc_id,
+           |    cast(nw as bigint) as n_words,
+           |    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 /
+           |      greatest(nw, 1), 4) as mean_word_len,
+           |    round(len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 /
+           |      greatest(nw, 1), 4) as symbol_ratio,
+           |    round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 /
+           |      greatest(nw, 1), 4) as alpha_word_ratio,
+           |    cast(len(list_intersect(list_distinct(ws), [$stops])) as bigint)
+           |      as stop_hits
+           |  from (select doc_id, text,
+           |          string_split_regex(trim(text), '\\s+') as ws,
+           |          case when length(trim(text)) = 0 then 0
+           |               else len(string_split_regex(trim(text), '\\s+')) end as nw
+           |        from documents))""".stripMargin
+      }) {
+      (s, d) =>
+        TextAnalysis.gopherFilter(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", minWords = 5L)
+    },
+
+    // L3e — IVF + int8 quantized scan + exact rerank (the memory-bounded
+    // ANN scale path: the probe scan reads a 4×-smaller index, only
+    // shortlist survivors fetch full-precision vectors); approximate by
+    // design → rows-only, planted-recall property in LlmSpec
+    QuerySpec.unchecked("l35_ivfpq_ann") { (s, d) =>
+      val emb = Fixtures.table(s, d, "embeddings")
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "q_id", "c_id", "q_vec", "c_vec", k = 5)
+    },
+
     // L5c — REAL image decode (javax.imageio): each doc gets an actual
     // PNG payload with planted dims (w = id%16+1, h = id*7%16+1); Spark
     // round-trips encode → header-only metadata decode; the oracle

@@ -119,6 +119,61 @@ class LlmSpec extends SparkSpec {
     assert(top.collect().map(_.toString).sorted.sameElements(again))
   }
 
+  test("IVF-PQ ANN: planted near-dup queries retrieve their originals through the int8 scan") {
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = graft.queries.Llm.plantedCorpus(emb)
+      .filter(col("vec_id") >= 100000L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.ivfPqTopK(queries, corpus,
+      "q_id", "c_id", "q_vec", "c_vec", k = 1)
+    val hits = top.filter(col("rk") === 1 && col("c_id") === col("q_id") - 100000L)
+      .count()
+    assert(hits >= 95, s"IVF-PQ recalled $hits/100 planted true nearest neighbors")
+    // quantization must not cost recall vs plain IVF on this corpus:
+    // the exact rerank repairs any near-tie the int8 scan flips
+    val again = Similarity.ivfPqTopK(queries, corpus,
+      "q_id", "c_id", "q_vec", "c_vec", k = 1)
+      .collect().map(_.toString).sorted
+    assert(top.collect().map(_.toString).sorted.sameElements(again))
+  }
+
+  test("ngram census counts occurrences and doc frequency with a total rank order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b c"),   // "a b"×2, "b a"×1, "b c"×1
+      (2L, "a b"),         // "a b"×1
+      (3L, "solo"),        // no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramTopK(corpus, "doc_id", "text", n = 2, k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("a b", 3L, 2L, 1L), ("b a", 1L, 1L, 2L), ("b c", 1L, 1L, 3L)))
+    // k and minCount both cut
+    assert(TextAnalysis.ngramTopK(corpus, "doc_id", "text", 2, 1).count() == 1)
+    assert(TextAnalysis.ngramTopK(corpus, "doc_id", "text", 2, 10, minCount = 2)
+      .count() == 1)
+  }
+
+  test("gopher filter gates on every rule; signals exact on a known doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown foxes jumped over a lazy sleeping dog"), // passes
+      (2L, "aaaa bbbb cccc dddd eeee ffff"),          // no stopwords
+      (3L, "### ... ### ... the and of in is"),       // symbol-heavy + short words
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(corpus, "doc_id", "text", minWords = 5L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(6), "normal English sentence must pass")
+    assert(!out(1).getBoolean(6), "stopword-free text must fail")
+    assert(!out(2).getBoolean(6), "symbol-heavy text must fail")
+    assert(!out(3).getBoolean(6), "empty doc must fail")
+    val d1 = out(0)
+    assert(d1.getLong(1) == 10L)                      // n_words
+    assert(d1.getDouble(2) == 4.4)                    // 44 chars / 10 words
+    assert(d1.getDouble(3) == 0.0 && d1.getDouble(4) == 1.0)
+    assert(d1.getLong(5) >= 2)                        // 'the', 'a'
+  }
+
   test("multimodal feature extraction is deterministic with stable shape") {
     val withPayload = Multimodal.attachPayload(docs, "text")
     val f1 = Multimodal.extractFeatures(withPayload, "payload", dim = 16)
