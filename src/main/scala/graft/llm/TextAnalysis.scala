@@ -187,9 +187,12 @@ object TextAnalysis {
     val totals = perDoc.groupBy("gram")
       .agg(sum("c").as("n_occurrences"), count(lit(1)).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
+    // distributed top-k (TakeOrderedAndProject) — a bare global window
+    // would sort the whole vocabulary through one partition; the rank
+    // window then runs over only k rows
+    val top = totals.orderBy(col("n_occurrences").desc, col("gram")).limit(k)
     val w = Window.orderBy(col("n_occurrences").desc, col("gram"))
-    totals.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Gopher-rule quality filter (Rae et al. 2021, §A1.1): the published
@@ -227,6 +230,34 @@ object TextAnalysis {
         symbolRatio <= 0.1 &&
         alphaWordRatio >= 0.8 &&
         stopHits >= minStopwords).as("keep"))
+  }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the cheap LM-perplexity proxy pipelines use
+    * for fluency/outlier scoring when a real LM is too expensive to run
+    * over the whole corpus: documents made of rare tokens score very
+    * negative, templated/common text scores high.
+    *
+    * Scale shape: the unigram model is ONE hash aggregation over the
+    * exploded tokens (vocabulary-sized result); scoring joins tokens to
+    * the model on the token (vocabulary-keyed shuffle, broadcastable
+    * when the vocabulary is small) and folds per document. The total
+    * token count is the only driver scalar. avg() folds doubles in
+    * partition order; ~1e-15 drift is absorbed by round(,6) — the same
+    * libm contract as [[tokenEntropy]].
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val model = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = toks.count()
+    toks.join(model, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log2(col("c").cast("double") / lit(n.toDouble))), 6)
+          .as("mean_logp"))
   }
 
   /** Per-group corpus summary (the "describe" of a training corpus):

@@ -153,6 +153,59 @@ object TextDedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental NEAR-dup dedup: drop batch documents whose shingle-set
+    * Jaccard with ANY existing corpus document reaches `threshold` —
+    * the fuzzy counterpart of `Corpus.dedupAgainstCorpus` (exact
+    * fingerprints), for the per-ingest step where re-crawled pages
+    * arrive reformatted rather than byte-identical.
+    *
+    * Same MinHash+LSH shape as [[minhashLshPairs]], but the band join
+    * is batch × corpus instead of a self-join: candidates are
+    * band-bucket collisions only, then exact Jaccard verifies. The
+    * corpus side's banded signatures are a pure function of its text —
+    * a real pipeline persists them once as the dedup index and joins
+    * each ingest against the stored bands, so per-batch cost is
+    * O(batch + collisions), not O(corpus).
+    */
+  def nearDupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    def bandedSigs(df: DataFrame, as: String) = {
+      val sh = withShingles(
+        df.select(col(idCol).as(as), col(textCol)), textCol, "sh", shingleK)
+        .select(col(as), col("sh"))
+      val sigs = sh.select(col(as),
+        graft.functions.TextShingles.minhashSig(col("sh"), numHashes).as("sig"))
+      val bandStructs = array((0 until bands).map { b =>
+        val slice = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+      }: _*)
+      (sh, sigs.select(col(as), explode(bandStructs).as("bs"))
+        .select(col(as), col("bs.band").as("band"), col("bs.sig").as("sig")))
+    }
+
+    val (shB, bandsB) = bandedSigs(batch, "_nd_batch_id")
+    val (shC, bandsC) = bandedSigs(corpus, "_nd_corpus_id")
+    val candidates = bandsB.join(bandsC, Seq("band", "sig"))
+      .select("_nd_batch_id", "_nd_corpus_id").distinct()
+    val hits = candidates
+      .join(shB.withColumnRenamed("sh", "sh_b"), "_nd_batch_id")
+      .join(shC.withColumnRenamed("sh", "sh_c"), "_nd_corpus_id")
+      .withColumn("_i", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(col("_i") / (size(col("sh_b")) + size(col("sh_c")) - col("_i")) >= threshold)
+      .select(col("_nd_batch_id").as(idCol)).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash per document: tokens hash to 64-bit codes; each bit
     * position accumulates +1/-1 across tokens; the sign vector is the
     * fingerprint. Near-dups have small Hamming distance.

@@ -820,6 +820,62 @@ object Llm {
         "q_id", "c_id", "q_vec", "c_vec", k = 5)
     },
 
+    // L4g — mean unigram log-probability under the corpus's own unigram
+    // model (the cheap LM-perplexity proxy for fluency/outlier scoring)
+    QuerySpec.df("l36_unigram_logprob",
+      """with tok as (
+        |  select doc_id, w from (
+        |    select doc_id, unnest(string_split_regex(trim(text), '\s+')) as w
+        |    from documents) where length(w) > 0
+        |),
+        |tc as (select w, count(*) as c from tok group by 1),
+        |n as (select count(*) as n from tok)
+        |select doc_id, count(*) as n_tokens,
+        |  round(avg(log2(c * 1.0 / n)), 6) as mean_logp
+        |from tok join tc using (w) cross join n
+        |group by doc_id""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.unigramLogProb(
+          Fixtures.table(s, d, "documents"), "doc_id", "text")
+    },
+
+    // L6o — incremental NEAR-dup dedup: batch (doc_id % 3 != 0) against
+    // the existing corpus (doc_id % 3 == 0), fuzzy counterpart of l25;
+    // near-dups planted by prefixing doc 0's text with one word for
+    // every doc_id % 10 == 1 batch doc (jaccard m/(m+1) >> 0.8), so the
+    // LSH prefilter + verify provably fires. Oracle brute-forces the
+    // batch x corpus jaccard.
+    QuerySpec.df("l37_incremental_neardup",
+      s"""with d0 as (select text from documents where doc_id = 0),
+         |corpus as (select doc_id, text from documents where doc_id % 3 = 0),
+         |batch as (
+         |  select doc_id,
+         |    case when doc_id % 10 = 1 then 'dup ' || (select text from d0)
+         |         else text end as text
+         |  from documents where doc_id % 3 <> 0),
+         |sh_c as (select doc_id, $duckShingles as sg
+         |         from (select doc_id, text, string_split(text, ' ') as words from corpus)),
+         |sh_b as (select doc_id, $duckShingles as sg
+         |         from (select doc_id, text, string_split(text, ' ') as words from batch)),
+         |hits as (
+         |  select distinct b.doc_id
+         |  from sh_b b join sh_c c
+         |  on len(list_intersect(b.sg, c.sg)) * 1.0 /
+         |     (len(b.sg) + len(c.sg) - len(list_intersect(b.sg, c.sg))) >= 0.8)
+         |select doc_id from batch
+         |where doc_id not in (select doc_id from hits)""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
+        val corpus = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1, concat(lit("dup "), lit(d0)))
+              .otherwise(col("text")).as("text"))
+        TextDedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+          .select("doc_id")
+    },
+
     // L5c — REAL image decode (javax.imageio): each doc gets an actual
     // PNG payload with planted dims (w = id%16+1, h = id*7%16+1); Spark
     // round-trips encode → header-only metadata decode; the oracle

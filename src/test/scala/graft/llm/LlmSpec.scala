@@ -174,6 +174,39 @@ class LlmSpec extends SparkSpec {
     assert(d1.getLong(5) >= 2)                        // 'the', 'a'
   }
 
+  test("unigram log-prob scores common text above rare text; model exact on a toy corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2) // empty doc absent
+    // n=5 tokens: p(a)=4/5, p(b)=1/5
+    val logp = (x: Double) => math.log(x) / math.log(2.0)
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == math.rint(logp(0.8) * 1e6) / 1e6)
+    assert(out(1).getDouble(2) == math.rint((logp(0.8) + logp(0.2)) / 2 * 1e6) / 1e6)
+    assert(out(0).getDouble(2) > out(1).getDouble(2)) // rare-token doc scores lower
+  }
+
+  test("incremental near-dup dedup drops exact and fuzzy copies, keeps fresh docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus text about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),          // exact
+      (11L, "oh the quick brown fox jumps over the lazy dog tonight"),       // fuzzy
+      (12L, "a genuinely novel document that matches nothing in the corpus")
+    ).toDF("doc_id", "text")
+    val survivors = TextDedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(12L))
+    // empty corpus: everything survives
+    val none = TextDedup.nearDupAgainstCorpus(batch, corpus.limit(0), "doc_id", "text")
+    assert(none.count() == 3)
+  }
+
   test("multimodal feature extraction is deterministic with stable shape") {
     val withPayload = Multimodal.attachPayload(docs, "text")
     val f1 = Multimodal.extractFeatures(withPayload, "payload", dim = 16)
