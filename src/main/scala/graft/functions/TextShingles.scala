@@ -45,6 +45,28 @@ object TextShingleOps {
     new GenericArrayData(seen.toArray())
   }
 
+  /** All contiguous k-word grams of `text` split on single spaces,
+    * duplicates KEPT in document order (the occurrence-counting
+    * variant of [[shingles]] — a frequency census needs every
+    * occurrence, not the distinct set); empty array when the doc has
+    * fewer than k words.
+    */
+  def grams(text: UTF8String, k: Int): ArrayData = {
+    val words = text.splitSQL(SPACE, -1)
+    if (words.length < k)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - k + 1)
+    val gram = new Array[UTF8String](k)
+    var i = 0
+    while (i + k <= words.length) {
+      var o = 0
+      while (o < k) { gram(o) = words(i + o); o += 1 }
+      out(i) = UTF8String.concatWs(SPACE, gram: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `numHashes` MinHash signature values of a string array in one
     * pass: sig[j] = min over elements of xxhash64(j, elem) (the same
     * values `min(xxhash64(lit(j), col))` aggregates to — int-typed j
@@ -104,6 +126,31 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd contiguous k-word gram list (duplicates kept, document
+  * order; empty for docs shorter than k words) — the occurrence-
+  * counting sibling of [[WordShingles]].
+  */
+case class WordGrams(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_grams needs (string, k>=1), got ${child.dataType.sql}, k=$k")
+
+  override def nullSafeEval(t: Any): Any =
+    TextShingleOps.grams(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextShingleOps.grams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 /** Codegen'd MinHash signature (array<long> of `numHashes` values)
   * over a string-array column — one pass, no shuffle.
   */
@@ -134,6 +181,10 @@ object TextShingles {
   def shingles(text: Column, k: Int = 3): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     GraftShim.toColumn(WordShingles(GraftShim.toExpression(spark, text), k))
+  }
+  def grams(text: Column, k: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(WordGrams(GraftShim.toExpression(spark, text), k))
   }
   def minhashSig(shingles: Column, numHashes: Int): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
