@@ -20,6 +20,13 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
+  /** The exact required-stopword list from Rae et al. 2021 §A1.1 (the
+    * Gopher quality rules) — distinct from the generic language-id
+    * lists above, which exist for a different purpose.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private def words(text: Column): Column = split(trim(text), "\\s+")
 
   /** Stopword hits for one language's list. */
@@ -164,24 +171,32 @@ object TextAnalysis {
     * occurrence count and document frequency; rank is dense over
     * (occurrences desc, gram asc) so the output is deterministic.
     *
-    * Scale shape: contiguous n-grams explode straight off the scan
-    * (no shuffle), then ONE hash aggregation on the gram (map-side
-    * combine absorbs within-doc repeats for the doc-frequency count via
-    * the two-level groupBy), and the global top-k is a single-column
-    * sort of the vocabulary-sized aggregate — never the corpus. At
-    * 100 TB the aggregate is bounded by distinct grams, and a
-    * frequency floor (`minCount`) cuts the long tail before the sort.
+    * Scale shape: contiguous n-grams come from the codegen'd
+    * [[graft.functions.WordGrams]] kernel (one static call per row —
+    * the HOF `transform(sequence(...))` formulation is CodegenFallback
+    * and pays ~17 µs/element, see TextShingles.scala) and explode
+    * straight off the scan (no shuffle), then ONE hash aggregation on
+    * the gram (map-side combine absorbs within-doc repeats for the
+    * doc-frequency count via the two-level groupBy), and the global
+    * top-k is a single-column sort of the vocabulary-sized aggregate —
+    * never the corpus. At 100 TB the aggregate is bounded by distinct
+    * grams, and a frequency floor (`minCount`) cuts the long tail
+    * before the sort.
+    *
+    * The kernel splits on single spaces, so whitespace is normalized
+    * first (`\s+` → one space); empty/whitespace-only docs are
+    * filtered so the n=1 case never counts an empty-string gram
+    * (token semantics match [[unigramLogProb]]).
     */
   def ngramTopK(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int, k: Int,
       minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ws = split(trim(col(textCol)), "\\s+")
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
     val grams = docs
-      .select(col(idCol), explode(when(size(ws) >= n,
-          transform(sequence(lit(1), size(ws) - (n - 1)),
-            i => array_join(slice(ws, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(graft.functions.TextShingles.grams(norm, n)).as("gram"))
     val perDoc = grams.groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("c"))
     val totals = perDoc.groupBy("gram")
@@ -199,9 +214,11 @@ object TextAnalysis {
     * heuristic gates for pretraining text, each surfaced as a signal
     * plus the composite `keep` verdict —
     * word count within [minWords, maxWords], mean word length within
-    * [3, 10], symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥ 80% of
-    * words containing an alphabetic character, and at least
-    * `minStopwords` hits on the required-stopword list.
+    * [3, 10], hash-to-word ratio ≤ 0.1 AND ellipsis-to-word ratio
+    * ≤ 0.1 (gated separately, per the paper), ≥ 80% of words
+    * containing an alphabetic character, and at least `minStopwords`
+    * hits on the paper's required-stopword list ([[gopherStopwords]]:
+    * the, be, to, of, and, that, have, with).
     *
     * Pure column expressions (codegen'd, no shuffle): the filter is a
     * scan-time verdict at any corpus size.
@@ -214,20 +231,24 @@ object TextAnalysis {
     val ws = words(text)
     val nW = tokenCount(text).cast("long")
     val meanLen = round(avgWordLen(text), 4)
-    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
-    val symbolRatio = round(symbols.cast("double") /
-      greatest(nW, lit(1L)).cast("double"), 4)
-    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
-    val alphaWordRatio = round(alphaWords.cast("double") /
-      greatest(nW, lit(1L)).cast("double"), 4)
-    val stopHits = stopwordHits(text, "en")
+    def perWord(c: Column): Column =
+      round(c.cast("double") / greatest(nW, lit(1L)).cast("double"), 4)
+    val hashRatio =
+      perWord(size(regexp_extract_all(text, lit("#"), lit(0))))
+    val ellipsisRatio =
+      perWord(size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))))
+    val alphaWordRatio = perWord(size(filter(ws, w => w.rlike("[A-Za-z]"))))
+    val stopHits = size(array_intersect(array_distinct(ws),
+      array(gopherStopwords.map(lit): _*)))
     docs.select(col(idCol),
       nW.as("n_words"), meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"), alphaWordRatio.as("alpha_word_ratio"),
+      hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      alphaWordRatio.as("alpha_word_ratio"),
       stopHits.cast("long").as("stop_hits"),
       (nW.between(minWords, maxWords) &&
         meanLen.between(3.0, 10.0) &&
-        symbolRatio <= 0.1 &&
+        hashRatio <= 0.1 &&
+        ellipsisRatio <= 0.1 &&
         alphaWordRatio >= 0.8 &&
         stopHits >= minStopwords).as("keep"))
   }
@@ -241,10 +262,13 @@ object TextAnalysis {
     * Scale shape: the unigram model is ONE hash aggregation over the
     * exploded tokens (vocabulary-sized result); scoring joins tokens to
     * the model on the token (vocabulary-keyed shuffle, broadcastable
-    * when the vocabulary is small) and folds per document. The total
-    * token count is the only driver scalar. avg() folds doubles in
-    * partition order; ~1e-15 drift is absorbed by round(,6) — the same
-    * libm contract as [[tokenEntropy]].
+    * when the vocabulary is small) and folds per document. The corpus
+    * token total is derived from the model itself (sum of its counts,
+    * a 1-row aggregate broadcast-cross-joined into the frame), so the
+    * whole computation is one lazy plan with no eager driver action —
+    * two logical passes over the tokens, not three. avg() folds
+    * doubles in partition order; ~1e-15 drift is absorbed by round(,6)
+    * — the same libm contract as [[tokenEntropy]].
     */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
@@ -252,11 +276,12 @@ object TextAnalysis {
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
     val model = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val n = toks.count()
+    val total = model.agg(sum("c").cast("double").as("n_total"))
     toks.join(model, "w")
+      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log2(col("c").cast("double") / lit(n.toDouble))), 6)
+        round(avg(log2(col("c").cast("double") / col("n_total"))), 6)
           .as("mean_logp"))
   }
 

@@ -772,17 +772,19 @@ object Llm {
     },
 
     // L4f — Gopher-rule quality gates (word count, mean word length,
-    // symbol ratio, alpha-word fraction, stopword hits) + the composite
-    // keep verdict; minWords relaxed to 5 so the fixture corpus splits
-    // non-trivially
+    // hash and ellipsis ratios gated separately per Rae et al. §A1.1,
+    // alpha-word fraction, hits on the paper's stopword list) + the
+    // composite keep verdict; minWords relaxed to 5 so the fixture
+    // corpus splits non-trivially
     QuerySpec.df("l34_gopher_filter",
       {
-        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
-        s"""select doc_id, n_words, mean_word_len, symbol_ratio,
+        val stops = TextAnalysis.gopherStopwords.map(w => s"'$w'").mkString(",")
+        s"""select doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
            |       alpha_word_ratio, stop_hits,
            |       (n_words between 5 and 100000
            |        and mean_word_len between 3 and 10
-           |        and symbol_ratio <= 0.1
+           |        and hash_ratio <= 0.1
+           |        and ellipsis_ratio <= 0.1
            |        and alpha_word_ratio >= 0.8
            |        and stop_hits >= 2) as keep
            |from (
@@ -790,8 +792,10 @@ object Llm {
            |    cast(nw as bigint) as n_words,
            |    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 /
            |      greatest(nw, 1), 4) as mean_word_len,
-           |    round(len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 /
-           |      greatest(nw, 1), 4) as symbol_ratio,
+           |    round(len(regexp_extract_all(text, '#')) * 1.0 /
+           |      greatest(nw, 1), 4) as hash_ratio,
+           |    round(len(regexp_extract_all(text, '\\.\\.\\.')) * 1.0 /
+           |      greatest(nw, 1), 4) as ellipsis_ratio,
            |    round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 /
            |      greatest(nw, 1), 4) as alpha_word_ratio,
            |    cast(len(list_intersect(list_distinct(ws), [$stops])) as bigint)
@@ -878,9 +882,12 @@ object Llm {
 
     // L5c — REAL image decode (javax.imageio): each doc gets an actual
     // PNG payload with planted dims (w = id%16+1, h = id*7%16+1); Spark
-    // round-trips encode → header-only metadata decode; the oracle
-    // recomputes the planted dims arithmetically. Proves the decode path
-    // reads real containers, not the payload-meta struct.
+    // reads the pre-materialized payload parquet and header-decodes it;
+    // the oracle recomputes the planted dims arithmetically. Proves the
+    // decode path reads real containers, not the payload-meta struct.
+    // Payload *synthesis* (PNG encoding) happens once per sfDir outside
+    // the query — the bench times the operator the entry names, not
+    // fixture generation (VERDICT r5).
     QuerySpec.df("l17_image_meta",
       """select doc_id,
         |  cast(doc_id % 16 + 1 as int) as img_width,
@@ -888,10 +895,29 @@ object Llm {
         |  'png' as img_format
         |from documents""".stripMargin) {
       (s, d) =>
-        val docs = Fixtures.table(s, d, "documents").select("doc_id")
-        Multimodal.imageMeta(
-          Multimodal.attachImagePayload(docs, "doc_id"), "payload")
+        Multimodal.imageMeta(imagePayloads(s, d), "payload")
           .select("doc_id", "img_width", "img_height", "img_format")
     },
   )
+
+  /** Image-payload fixture, materialized to a temp parquet once per
+    * sfDir: `attachImagePayload` is PNG *encoding* — fixture synthesis,
+    * not the operator l17 names — so it must not run inside the timed
+    * query (r5's 2.06 s median was ~95% payload generation). Every
+    * timed run reads the parquet and pays only the header decode.
+    */
+  private val payloadDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imagePayloads(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = payloadDirs.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-imgfix-")
+        .resolve("payloads.parquet").toString
+      Multimodal.attachImagePayload(
+        Fixtures.table(s, d, "documents").select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
 }

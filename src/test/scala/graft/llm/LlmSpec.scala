@@ -152,26 +152,39 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.ngramTopK(corpus, "doc_id", "text", 2, 1).count() == 1)
     assert(TextAnalysis.ngramTopK(corpus, "doc_id", "text", 2, 10, minCount = 2)
       .count() == 1)
+    // n=1 must not count an empty-string gram for the empty doc —
+    // token semantics match unigramLogProb
+    val unigrams = TextAnalysis.ngramTopK(corpus, "doc_id", "text", 1, 10)
+      .select("gram").collect().map(_.getString(0))
+    assert(!unigrams.contains(""))
+    assert(unigrams.toSet == Set("a", "b", "c", "solo"))
   }
 
   test("gopher filter gates on every rule; signals exact on a known doc") {
     import spark.implicits._
     val corpus = Seq(
-      (1L, "the quick brown foxes jumped over a lazy sleeping dog"), // passes
+      (1L, "the quick brown foxes jumped over and beyond lazy dogs"), // passes
       (2L, "aaaa bbbb cccc dddd eeee ffff"),          // no stopwords
       (3L, "### ... ### ... the and of in is"),       // symbol-heavy + short words
-      (4L, "")).toDF("doc_id", "text")
+      (4L, ""),
+      // 2 '#' + 2 '...' in 20 words: each ratio exactly 0.1 — passes
+      // the per-symbol gates (a pooled 0.2 gate would wrongly reject)
+      (5L, "# # ... ... the and some more words about dogs cats " +
+        "running fast jumping high over fences today okay")).toDF("doc_id", "text")
     val out = TextAnalysis.gopherFilter(corpus, "doc_id", "text", minWords = 5L)
       .orderBy("doc_id").collect()
-    assert(out(0).getBoolean(6), "normal English sentence must pass")
-    assert(!out(1).getBoolean(6), "stopword-free text must fail")
-    assert(!out(2).getBoolean(6), "symbol-heavy text must fail")
-    assert(!out(3).getBoolean(6), "empty doc must fail")
+    assert(out(0).getBoolean(7), "normal English sentence must pass")
+    assert(!out(1).getBoolean(7), "stopword-free text must fail")
+    assert(!out(2).getBoolean(7), "symbol-heavy text must fail")
+    assert(!out(3).getBoolean(7), "empty doc must fail")
+    assert(out(4).getBoolean(7), "0.1 hash + 0.1 ellipsis must pass separate gates")
+    assert(out(4).getDouble(3) == 0.1 && out(4).getDouble(4) == 0.1)
     val d1 = out(0)
     assert(d1.getLong(1) == 10L)                      // n_words
-    assert(d1.getDouble(2) == 4.4)                    // 44 chars / 10 words
-    assert(d1.getDouble(3) == 0.0 && d1.getDouble(4) == 1.0)
-    assert(d1.getLong(5) >= 2)                        // 'the', 'a'
+    assert(d1.getDouble(2) == 4.5)                    // 45 chars / 10 words
+    assert(d1.getDouble(3) == 0.0 && d1.getDouble(4) == 0.0) // hash, ellipsis
+    assert(d1.getDouble(5) == 1.0)                    // alpha-word ratio
+    assert(d1.getLong(6) == 2L)                       // 'the', 'and'
   }
 
   test("unigram log-prob scores common text above rare text; model exact on a toy corpus") {
