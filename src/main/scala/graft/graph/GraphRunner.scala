@@ -28,17 +28,41 @@ final class NodeContext(
 
   lazy val state: State = runner.stateFor(nodeId)
 
+  /** Bound value, else the declared ParamSpec default (MISSING never
+    * leaks here — compile rejected the graph if a required parameter
+    * was unbound).
+    */
   def parameter[T](name: String): T =
-    node.parameters.getOrElse(name,
-      throw new IllegalArgumentException(s"parameter '$name' not bound")
-    ).asInstanceOf[T]
+    node.parameters.get(name)
+      .orElse(runner.paramSpecsFor(node).find(_.name == name)
+        .map(_.default).filter(_ != ParamSpec.Missing))
+      .getOrElse(throw new IllegalArgumentException(
+        s"parameter '$name' not bound"))
+      .asInstanceOf[T]
 
   def parameterOr[T](name: String, default: T): T =
     node.parameters.get(name).map(_.asInstanceOf[T]).getOrElse(default)
+
+  /** Credentials bundle for a connection-typed parameter
+    * (node.py:508-510): the binding names the bundle; an unbound name
+    * falls back to the parameter name itself. Compile already verified
+    * the bundle is registered.
+    */
+  def connection(name: String): Map[String, String] = {
+    val ref = node.parameters.get(name).map(String.valueOf).getOrElse(name)
+    runner.connectionFor(ref).getOrElse(throw new IllegalArgumentException(
+      s"connection '$ref' is not bound"))
+  }
 }
 
-/** A registered Scala node implementation. */
-trait CodeNode { def run(ctx: NodeContext): Unit }
+/** A registered Scala node implementation. `params` declares the typed
+  * parameter surface (node.py:513-542) — validated against the
+  * manifest's bindings at graph compile time.
+  */
+trait CodeNode {
+  def run(ctx: NodeContext): Unit
+  def params: Seq[ParamSpec] = Nil
+}
 
 /** Graph compiler + DAG runner (SURVEY.md §2.4, §3.1).
   *
@@ -53,7 +77,14 @@ final class GraphRunner(
     val manifest: GraphManifest,
     warehouse: String,
     codeNodes: Map[String, CodeNode] = Map.empty,
-    componentResolver: String => Option[GraphManifest] = _ => None) {
+    componentResolver: String => Option[GraphManifest] = _ => None,
+    connections: Map[String, Map[String, String]] = Map.empty) {
+
+  private[graph] def paramSpecsFor(f: FunctionNode): Seq[ParamSpec] =
+    f.nodeFile.flatMap(codeNodes.get).map(_.params).getOrElse(Nil)
+
+  private[graph] def connectionFor(name: String): Option[Map[String, String]] =
+    connections.get(name)
 
   val catalog = new Catalog(warehouse)
   private val changedStores = mutable.Set.empty[String]
@@ -120,10 +151,33 @@ final class GraphRunner(
       }
       f.parameters.foreach { case (k, v) =>
         if (v == null || v == "MISSING")
-          errors += s"node $id: parameter '$k' has no default or value"
+          errors += s"node $id: Parameter $k has no default or value"
       }
       if (f.kind == "code" && !codeNodes.contains(f.nodeFile.getOrElse("")))
         errors += s"node $id: no Scala implementation registered for '${f.nodeFile.getOrElse("")}'"
+      // typed-parameter validation against the node's declared ParamSpecs
+      // (node.py:513-542; the platform front-loads these as upload
+      // compile errors, upload.py:76-85)
+      paramSpecsFor(f).foreach { spec =>
+        if (!ParamSpec.allowedTypes(spec.dtype))
+          errors += s"node $id: parameter '${spec.name}' has unknown type '${spec.dtype}'"
+        else f.parameters.get(spec.name)
+          .filter(v => v != null && v != ParamSpec.Missing) match {
+          case None =>
+            if (spec.dtype == "connection") {
+              // an unbound connection may resolve by its own name
+              if (!connections.contains(spec.name))
+                errors += s"node $id: connection '${spec.name}' is not bound"
+            } else if (spec.default == ParamSpec.Missing &&
+                !f.parameters.contains(spec.name)) // bound-MISSING already flagged above
+              errors += s"node $id: Parameter ${spec.name} has no default or value"
+          case Some(v) =>
+            ParamSpec.typeError(spec, v).foreach(e => errors += s"node $id: $e")
+            if (spec.dtype == "connection" && v.isInstanceOf[String] &&
+                !connections.contains(String.valueOf(v)))
+              errors += s"node $id: connection '${String.valueOf(v)}' is not bound"
+        }
+      }
     }
     // cycle check over store-mediated edges
     val producers = flatNodes.flatMap { case (id, f, _) =>
@@ -332,6 +386,7 @@ final class GraphRunner(
     * plumbing). None until `respondToRequest` has written it.
     */
   def webhookResponse(webhookName: String, requestKey: String): Option[String] = {
+    responseReads.incrementAndGet()
     val h = tableHandle(s"${webhookName}_responses")
     if (!h.exists) return None
     val hits = h.read
@@ -340,16 +395,40 @@ final class GraphRunner(
     hits.toJSON.take(1).headOption
   }
 
+  // In-memory wake-up latches for `?wait=true` HTTP requests, keyed by
+  // request key. The WAITER registers the latch (before ingesting, so a
+  // responder running inline can never complete-before-register), and
+  // respondToRequest completes it if one is present — a waiting edge
+  // then does exactly one confirming table read instead of launching a
+  // parquet-scan Spark job every 50 ms for up to the whole timeout
+  // (≈200 jobs per waiting request). The `<name>_responses` table stays
+  // the durable record; the latch carries no payload.
+  private val responseLatches = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Unit]]()
+  /** Table-read counter for the response path (spec: ≤2 per waited request). */
+  private[graph] val responseReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graph] def responseLatch(
+      requestKey: String): java.util.concurrent.CompletableFuture[Unit] =
+    responseLatches.computeIfAbsent(requestKey,
+      _ => new java.util.concurrent.CompletableFuture[Unit]())
+
+  private[graph] def dropResponseLatch(requestKey: String): Unit =
+    responseLatches.remove(requestKey)
+
   /** respond_to_request (node.py:544-553): reply to a webhook request by
     * writing the payload row keyed by `patterns_request_key` into the
     * hook's `<name>_responses` table; the platform edge delivers it to
-    * the waiting HTTP request.
+    * the waiting HTTP request (woken via the request's latch).
     */
   def respondToRequest(webhookName: String, requestKey: String,
       payload: Map[String, Any]): Unit = {
     val h = tableHandle(s"${webhookName}_responses")
     h.appendRecords(Seq(payload + ("patterns_request_key" -> requestKey)))
     h.flush()
+    // wake a waiting edge AFTER the durable write; only waiters create
+    // latches, so completing an absent key is a no-op, not a leak
+    Option(responseLatches.get(requestKey)).foreach(_.complete(()))
   }
 
   /** Nodes whose cron trigger fires in the minute of `t`

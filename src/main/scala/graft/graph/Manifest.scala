@@ -32,6 +32,80 @@ final case class FunctionNode(
     id.orElse(title).orElse(nodeFile).orElse(webhook).orElse(uses).getOrElse("?")
 }
 
+/** Typed parameter declaration for a code node — the Scala face of the
+  * reference's `Parameter(name, type=..., default=...)`
+  * (/root/reference/patterns/node/node.py:513-542): allowed types
+  * str/int/float/bool/datetime/date/list/connection, with the string
+  * sentinel `"MISSING"` as the default-of-defaults meaning *required*
+  * (`default=None` is an allowed explicit default, hence a sentinel
+  * rather than Option). `connection` declares a credentials-bundle
+  * dependency (node.py:508-510): the binding names a bundle that must
+  * be registered with the runner, resolved via
+  * [[NodeContext.connection]].
+  */
+final case class ParamSpec(
+    name: String,
+    dtype: String = "str",
+    default: Any = ParamSpec.Missing,
+    description: Option[String] = None)
+
+object ParamSpec {
+  /** Required-parameter sentinel (node.py:519 `default: T = "MISSING"`). */
+  val Missing: String = "MISSING"
+
+  val allowedTypes: Set[String] =
+    Set("str", "int", "float", "bool", "datetime", "date", "list", "connection")
+
+  /** Compile-time type check of a YAML-parsed binding against the
+    * declared type; None = ok, Some(message) = mismatch. Presence
+    * (required vs default) is the caller's concern — null/MISSING pass
+    * through here.
+    */
+  def typeError(spec: ParamSpec, v: Any): Option[String] = {
+    def bad: Option[String] = Some(
+      s"parameter '${spec.name}' expected ${spec.dtype}, got " +
+        s"'${String.valueOf(v)}' (${v.getClass.getSimpleName})")
+    def parses(p: String => Any): Option[String] =
+      try { p(String.valueOf(v)); None } catch { case _: Exception => bad }
+    if (v == null || v == Missing) return None
+    spec.dtype match {
+      case "str" => v match { case _: String => None; case _ => bad }
+      case "int" => v match {
+        case _: java.lang.Integer | _: java.lang.Long => None
+        case _ => bad
+      }
+      case "float" => v match {
+        case _: java.lang.Double | _: java.lang.Float |
+             _: java.lang.Integer | _: java.lang.Long |
+             _: java.math.BigDecimal => None
+        case _ => bad
+      }
+      case "bool" => v match { case _: java.lang.Boolean => None; case _ => bad }
+      case "datetime" => v match {
+        case _: java.util.Date => None // snakeyaml parses ISO timestamps
+        case _: String =>
+          parses(s => java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+        case _ => bad
+      }
+      case "date" => v match {
+        case _: java.util.Date => None
+        case _: String => parses(java.time.LocalDate.parse)
+        case _ => bad
+      }
+      case "list" => v match {
+        case _: java.util.List[_] | _: Seq[_] => None
+        case _ => bad
+      }
+      case "connection" =>
+        // binding is the bundle NAME; bundle existence is checked by
+        // the runner, which owns the registry
+        v match { case _: String => None; case _ => bad }
+      case other =>
+        Some(s"parameter '${spec.name}' has unknown type '$other'")
+    }
+  }
+}
+
 final case class StoreDef(name: String, kind: String, schema: Option[String])
 
 final case class GraphManifest(

@@ -116,4 +116,82 @@ object Packaging {
       case _ => None
     }
   }
+
+  /** Component resolver over an HTTP registry: `org/component@v1` →
+    * `GET <baseUrl>/components/<org>/<component>/<v1>.zip`, the wire
+    * shape of the reference's `download_component_zip`
+    * (services/download.py:17-20 GETs the component's zip by its
+    * org/name/version key). Fetched zips unpack once into the cache
+    * (slip-guarded) and load as graph manifests; a 404 or connection
+    * failure resolves to None — the graph compile then reports
+    * "component not found" like any unresolved `uses:`.
+    */
+  def componentResolverFromHttp(baseUrl: String,
+      cacheDir: Option[String] = None): String => Option[GraphManifest] = {
+    val cache = Paths.get(cacheDir.getOrElse(
+      Files.createTempDirectory("graft-components-http").toString))
+    val client = java.net.http.HttpClient.newHttpClient()
+    ref => ref match {
+      case ComponentRe(org, name, version) =>
+        val dest = cache.resolve(s"$org/$name/$version")
+        if (Files.exists(dest.resolve("graph.yml")))
+          Some(GraphManifest.load(dest.toString))
+        else {
+          val uri = java.net.URI.create(
+            s"${baseUrl.stripSuffix("/")}/components/$org/$name/$version.zip")
+          try {
+            val resp = client.send(
+              java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+            if (resp.statusCode() != 200) None
+            else {
+              unpack(resp.body(), dest.toString)
+              Some(GraphManifest.load(dest.toString))
+            }
+          } catch { case _: java.io.IOException => None }
+        }
+      case _ => None
+    }
+  }
+}
+
+/** Loopback HTTP registry serving packaged components from a local zip
+  * store — the server side of [[Packaging.componentResolverFromHttp]]
+  * (the platform's component-download endpoint,
+  * services/download.py:17-20, re-expressed over the same JDK http
+  * server the webhook edge uses). `GET /components/<org>/<name>/
+  * <version>.zip` streams `<root>/<org>/<name>/<version>.zip`; anything
+  * else is 404. Binds 127.0.0.1 only.
+  */
+final class ComponentRegistryServer(root: String, port: Int = 0) {
+  import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+  private val server =
+    HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext("/components/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = try {
+      val key = ex.getRequestURI.getPath.stripPrefix("/components/")
+      key.stripSuffix(".zip").split('/') match {
+        case Array(org, name, version) if ex.getRequestMethod == "GET" &&
+            key.endsWith(".zip") =>
+          // registry keys are [\w\-.]+ segments: anything else (e.g. a
+          // traversal attempt) is not a key and 404s
+          val ok = Seq(org, name, version).forall(_.matches("[\\w\\-.]+"))
+          val zip = Paths.get(root, org, name, s"$version.zip")
+          if (ok && Files.exists(zip)) {
+            val bytes = Files.readAllBytes(zip)
+            ex.getResponseHeaders.set("Content-Type", "application/zip")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          } else ex.sendResponseHeaders(404, -1L)
+        case _ => ex.sendResponseHeaders(404, -1L)
+      }
+    } finally ex.close()
+  })
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://127.0.0.1:$boundPort"
+  def stop(): Unit = server.stop(0)
 }

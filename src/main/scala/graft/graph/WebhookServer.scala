@@ -62,23 +62,33 @@ final class WebhookServer(runner: GraphRunner, port: Int = 0,
       respond(ex, 400, """{"error":"body must be a JSON object"}"""); return
     }
     val key = f"req-${reqCounter.incrementAndGet()}%08d"
+    val wait = Option(ex.getRequestURI.getQuery).exists(_.split('&').contains("wait=true"))
+    // register the latch BEFORE ingesting: a responder running inline in
+    // the propagation wave completes it via respondToRequest, so the
+    // waiter can never miss the wake-up
+    val latch = if (wait) Some(runner.responseLatch(key)) else None
     runner.ingestWebhookJson(name, Seq(body), key)
     runner.propagateOnce()
-    val wait = Option(ex.getRequestURI.getQuery).exists(_.split('&').contains("wait=true"))
     if (!wait) {
       respond(ex, 202, s"""{"patterns_request_key":"$key"}"""); return
     }
-    val deadline = System.nanoTime() + responseTimeoutMs * 1000000L
-    var resp: Option[String] = runner.webhookResponse(name, key)
-    while (resp.isEmpty && System.nanoTime() < deadline) {
-      Thread.sleep(50)
-      resp = runner.webhookResponse(name, key)
-    }
-    resp match {
-      case Some(json) => respond(ex, 200, json)
-      case None => respond(ex, 504,
-        s"""{"error":"no response for key","patterns_request_key":"$key"}""")
-    }
+    // at most 2 table reads per waited request: one up-front check
+    // (covers respond-before-wait), one confirming read after the latch
+    // fires — never a 50 ms Spark-job poll loop
+    try {
+      var resp: Option[String] = runner.webhookResponse(name, key)
+      if (resp.isEmpty) {
+        try {
+          latch.get.get(responseTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          resp = runner.webhookResponse(name, key)
+        } catch { case _: java.util.concurrent.TimeoutException => () }
+      }
+      resp match {
+        case Some(json) => respond(ex, 200, json)
+        case None => respond(ex, 504,
+          s"""{"error":"no response for key","patterns_request_key":"$key"}""")
+      }
+    } finally runner.dropResponseLatch(key)
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -41,3 +41,85 @@ object PlanAudit {
     spark.stop()
   }
 }
+
+/** Normalized physical-plan fingerprints for the headline queries — a
+  * regression tripwire for the plan properties that matter at 100 TB:
+  * a future change that un-broadcasts a join, adds a shuffle, or drops
+  * a plan out of whole-stage codegen fails `PlanDigestSpec` loudly
+  * instead of shipping silently.
+  *
+  * The digest counts operator KINDS (shuffle exchanges, broadcast
+  * exchanges, each join strategy, sorts, codegen spans, scans) rather
+  * than hashing the tree: counts are stable across cosmetic plan-id /
+  * alias churn but move whenever a strategy changes. Derived from the
+  * pre-execution formatted plan (AQE's initial plan), so they are
+  * deterministic for fixed fixtures and independent of partition
+  * counts.
+  *
+  * Regenerate after an INTENTIONAL plan change:
+  *   sbt "runMain graft.tools.PlanDigest"   # rewrites PLAN_DIGESTS.json
+  */
+object PlanDigest {
+
+  /** Queries whose plans are load-bearing (VERDICT r5 plan audit set +
+    * the r5 operators).
+    */
+  val headline: Seq[String] = Seq(
+    "q02_filter", "q04_join_broadcast", "q09_join_asof", "q10_agg_tpch1",
+    "q15_window_rank", "l02_minhash_lsh", "l05_cosine_knn",
+    "l12b_embed_neardup_lsh", "l13_neardup_clusters", "l33_ngram_topk",
+    "l36_unigram_logprob")
+
+  val digestFile = "PLAN_DIGESTS.json"
+
+  /** Operator-kind counts from a formatted explain string. */
+  def digest(plan: String): Map[String, Int] = {
+    // the tree section prints one node per line ending `... (id)`; count
+    // node NAMES there, not in the detail section (which repeats them as
+    // `(id) Op` headers). \b keeps Exchange from matching
+    // Broadcast/ReusedExchange (reuse is free, not a new shuffle).
+    val tree = plan.split("\n").toSeq.filter(_.matches(".*\\(\\d+\\)\\s*$"))
+    def nodes(op: String): Int = tree.count(_.matches(s".*\\b$op\\b.*"))
+    Map(
+      "shuffles" -> nodes("Exchange"),
+      "broadcasts" -> nodes("BroadcastExchange"),
+      "broadcast_hash_joins" -> nodes("BroadcastHashJoin"),
+      "sort_merge_joins" -> nodes("SortMergeJoin"),
+      "broadcast_nl_joins" -> nodes("BroadcastNestedLoopJoin"),
+      "cartesian_products" -> nodes("CartesianProduct"),
+      "sorts" -> nodes("Sort"),
+      // formatted mode marks codegen membership per-op as
+      // `[codegen id : N]` — distinct ids = codegen spans
+      "codegen_spans" -> "codegen id : (\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size,
+      "scans" -> nodes("Scan parquet"))
+  }
+
+  def digestFor(spark: SparkSession, sfDir: String,
+      name: String): Map[String, Int] = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    digest(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+  }
+
+  def render(all: Seq[(String, Map[String, Int])]): String =
+    all.map { case (n, d) =>
+      val fields = d.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""  "$n": {$fields}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = render(headline.map(n => n -> digestFor(spark, sf, n)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(digestFile), out)
+    println(s"wrote ${headline.size} digests to $digestFile")
+    spark.stop()
+  }
+}

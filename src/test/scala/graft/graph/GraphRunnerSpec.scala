@@ -62,7 +62,70 @@ class GraphRunnerSpec extends SparkSpec {
     val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
     val errors = runner.validate()
     assert(errors.exists(_.contains("unknown store 'nosuchstore'")))
-    assert(errors.exists(_.contains("parameter 'p' has no default or value")))
+    assert(errors.exists(_.contains("Parameter p has no default or value")))
+  }
+
+  test("typed parameters + connections validate at compile (node.py:513-542)") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: typed.scala
+        |    id: typednode
+        |    outputs: {out: t}
+        |    parameters:
+        |      started_at: not-a-datetime
+        |      max_rows: "50"
+        |      db: proddb
+        |stores:
+        |  - table: t
+        |""".stripMargin)
+    val impl = new CodeNode {
+      override def params: Seq[ParamSpec] = Seq(
+        ParamSpec("started_at", "datetime"),
+        ParamSpec("max_rows", "int"),
+        ParamSpec("db", "connection"),
+        ParamSpec("api", "connection"),
+        ParamSpec("threshold", "float"), // required, unbound
+        ParamSpec("mode", "str", default = "full")) // defaulted, unbound: ok
+      override def run(ctx: NodeContext): Unit = ()
+    }
+    val bad = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      codeNodes = Map("typed.scala" -> impl))
+    val errors = bad.validate()
+    assert(errors.exists(e => e.contains("'started_at' expected datetime")))
+    assert(errors.exists(e => e.contains("'max_rows' expected int")))
+    assert(errors.exists(_.contains("connection 'proddb' is not bound")))
+    assert(errors.exists(_.contains("connection 'api' is not bound")))
+    assert(errors.exists(_.contains("Parameter threshold has no default or value")))
+    assert(!errors.exists(_.contains("mode")), s"defaulted param must not error: $errors")
+
+    // same manifest with well-typed bindings and registered bundles compiles
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: typed.scala
+        |    id: typednode
+        |    outputs: {out: t}
+        |    parameters:
+        |      started_at: 2026-08-13 10:00:00
+        |      max_rows: 50
+        |      db: proddb
+        |      threshold: 0.5
+        |stores:
+        |  - table: t
+        |""".stripMargin)
+    val good = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+      codeNodes = Map("typed.scala" -> impl),
+      connections = Map(
+        "proddb" -> Map("host" -> "db.internal", "user" -> "svc"),
+        "api" -> Map("token" -> "tok")))
+    assert(good.validate().isEmpty, good.validate().mkString("; "))
+    // NodeContext surfaces the bundle and the declared default
+    val node = good.flatNodes.head._2
+    val ctx = new NodeContext(spark, "typednode", good, node)
+    assert(ctx.connection("db") == Map("host" -> "db.internal", "user" -> "svc"))
+    assert(ctx.connection("api") == Map("token" -> "tok")) // unbound → own name
+    assert(ctx.parameter[String]("mode") == "full")        // spec default
+    assert(ctx.parameter[Int]("max_rows") == 50)
   }
 
   test("compile validation detects store-mediated cycles") {

@@ -76,4 +76,51 @@ class PackagingSpec extends SparkSpec {
     // unknown version stays unresolved (validation error, not a crash)
     assert(Packaging.componentResolverFromZips(registry)("acme/wordcount@v9").isEmpty)
   }
+
+  test("uses: org/component@v1 resolves over the HTTP registry wire") {
+    // same component as the zip-registry test, served over loopback HTTP
+    val comp = tmpDir("component-http")
+    write(comp, "count.sql", "select count(*) as n from {{ input }}")
+    write(comp, "graph.yml",
+      """functions:
+        |  - node_file: count.sql
+        |    id: count001
+        |    inputs: {input: src}
+        |    outputs: {out: result}
+        |stores:
+        |  - table: src
+        |  - table: result
+        |""".stripMargin)
+    val registry = tmpDir("httpreg")
+    Files.createDirectories(Paths.get(registry, "acme", "wordcount"))
+    Packaging.packageGraphTo(comp, s"$registry/acme/wordcount/v1.zip")
+    val server = new ComponentRegistryServer(registry)
+    try {
+      val resolver = Packaging.componentResolverFromHttp(server.baseUrl)
+      val dir = tmpDir("graph-http")
+      write(dir, "graph.yml",
+        """functions:
+          |  - uses: acme/wordcount@v1
+          |    id: comp00001
+          |stores:
+          |  - table: src
+          |  - table: result
+          |""".stripMargin)
+      val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"),
+        componentResolver = resolver)
+      assert(runner.validate().isEmpty)
+      import spark.implicits._
+      val seed = runner.tableHandle("src")
+      seed.append(Seq(1L, 2L, 3L, 4L).toDF("id")); seed.flush()
+      runner.run()
+      assert(runner.tableHandle("result").read.head().getLong(0) == 4L)
+      // 404s resolve to None; traversal-shaped keys are not keys
+      assert(resolver("acme/wordcount@v9").isEmpty)
+      assert(resolver("acme/../etc@passwd").isEmpty)
+      // second resolve serves from the unpack cache (no re-fetch needed
+      // after the server stops)
+      server.stop()
+      assert(resolver("acme/wordcount@v1").isDefined)
+    } finally { try server.stop() catch { case _: Exception => () } }
+  }
 }

@@ -114,6 +114,43 @@ class WebhookServerSpec extends SparkSpec {
     assert(runner.tableHandle("outb").read.count() == 1)
   }
 
+  test("wait=true blocks on the respond latch, not a table-poll loop") {
+    val dir = tmpDir("graph")
+    write(dir, "graph.yml",
+      """functions:
+        |  - webhook: hook
+        |stores: []
+        |""".stripMargin)
+    val runner = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh"))
+    val server = new WebhookServer(runner, port = 0, responseTimeoutMs = 30000)
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = exec.submit(new java.util.concurrent.Callable[HttpResponse[String]] {
+        def call(): HttpResponse[String] =
+          post(server.url("hook") + "?wait=true", """{"q": 1}""")
+      })
+      // wait for the waiter to finish its single up-front response check
+      val deadline = System.nanoTime() + 20L * 1000000000L
+      while (runner.responseReads.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(runner.responseReads.get() == 1, "waiter should check the table once")
+      // while blocked on the latch there must be NO further table reads
+      // (the old implementation fired a parquet-scan job every 50 ms)
+      Thread.sleep(800)
+      assert(runner.responseReads.get() == 1,
+        s"waiter polled the table while blocked: ${runner.responseReads.get()} reads")
+      // respond from outside the propagation wave — the latch must wake it
+      val key = runner.tableHandle("hook").read
+        .select("patterns_request_key").head().getString(0)
+      runner.respondToRequest("hook", key, Map("answer" -> 99, "status" -> "ok"))
+      val resp = fut.get(20, java.util.concurrent.TimeUnit.SECONDS)
+      assert(resp.statusCode() == 200, resp.body())
+      assert(resp.body().contains("99") && resp.body().contains("ok"))
+      assert(runner.responseReads.get() <= 2,
+        s"waited request took ${runner.responseReads.get()} table reads (max 2)")
+    } finally { server.stop(); exec.shutdown() }
+  }
+
   test("concurrent posts all land exactly once (pooled dispatch, serialized ingest)") {
     val dir = tmpDir("graph")
     write(dir, "graph.yml",
