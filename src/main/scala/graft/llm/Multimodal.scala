@@ -101,12 +101,51 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Header-only image metadata decode (real `javax.imageio`): width /
-    * height / format read from the container header via an ImageReader,
-    * WITHOUT decoding pixel data — the scale-correct way to harvest
-    * image metadata from 100 TB of media (IO-bound, never pixel-bound).
-    * One reader per image (readers are stateful); undecodable payloads
-    * yield nulls rather than failing the batch.
+  /** Direct container-header parse for the common formats: PNG (IHDR
+    * at fixed offset), GIF (logical screen descriptor), BMP (info
+    * header), JPEG (first SOF marker scan). Dimensions live at known
+    * offsets in real container bytes — no decoder object, no SPI scan.
+    * Returns null for anything unrecognized (caller falls back to
+    * ImageIO).
+    */
+  private[llm] def headerMeta(bytes: Array[Byte]): (Int, Int, String) = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val n = bytes.length
+    if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
+      (be32(16), be32(20), "png")                     // PNG: IHDR w/h
+    else if (n >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+      (le16(6), le16(8), "gif")                       // GIF: screen descriptor
+    else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      (le32(18), math.abs(le32(22)), "bmp")           // BMP: BITMAPINFOHEADER
+    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first start-of-frame
+      var i = 2
+      while (i + 9 < n && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return (be16(i + 7), be16(i + 5), "jpeg")   // SOFn: h then w
+        i += 2 + be16(i + 2)
+      }
+      null
+    } else null
+  }
+
+  /** Header-only image metadata decode: width / height / format read
+    * from the container header WITHOUT decoding pixel data — the
+    * scale-correct way to harvest image metadata from 100 TB of media
+    * (IO-bound, never pixel-bound). The common containers (PNG/GIF/
+    * BMP/JPEG) parse at fixed header offsets via [[headerMeta]];
+    * per-image `ImageIO.getImageReaders` SPI discovery costs ~0.3 ms/
+    * image, which IS the operator's cost at scale, so ImageIO is only
+    * the fallback for exotic containers. Undecodable payloads yield
+    * nulls rather than failing the batch.
     */
   def imageMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val schema = df.schema
@@ -118,10 +157,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        val extra: Seq[Any] =
+        val fast = headerMeta(bytes)
+        val extra: Seq[Any] = if (fast != null)
+          Seq(fast._1, fast._2, fast._3)
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (readers.hasNext) {
             val rd = readers.next()
             try {
@@ -131,6 +173,7 @@ object Multimodal {
               case _: java.io.IOException => Seq(null, null, null)
             } finally { rd.dispose(); iis.close() }
           } else { iis.close(); Seq(null, null, null) }
+        }
         Row.fromSeq(r.toSeq ++ extra)
       }
     }(encoder)

@@ -246,6 +246,17 @@ class LlmSpec extends SparkSpec {
     val bytes = Multimodal.attachImagePayload(base, "doc_id")
       .select("payload").head().getAs[Array[Byte]](0)
     assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    // the fast header parse agrees with a full ImageIO decode on every
+    // container it claims (PNG/GIF/BMP/JPEG), and rejects non-images
+    for (fmt <- Seq("png", "gif", "bmp", "jpeg")) {
+      val img = new java.awt.image.BufferedImage(13, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val os = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, os), s"encoder for $fmt")
+      val hm = Multimodal.headerMeta(os.toByteArray)
+      assert(hm == ((13, 7, fmt)), s"headerMeta on $fmt gave $hm")
+    }
+    assert(Multimodal.headerMeta("not an image at all".getBytes) == null)
     // image mime → features come from REAL decoded pixels: w/h lead, mean
     // channels within 0-255, and recomputing from the planted pixel
     // formula matches exactly
