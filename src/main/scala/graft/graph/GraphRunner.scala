@@ -134,6 +134,22 @@ final class GraphRunner(
   /** Compile-time checks; returns human-readable errors (empty = ok). */
   def validate(): Seq[String] = {
     val errors = mutable.ArrayBuffer.empty[String]
+    // duplicate identity fields within one manifest — the reference's
+    // config editor rejects these at edit time (edit.py:86-94)
+    flatNodes.map(_._3).distinct.foreach { m =>
+      Seq[(String, FunctionNode => Option[String])](
+        ("node_file", _.nodeFile), ("id", _.id), ("webhook", _.webhook)
+      ).foreach { case (k, get) =>
+        m.functions.flatMap(get).groupBy(identity)
+          .collect { case (v, vs) if vs.size > 1 => v }.toSeq.sorted
+          .foreach(v =>
+            errors += s"$k '$v' already defined in the graph configuration")
+      }
+    }
+    // expanded ids must be unambiguous (runNode/topoOrder address by id)
+    flatNodes.map(_._1).groupBy(identity)
+      .collect { case (id, xs) if xs.size > 1 => id }.toSeq.sorted
+      .foreach(id => errors += s"node id '$id' is ambiguous after expansion")
     val storeNames = manifest.stores.map(_.name).toSet ++
       flatNodes.flatMap { case (_, f, _) => f.webhook } // webhook auto-store
     flatNodes.foreach { case (id, f, _) =>

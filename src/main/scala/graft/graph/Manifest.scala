@@ -18,7 +18,8 @@ final case class FunctionNode(
     trigger: Option[String],
     inputs: Map[String, String],
     outputs: Map[String, String],
-    parameters: Map[String, Any]) {
+    parameters: Map[String, Any],
+    descriptionFile: Option[String] = None) {
   def kind: String =
     if (webhook.isDefined) "webhook"
     else if (uses.isDefined) "component"
@@ -115,7 +116,36 @@ final case class GraphManifest(
     stores: List[StoreDef],
     exposesInputs: List[String],
     exposesOutputs: List[String],
-    dir: Path)
+    dir: Path) {
+
+  /** Human-readable graph summary — the UI-facing metadata the platform
+    * renders per node (`title`, `description_file`, trigger, wiring;
+    * edit.py:104-126). Description files resolve against the graph dir;
+    * only their first line is shown.
+    */
+  def describe: String = {
+    val header = s"graph: ${title.orElse(slug).getOrElse("(untitled)")}"
+    val nodeLines = functions.map { f =>
+      val desc = f.descriptionFile.map(dir.resolve)
+        .filter(Files.exists(_))
+        .map(p => Files.readString(p).trim.linesIterator.nextOption().getOrElse(""))
+        .filter(_.nonEmpty)
+      (Seq(s"- ${f.displayName} [${f.kind}]") ++
+        f.title.map(t => s"    title: $t") ++
+        desc.map(d => s"    $d") ++
+        f.trigger.map(t => s"    trigger: $t") ++
+        (if (f.inputs.isEmpty) Nil
+         else Seq(s"    inputs: " + f.inputs.map { case (p, s) => s"$p<-$s" }.mkString(", "))) ++
+        (if (f.outputs.isEmpty) Nil
+         else Seq(s"    outputs: " + f.outputs.map { case (p, s) => s"$p->$s" }.mkString(", ")))
+      ).mkString("\n")
+    }
+    val storeLines = stores.map(s =>
+      s"- ${s.kind} ${s.name}" + s.schema.map(sc => s" (schema: $sc)").getOrElse(""))
+    ((header +: nodeLines) ++
+      (if (stores.isEmpty) Nil else "stores:" +: storeLines)).mkString("\n")
+  }
+}
 
 object GraphManifest {
 
@@ -156,7 +186,8 @@ object GraphManifest {
             trigger = f.get("trigger").map(str),
             inputs = f.get("inputs").map(strMap).getOrElse(Map.empty),
             outputs = f.get("outputs").map(strMap).getOrElse(Map.empty),
-            parameters = f.get("parameters").map(anyMap).getOrElse(Map.empty))
+            parameters = f.get("parameters").map(anyMap).getOrElse(Map.empty),
+            descriptionFile = f.get("description_file").map(str))
       }
       case _ => Nil
     }

@@ -128,6 +128,54 @@ class GraphRunnerSpec extends SparkSpec {
     assert(ctx.parameter[Int]("max_rows") == 50)
   }
 
+  test("describe renders node titles, description files, and wiring; duplicates are compile errors") {
+    val dir = tmpDir("graph")
+    write(dir, "agg.sql", "select 1 as one")
+    write(dir, "about_agg.md", "Aggregates the daily totals.\nMore detail here.")
+    write(dir, "graph.yml",
+      """title: my pipeline
+        |functions:
+        |  - node_file: agg.sql
+        |    id: aggnode01
+        |    title: daily totals
+        |    description_file: about_agg.md
+        |    trigger: 0 3 * * *
+        |    inputs: {in: raw}
+        |    outputs: {out: agg}
+        |stores:
+        |  - table: raw
+        |  - table: agg
+        |""".stripMargin)
+    val m = GraphManifest.load(dir)
+    assert(m.functions.head.descriptionFile.contains("about_agg.md"))
+    val d = m.describe
+    assert(d.contains("graph: my pipeline"))
+    assert(d.contains("title: daily totals"))
+    assert(d.contains("Aggregates the daily totals."))   // first line only
+    assert(!d.contains("More detail here."))
+    assert(d.contains("trigger: 0 3 * * *"))
+    assert(d.contains("in<-raw") && d.contains("out->agg"))
+    assert(d.contains("- table raw"))
+
+    // duplicate node_file / id rejected like the reference's editor
+    write(dir, "graph.yml",
+      """functions:
+        |  - node_file: agg.sql
+        |    id: aggnode01
+        |    outputs: {out: agg}
+        |  - node_file: agg.sql
+        |    id: aggnode01
+        |    outputs: {out: agg2}
+        |stores:
+        |  - table: agg
+        |  - table: agg2
+        |""".stripMargin)
+    val errors = new GraphRunner(spark, GraphManifest.load(dir), tmpDir("wh")).validate()
+    assert(errors.exists(_.contains("node_file 'agg.sql' already defined in the graph configuration")))
+    assert(errors.exists(_.contains("id 'aggnode01' already defined in the graph configuration")))
+    assert(errors.exists(_.contains("node id 'aggnode01' is ambiguous after expansion")))
+  }
+
   test("compile validation detects store-mediated cycles") {
     val dir = tmpDir("graph")
     write(dir, "a.sql", "select 1 as one from {{ tb }}")
