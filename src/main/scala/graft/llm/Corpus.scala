@@ -244,4 +244,119 @@ object Corpus {
       }
     }(enc).withColumnRenamed("id", idCol)
   }
+
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2, the "C4" rules):
+    * keep only lines that end in a terminal punctuation mark, contain
+    * at least `minLineWords` words, and do not mention "javascript";
+    * then drop whole pages that contain a curly brace or the phrase
+    * "lorem ipsum", or that retain fewer than `minLines` lines.
+    * Surviving pages are reassembled from their kept lines.
+    *
+    * Scale shape: every rule is a pure column expression over the scan
+    * (`split` on newline + a `filter` higher-order function + string
+    * predicates) — no shuffle, no join, no UDF; the operator is
+    * embarrassingly parallel over pages, which is exactly why these
+    * rules became the standard first pass over multi-TB web crawls.
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        (size(split(trim(l), "\\s+")) >= minLineWords) &&
+        !lower(l).contains("javascript"))
+    docs
+      .select(col(idCol), col(textCol),
+        size(lines).cast("long").as("n_lines"), kept.as("kept"))
+      .filter(!col(textCol).contains("{") &&
+        !lower(col(textCol)).contains("lorem ipsum") &&
+        size(col("kept")) >= minLines)
+      .select(col(idCol), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("cleaned_text"))
+  }
+
+  /** Global line-level deduplication (the C4 "three-sentence span" /
+    * CCNet per-line dedup idea at line granularity): across the whole
+    * corpus, every distinct line is kept exactly once — at its first
+    * occurrence in (document id, line position) order — and every
+    * later occurrence is dropped; documents are then reassembled from
+    * their surviving lines. Documents that lose every line remain in
+    * the output with `n_kept = 0` and empty text (the caller decides
+    * whether to drop them).
+    *
+    * Scale shape: "first occurrence" is computed as a hash aggregation
+    * — `min(struct(id, pos))` per line — NOT a global window sort:
+    * the aggregate combines map-side, shuffles only (line, 12-byte
+    * min-pair) records, and never serializes a popular line's
+    * occurrence list through one task the way `row_number() over
+    * (partition by line)` would. The winner set then equi-joins back
+    * on the line (same key → same shuffle partitioning, no extra
+    * exchange), and one re-group on the id rebuilds the text.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val firsts = lines.groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val keptLines = lines.join(firsts, "line")
+      .filter(col("id") === col("first.id") && col("pos") === col("first.pos"))
+    val rebuilt = keptLines.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("dedup_text"))
+    docs
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** Exact duplicate-span detection (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a token position is
+    * duplicated if it is covered by any `k`-token window whose exact
+    * text occurs more than once in the corpus (in any document,
+    * including the same one at another position). Reports, per
+    * document, the number and fraction of duplicated token positions —
+    * the signal the paper thresholds to cut exact-substring dups.
+    *
+    * Scale shape: windows come from a columnar `transform` over a
+    * per-doc `sequence` (no shuffle to build them); duplicate windows
+    * are ONE hash aggregation over the exploded grams (map-side
+    * combine absorbs within-partition repeats); coverage is an
+    * equi-join of grams against the duplicate set on the gram key
+    * (O(corpus grams + duplicate occurrences), never all-pairs),
+    * a position expansion bounded by k, and one distinct+fold per
+    * document. Nothing grows faster than the token count × k.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val grams = docs
+      .select(col(idCol).as("id"), ws.as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - k),
+          j => array_join(slice(col("ws"), j + 1, lit(k)), " ")))
+          .as(Seq("p", "gram")))
+    val dups = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select("gram")
+    val covered = grams.join(dups, "gram")
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + k - 1)).as("tok_pos"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("dup_tokens"))
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), size(ws).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -306,6 +306,77 @@ object TextAnalysis {
         expr("cast(percentile(nt, 0.9) as double)").as("p90_tokens"),
         round(avg("nc"), 4).as("avg_chars"))
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", reduced to the
+    * unigram feature space): score every raw-corpus document by how
+    * much more likely its tokens are under a target-distribution
+    * unigram LM than under the raw-corpus unigram LM,
+    * `mean_w [ ln p_target(w) − ln p_raw(w) ]` with add-one smoothing
+    * over the raw vocabulary. High scores mark documents that look
+    * like the target domain — the cheap, trainable-model-free way to
+    * select pretraining data toward a quality/domain target. (The mean
+    * rather than the paper's sum keeps the score length-unbiased,
+    * matching [[unigramLogProb]]'s convention.)
+    *
+    * Scale shape: both unigram models are single hash aggregations
+    * (vocabulary-sized results — the target model additionally tiny
+    * because target sets are); the model join is vocabulary-keyed and
+    * broadcastable; totals fold from the model itself (1-row aggregate
+    * cross-joined), so the whole computation is one lazy plan: two
+    * aggregations + one token-keyed join, no driver action. avg()
+    * folds doubles in partition order; ~1e-15 drift absorbed by
+    * round(,6) — the [[tokenEntropy]] libm contract.
+    */
+  def importanceWeights(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+    val rawToks = toks(raw)
+    val rawModel = rawToks.groupBy("w").agg(count(lit(1)).as("c_raw"))
+    val tgtModel = toks(target).groupBy("w").agg(count(lit(1)).as("c_tgt"))
+    val model = rawModel.join(tgtModel, Seq("w"), "left")
+      .select(col("w"), col("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val totals = model.agg(
+      sum("c_raw").cast("double").as("t_raw"),
+      sum("c_tgt").cast("double").as("t_tgt"),
+      count(lit(1)).cast("double").as("v"))
+    rawToks.join(model, "w")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(
+          log((col("c_tgt") + 1) / (col("t_tgt") + col("v"))) -
+            log((col("c_raw") + 1) / (col("t_raw") + col("v")))), 6)
+          .as("dsir_weight"))
+  }
+
+  /** Compression-ratio quality signal (the CCNet/RefinedWeb
+    * "compression filtering" heuristic): DEFLATE(text) / len(text).
+    * Highly repetitive or templated text compresses far below natural
+    * prose while random/encoded junk barely compresses at all, so one
+    * cheap, language-agnostic, model-free scan separates both failure
+    * modes; `keep` brackets the ratio into [minRatio, maxRatio].
+    *
+    * Scale shape: a pure codegen'd column expression
+    * ([[graft.functions.DeflateRatio]], one static zlib call per row)
+    * over the scan — no shuffle, no UDF wrapper, no vocabulary. Not
+    * oracle-checkable (no DEFLATE in ANSI SQL/DuckDB), so correctness
+    * rides on the property spec: empty = 1.0, repetitive < prose,
+    * deterministic per input.
+    */
+  def compressionSignals(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minRatio: Double = 0.3, maxRatio: Double = 0.95): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        round(graft.functions.TextCompress.deflateRatio(col(textCol)), 6)
+          .as("deflate_ratio"))
+      .withColumn("keep",
+        col("deflate_ratio").between(minRatio, maxRatio))
+
   /** Per-document token (Shannon) entropy in bits — a vocabulary-
     * diversity quality signal: repetitive or templated text scores low,
     * natural prose high. Aggregation-shaped (explode → per-(doc, token)

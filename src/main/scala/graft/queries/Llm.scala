@@ -898,7 +898,194 @@ object Llm {
         Multimodal.imageMeta(imagePayloads(s, d), "payload")
           .select("doc_id", "img_width", "img_height", "img_format")
     },
+
+    // L4i — DEFLATE compression-ratio quality signal. No DEFLATE in
+    // DuckDB → rows-only; correctness rides on TextCompressSpec's
+    // properties (empty = 1.0, repetitive < prose < random-ish,
+    // deterministic per input).
+    QuerySpec.unchecked("l38_compress_ratio") { (s, d) =>
+      TextAnalysis.compressionSignals(
+        Fixtures.table(s, d, "documents"), "doc_id", "text")
+    },
+
+    // L4j — C4 page cleaning over deterministic synthetic pages (the
+    // fixture text is single-line, so both engines first regroup words
+    // into 5-word lines decorated with rule triggers: terminal '.' on
+    // 2/3 of lines, ' javascript' every 17th line-slot, ' {' every
+    // 41st, a 'lorem ipsum' header on doc_id % 101 == 0 pages).
+    QuerySpec.df("l39_c4_filters",
+      s"""with ${duckPages(5, decorate = true)},
+         |f as (
+         |  select doc_id,
+         |    cast(len(string_split(text, chr(10))) as bigint) as n_lines,
+         |    list_filter(string_split(text, chr(10)), l ->
+         |      regexp_matches(l, '[.!?"]$$')
+         |      and len(string_split_regex(trim(l), '\\s+')) >= 5
+         |      and not contains(lower(l), 'javascript')) as kept,
+         |    text
+         |  from pages
+         |)
+         |select doc_id, n_lines, cast(len(kept) as bigint) as n_kept,
+         |  array_to_string(kept, chr(10)) as cleaned_text
+         |from f
+         |where not contains(text, '{') and not contains(lower(text), 'lorem ipsum')
+         |  and len(kept) >= 3""".stripMargin) {
+      (s, d) =>
+        Corpus.c4Clean(
+          syntheticPages(Fixtures.table(s, d, "documents"), 5, decorate = true),
+          "doc_id", "text")
+    },
+
+    // L4k — global line-level dedup (first occurrence by (doc, pos)
+    // wins) over 2-word synthetic lines — short lines so the small
+    // fixture vocabulary actually produces cross-document duplicates.
+    QuerySpec.df("l40_line_dedup",
+      s"""with ${duckPages(2, decorate = false)},
+         |ls as (select doc_id, string_split(text, chr(10)) as ll from pages),
+         |pos as (select doc_id, ll, unnest(range(0, len(ll))) as pos from ls),
+         |lines as (select doc_id, pos, ll[pos+1] as line from pos),
+         |kept as (
+         |  select doc_id, pos, line from lines
+         |  qualify row_number() over (partition by line order by doc_id, pos) = 1),
+         |rebuilt as (
+         |  select doc_id, cast(count(*) as bigint) as n_kept,
+         |    array_to_string(list(line order by pos), chr(10)) as dedup_text
+         |  from kept group by doc_id),
+         |tot as (select doc_id, cast(len(ll) as bigint) as n_lines from ls)
+         |select t.doc_id, t.n_lines,
+         |  coalesce(r.n_kept, 0) as n_kept,
+         |  coalesce(r.dedup_text, '') as dedup_text
+         |from tot t left join rebuilt r using (doc_id)""".stripMargin) {
+      (s, d) =>
+        Corpus.dedupLines(
+          syntheticPages(Fixtures.table(s, d, "documents"), 2, decorate = false),
+          "doc_id", "text")
+    },
+
+    // L4l — exact duplicate-span fraction (Lee et al. 2021) at k=3
+    // tokens — small k so the fixture vocabulary yields real repeats.
+    QuerySpec.df("l41_dup_spans",
+      """with base as (
+        |  select doc_id, string_split_regex(trim(text), '\s+') as ws
+        |  from documents where length(trim(text)) > 0
+        |),
+        |g0 as (select doc_id, ws, unnest(range(0, len(ws) - 2)) as p
+        |       from base where len(ws) >= 3),
+        |g as (select doc_id, p, array_to_string(ws[p+1 : p+3], ' ') as gram
+        |      from g0),
+        |dup as (select gram from g group by gram having count(*) > 1),
+        |cov as (
+        |  select doc_id, cast(count(distinct tok_pos) as bigint) as dup_tokens
+        |  from (select doc_id, unnest(range(p, p+3)) as tok_pos
+        |        from g join dup using (gram))
+        |  group by doc_id),
+        |tot as (select doc_id, cast(len(ws) as bigint) as n_tokens from base)
+        |select t.doc_id, t.n_tokens,
+        |  coalesce(c.dup_tokens, 0) as dup_tokens,
+        |  round(coalesce(c.dup_tokens, 0) / t.n_tokens, 6) as dup_frac
+        |from tot t left join cov c using (doc_id)""".stripMargin) {
+      (s, d) =>
+        Corpus.duplicateSpans(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", k = 3)
+    },
+
+    // L4m — DSIR unigram importance weights; target distribution =
+    // the src0 slice of the corpus (stand-in for an external
+    // high-quality target set).
+    QuerySpec.df("l42_dsir_weights",
+      """with toks as (
+        |  select doc_id, unnest(string_split_regex(trim(text), '\s+')) as w
+        |  from documents where length(trim(text)) > 0
+        |),
+        |tt as (select doc_id, w from toks where length(w) > 0),
+        |raw as (select w, count(*) as c_raw from tt group by w),
+        |tg as (
+        |  select unnest(string_split_regex(trim(text), '\s+')) as w
+        |  from documents where source = 'src0' and length(trim(text)) > 0
+        |),
+        |tgt as (select w, count(*) as c_tgt from tg where length(w) > 0
+        |        group by w),
+        |model as (select r.w, r.c_raw, coalesce(t.c_tgt, 0) as c_tgt
+        |          from raw r left join tgt t using (w)),
+        |totals as (select cast(sum(c_raw) as double) as t_raw,
+        |                  cast(sum(c_tgt) as double) as t_tgt,
+        |                  cast(count(*) as double) as v from model)
+        |select doc_id, cast(count(*) as bigint) as n_tokens,
+        |  round(avg(ln((c_tgt + 1) / (t_tgt + v)) - ln((c_raw + 1) / (t_raw + v))), 6)
+        |    as dsir_weight
+        |from tt join model using (w) cross join totals
+        |group by doc_id""".stripMargin) {
+      (s, d) => {
+        val docs = Fixtures.table(s, d, "documents")
+        TextAnalysis.importanceWeights(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+      }
+    },
   )
+
+  /** Deterministic multi-line "page" fixture: the documents table is
+    * single-line word soup, so the line-level operators (l39/l40)
+    * derive pages from it in-query — words regrouped into lines of
+    * `wordsPerLine`, optionally decorated with C4-rule triggers —
+    * identically on both engines (the [[plantedCorpus]] pattern).
+    */
+  private def syntheticPages(docs: org.apache.spark.sql.DataFrame,
+      wordsPerLine: Int, decorate: Boolean): org.apache.spark.sql.DataFrame = {
+    val L = wordsPerLine
+    val ws = split(trim(col("text")), "\\s+")
+    val nLines = ceil(size(ws) / lit(L.toDouble)).cast("int")
+    def lineAt(j: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val base = array_join(slice(ws, j * L + 1, lit(L)), " ")
+      if (!decorate) base
+      else {
+        val withJs = when((col("doc_id") + j) % 17 === 0,
+          concat(base, lit(" javascript"))).otherwise(base)
+        val withBrace = when((col("doc_id") + j) % 41 === 0,
+          concat(withJs, lit(" {"))).otherwise(withJs)
+        when((col("doc_id") + j) % 3 =!= 0,
+          concat(withBrace, lit("."))).otherwise(withBrace)
+      }
+    }
+    val page0 =
+      array_join(transform(sequence(lit(0), nLines - 1), lineAt(_)), "\n")
+    val page =
+      if (decorate)
+        when(col("doc_id") % 101 === 0,
+          concat(lit("lorem ipsum dolor\n"), page0)).otherwise(page0)
+      else page0
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), page.as("text"))
+  }
+
+  /** DuckDB side of [[syntheticPages]] — emits `base` + `pages` CTE
+    * bodies (callers continue the WITH chain from `pages`).
+    */
+  private def duckPages(wordsPerLine: Int, decorate: Boolean): String = {
+    val L = wordsPerLine
+    // concat(...) with comma args instead of || chains: a stripMargin
+    // line starting with || loses its first pipe to the margin.
+    val deco =
+      if (decorate)
+        s""",
+           |      case when (doc_id + j) % 17 = 0 then ' javascript' else '' end,
+           |      case when (doc_id + j) % 41 = 0 then ' {' else '' end,
+           |      case when (doc_id + j) % 3 != 0 then '.' else '' end""".stripMargin
+      else ""
+    val lorem =
+      if (decorate)
+        "case when doc_id % 101 = 0 then concat('lorem ipsum dolor', chr(10)) else '' end, "
+      else ""
+    s"""base as (
+       |  select doc_id, string_split_regex(trim(text), '\\s+') as ws
+       |  from documents where length(trim(text)) > 0
+       |),
+       |pages as (
+       |  select doc_id, concat($lorem array_to_string([
+       |      concat(array_to_string(ws[j*$L+1 : j*$L+$L], ' ')$deco)
+       |      for j in range(0, cast(ceil(len(ws)/${L}.0) as bigint))], chr(10))) as text
+       |  from base
+       |)""".stripMargin
+  }
 
   /** Image-payload fixture, materialized to a temp parquet once per
     * sfDir: `attachImagePayload` is PNG *encoding* — fixture synthesis,
