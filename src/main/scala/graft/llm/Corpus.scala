@@ -285,23 +285,28 @@ object Corpus {
     * the output with `n_kept = 0` and empty text (the caller decides
     * whether to drop them).
     *
-    * Scale shape: "first occurrence" is computed as a hash aggregation
-    * — `min(struct(id, pos))` per line — NOT a global window sort:
-    * the aggregate combines map-side, shuffles only (line, 12-byte
-    * min-pair) records, and never serializes a popular line's
-    * occurrence list through one task the way `row_number() over
-    * (partition by line)` would. The winner set then equi-joins back
-    * on the line (same key → same shuffle partitioning, no extra
-    * exchange), and one re-group on the id rebuilds the text.
+    * Scale shape: "first occurrence" is computed by aggregation — NOT
+    * a global window sort, which would serialize every occurrence of a
+    * popular line through one task. And not `min(struct(id, pos))`
+    * either: a struct buffer is not hash-aggregable, so that falls to
+    * SortAggregate and sorts every exploded line map-side. Instead two
+    * stacked HashAggregates with primitive buffers: `min(pos)` per
+    * (line, id), then `min(id)` + `min_by(pos, id)` per line (the
+    * first stage makes id unique per line, so the min_by ordering is
+    * tie-free and deterministic). Both combine map-side and shuffle
+    * only small combined keys. The final aggregate's output IS the
+    * kept line set (winning id, pos, and the line itself), so no join
+    * back against the occurrences is needed — one re-group on the
+    * winning id rebuilds the text directly.
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val firsts = lines.groupBy("line")
-      .agg(min(struct(col("id"), col("pos"))).as("first"))
-    val keptLines = lines.join(firsts, "line")
-      .filter(col("id") === col("first.id") && col("pos") === col("first.pos"))
-    val rebuilt = keptLines.groupBy("id").agg(
+    val firsts = lines.groupBy("line", "id").agg(min("pos").as("pos"))
+      .groupBy("line")
+      .agg(min("id").as("id"), min_by(col("pos"), col("id")).as("pos"))
+    val rebuilt = firsts
+      .groupBy("id").agg(
       count(lit(1)).as("n_kept"),
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -931,8 +931,7 @@ object Llm {
          |where not contains(text, '{') and not contains(lower(text), 'lorem ipsum')
          |  and len(kept) >= 3""".stripMargin) {
       (s, d) =>
-        Corpus.c4Clean(
-          syntheticPages(Fixtures.table(s, d, "documents"), 5, decorate = true),
+        Corpus.c4Clean(syntheticPageFixture(s, d, 5, decorate = true),
           "doc_id", "text")
     },
 
@@ -957,8 +956,7 @@ object Llm {
          |  coalesce(r.dedup_text, '') as dedup_text
          |from tot t left join rebuilt r using (doc_id)""".stripMargin) {
       (s, d) =>
-        Corpus.dedupLines(
-          syntheticPages(Fixtures.table(s, d, "documents"), 2, decorate = false),
+        Corpus.dedupLines(syntheticPageFixture(s, d, 2, decorate = false),
           "doc_id", "text")
     },
 
@@ -1055,6 +1053,28 @@ object Llm {
       else page0
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), page.as("text"))
+  }
+
+  /** [[syntheticPages]] materialized to a temp parquet once per
+    * (sfDir, shape): the page builder is a CodegenFallback HOF chain
+    * that CollapseProject would inline into every textCol reference of
+    * the downstream operator — fixture synthesis, not the operator
+    * l39/l40 name — so the timed queries must read it as a plain scan
+    * (the l17 image-payload principle, VERDICT r5).
+    */
+  private val pageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def syntheticPageFixture(s: org.apache.spark.sql.SparkSession,
+      d: String, wordsPerLine: Int,
+      decorate: Boolean): org.apache.spark.sql.DataFrame = {
+    val path = pageDirs.computeIfAbsent(s"$d|$wordsPerLine|$decorate", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-pagefix-")
+        .resolve("pages.parquet").toString
+      syntheticPages(Fixtures.table(s, d, "documents"), wordsPerLine, decorate)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
   }
 
   /** DuckDB side of [[syntheticPages]] — emits `base` + `pages` CTE
