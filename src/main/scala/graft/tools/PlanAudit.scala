@@ -68,7 +68,11 @@ object PlanDigest {
     "q02_filter", "q04_join_broadcast", "q09_join_asof", "q10_agg_tpch1",
     "q15_window_rank", "l02_minhash_lsh", "l05_cosine_knn",
     "l12b_embed_neardup_lsh", "l13_neardup_clusters", "l33_ngram_topk",
-    "l36_unigram_logprob")
+    "l36_unigram_logprob",
+    // round-7: the dedup/coverage plans whose agg/join strategy is the
+    // whole point (a regression to SortAggregate/window would ship
+    // silently otherwise)
+    "l40_line_dedup", "l41_dup_spans", "l42_dsir_weights")
 
   val digestFile = "PLAN_DIGESTS.json"
 
