@@ -67,6 +67,24 @@ object TextShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Contiguous k-character grams of a token (duplicates kept, string
+    * order; empty for tokens shorter than k chars). Positions are
+    * Unicode code points (UTF8String.substring), not bytes, so
+    * multi-byte text pairs correctly. The per-token kernel behind BPE
+    * pair statistics — one static call per row, no HOF lambda.
+    */
+  def charGrams(word: UTF8String, k: Int): ArrayData = {
+    val n = word.numChars()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      out(i) = word.substring(i, i + k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `numHashes` MinHash signature values of a string array in one
     * pass: sig[j] = min over elements of xxhash64(j, elem) (the same
     * values `min(xxhash64(lit(j), col))` aggregates to — int-typed j
@@ -151,6 +169,31 @@ case class WordGrams(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd contiguous k-character gram list over a string column —
+  * the character-level sibling of [[WordGrams]] (BPE pair counting,
+  * char-n-gram language ID features).
+  */
+case class CharGrams(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_char_grams needs (string, k>=1), got ${child.dataType.sql}, k=$k")
+
+  override def nullSafeEval(t: Any): Any =
+    TextShingleOps.charGrams(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextShingleOps.charGrams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
 /** Codegen'd MinHash signature (array<long> of `numHashes` values)
   * over a string-array column — one pass, no shuffle.
   */
@@ -190,5 +233,9 @@ object TextShingles {
     val spark = org.apache.spark.sql.SparkSession.active
     GraftShim.toColumn(
       MinHashSig(GraftShim.toExpression(spark, shingles), numHashes))
+  }
+  def charGrams(word: Column, k: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(CharGrams(GraftShim.toExpression(spark, word), k))
   }
 }

@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * GIF): `imageMeta` reads width/height/format from the container
   * header without materializing pixels, and `extractFeatures` with an
   * image mime fully decodes and derives features from actual pixel
-  * data. Audio/video decode is STUBBED (no media libraries in this
-  * environment): `fakeFeatures` derives a deterministic feature vector
-  * from the bytes so the Spark-side plumbing — schema, partitioning,
-  * batch shape, metadata — is real and testable. Swap the stub for a
-  * real decoder (e.g. a JNI/ONNX call) without touching the plumbing.
+  * data. Audio decodes for REAL too (zero-dependency RIFF/WAVE parse:
+  * `audioMeta` walks chunk headers, `wavFeatures` folds the actual PCM
+  * samples); video parses its REAL container timing (`videoMeta` walks
+  * the ISO-BMFF box tree to `mvhd`) while frame/pixel decode remains
+  * STUBBED (no video codec in this environment): `fakeFeatures`
+  * derives a deterministic feature vector from the bytes so the
+  * Spark-side plumbing — schema, partitioning, batch shape, metadata —
+  * is real and testable. Swap the stub for a real decoder (e.g. a
+  * JNI/ONNX call) without touching the plumbing.
   */
 object Multimodal {
 
@@ -53,6 +57,235 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** Deterministic PCM WAV — a real RIFF/WAVE container (16-bit PCM,
+    * canonical 44-byte header + data chunk; sample i of channel c is an
+    * integer function of (seed, i, c), so sample statistics are
+    * reproducible in any engine that knows the formula).
+    */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int,
+      seed: Long): Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)         // PCM, channels
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples * channels) {
+      bb.putShort((((seed + i * 2654435761L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a REAL audio payload per row: a PCM WAV whose header fields
+    * are a known function of the id column (`sample_rate = 8000·(id%3+1)`,
+    * `channels = id%2+1`, `n_samples = 800·(id%5+1)`) so downstream
+    * decode results are oracle-checkable.
+    */
+  def attachAudioPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("payload_meta", payloadMeta))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = wavBytes(8000 * ((id % 3).toInt + 1), (id % 2).toInt + 1,
+          800 * ((id % 5).toInt + 1), id)
+        Row.fromSeq(r.toSeq ++ Seq(bytes, Row("audio/wav", bytes.length, idCol)))
+      }
+    }(encoder)
+  }
+
+  /** RIFF/WAVE chunk walk: (sampleRate, channels, bitsPerSample,
+    * nSamples) from the fmt and data chunk headers — no sample data is
+    * touched. Null for anything that isn't a WAV.
+    */
+  private[llm] def wavMeta(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def fourcc(i: Int): String =
+      new String(bytes, i, 4, "US-ASCII")
+    val n = bytes.length
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return null
+    var (i, sr, ch, bits, dataSize) = (12, -1, -1, -1, -1L)
+    while (i + 8 <= n) {
+      val (id, size) = (fourcc(i), le32(i + 4))
+      if (id == "fmt " && i + 24 <= n) {
+        ch = le16(i + 10); sr = le32(i + 12); bits = le16(i + 22)
+      } else if (id == "data") dataSize = size.toLong
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sr < 0 || ch <= 0 || bits <= 0 || dataSize < 0) null
+    else (sr, ch, bits, dataSize / (ch.toLong * bits / 8))
+  }
+
+  /** Header-only audio metadata decode: sample rate / channels / bit
+    * depth / sample count read from the container header WITHOUT
+    * touching sample data — the scale-correct metadata harvest over
+    * binary audio columns (IO-bound, never decoder-bound), sibling of
+    * [[imageMeta]]. Unrecognized payloads yield nulls.
+    */
+  def audioMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("sample_rate", IntegerType))
+      .add(StructField("audio_channels", IntegerType))
+      .add(StructField("bit_depth", IntegerType))
+      .add(StructField("n_samples", LongType))
+      .add(StructField("audio_format", StringType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = wavMeta(r.getAs[Array[Byte]](payloadIdx))
+        val extra: Seq[Any] = if (m != null)
+          Seq(m._1, m._2, m._3, m._4, "wav") else Seq(null, null, null, null, null)
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(encoder)
+  }
+
+  /** Real WAV decode → feature vector: [sample_rate, channels,
+    * n_samples, mean amplitude, RMS] from the actual PCM samples,
+    * byte-fold tail past index 4 — the audio sibling of
+    * [[imageFeatures]] (the former stub branch).
+    */
+  def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val m = wavMeta(bytes)
+    if (m == null || m._3 != 16) return fakeFeatures(bytes, dim)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // find the data chunk again (wavMeta validated the layout)
+    var (i, dataOff, dataSize) = (12, -1, 0)
+    while (i + 8 <= bytes.length && dataOff < 0) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val size = bb.getInt(i + 4)
+      if (id == "data") { dataOff = i + 8; dataSize = size }
+      else i += 8 + size + (size & 1)
+    }
+    var (sum, sumSq, k) = (0.0, 0.0, 0)
+    val nVals = dataSize / 2
+    while (k < nVals) {
+      val v = bb.getShort(dataOff + k * 2).toDouble
+      sum += v; sumSq += v * v; k += 1
+    }
+    val out = fakeFeatures(bytes, dim)
+    val head = Array[Float](m._1.toFloat, m._2.toFloat, m._4.toFloat,
+      if (nVals > 0) (sum / nVals).toFloat else 0f,
+      if (nVals > 0) math.sqrt(sumSq / nVals).toFloat else 0f)
+    System.arraycopy(head, 0, out, 0, math.min(head.length, dim))
+    out
+  }
+
+  /** Deterministic minimal MP4 — a real ISO-BMFF box layout (`ftyp` +
+    * `moov`>`mvhd` v0) with planted timescale/duration, enough for any
+    * box-walking parser to read movie timing.
+    */
+  def mp4Bytes(timescale: Int, durationUnits: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 116) // big-endian default
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(116).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0)                                   // version 0 + flags
+      .putInt(0).putInt(0)                         // ctime, mtime
+      .putInt(timescale).putInt(durationUnits.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+    bb.position(bb.position() + 10 + 36 + 24)      // reserved+matrix+predef
+    bb.putInt(1)                                   // next track id
+    bb.array()
+  }
+
+  /** Attach a REAL video payload per row: a minimal MP4 whose movie
+    * header is a known function of the id column
+    * (`timescale = 600·(id%4+1)`, `duration = timescale·(id%10+1)` so
+    * the duration in seconds is exactly `id%10+1`).
+    */
+  def attachVideoPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("payload_meta", payloadMeta))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val ts = 600 * ((id % 4).toInt + 1)
+        val bytes = mp4Bytes(ts, ts.toLong * ((id % 10) + 1))
+        Row.fromSeq(r.toSeq ++ Seq(bytes, Row("video/mp4", bytes.length, idCol)))
+      }
+    }(encoder)
+  }
+
+  /** ISO-BMFF box walk: movie timescale, duration (units), and derived
+    * duration in seconds from `moov`>`mvhd` (v0 or v1) — header-only,
+    * no track or sample data touched. Null for non-MP4 payloads.
+    */
+  private[llm] def mp4Meta(bytes: Array[Byte]): (Int, Long, Double) = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    @inline def fourcc(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    val n = bytes.length
+    var i = 0
+    var moov = -1
+    var moovEnd = -1
+    while (i + 8 <= n && moov < 0) {          // top-level boxes
+      val size = be32(i).toInt
+      if (size < 8) return null
+      if (fourcc(i + 4) == "moov") { moov = i + 8; moovEnd = i + size }
+      i += size
+    }
+    if (moov < 0) return null
+    var j = moov
+    while (j + 8 <= moovEnd) {                // moov children
+      val size = be32(j).toInt
+      if (size < 8) return null
+      if (fourcc(j + 4) == "mvhd") {
+        val version = u8(j + 8)
+        val (ts, dur) =
+          if (version == 1) (be32(j + 28).toInt, be64(j + 32))
+          else (be32(j + 20).toInt, be32(j + 24))
+        return (ts, dur, dur.toDouble / ts)
+      }
+      j += size
+    }
+    null
+  }
+
+  /** Header-only video metadata decode: movie timescale / duration from
+    * the MP4 box tree WITHOUT touching track data — the video sibling
+    * of [[imageMeta]]/[[audioMeta]]. Unrecognized payloads yield nulls.
+    */
+  def videoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("timescale", IntegerType))
+      .add(StructField("duration_units", LongType))
+      .add(StructField("duration_s", DoubleType))
+      .add(StructField("video_format", StringType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = mp4Meta(r.getAs[Array[Byte]](payloadIdx))
+        val extra: Seq[Any] = if (m != null)
+          Seq(m._1, m._2, m._3, "mp4") else Seq(null, null, null, null)
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(encoder)
   }
 
   /** Deterministic tiny RGB PNG — a real image container, used to put
@@ -199,7 +432,11 @@ object Multimodal {
         val mime = mimeIdx.map(r.getString).getOrElse("")
         val feats =
           if (mime.startsWith("image/")) imageFeatures(bytes, dim)
-          else fakeFeatures(bytes, dim) // <- STUB: real audio/video decode goes here
+          else if (mime == "audio/wav" || mime == "audio/x-wav")
+            wavFeatures(bytes, dim)
+          else fakeFeatures(bytes, dim) // <- STUB: real video FRAME decode
+                                        // goes here (mvhd timing parses
+                                        // for real via videoMeta)
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(encoder)

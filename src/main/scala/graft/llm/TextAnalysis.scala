@@ -306,6 +306,41 @@ object TextAnalysis {
         expr("cast(percentile(nt, 0.9) as double)").as("p90_tokens"),
         round(avg("nc"), 4).as("avg_chars"))
 
+  /** BPE pair statistics (Sennrich et al. 2016's merge-selection
+    * census): the corpus-wide frequency of every adjacent character
+    * pair inside tokens — the statistic byte-pair-encoding training
+    * recomputes before each merge, and the standard first look at a
+    * corpus before training a tokenizer on it. Top-`k` pairs with a
+    * deterministic rank ((count desc, pair asc) total order).
+    *
+    * Scale shape: pairs come from the codegen'd
+    * [[graft.functions.CharGrams]] kernel (one static call per token —
+    * the `transform(sequence(...))`-with-`substr` formulation is
+    * CodegenFallback, the [[ngramTopK]] lesson) and explode straight
+    * off the scan; ONE hash aggregation on the pair (map-side combine
+    * absorbs almost everything: the pair alphabet is tiny), and the
+    * global top-k is a TakeOrderedAndProject over the alphabet-sized
+    * aggregate — never the corpus. The rank window then runs over only
+    * k rows.
+    */
+  def bpePairStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(graft.functions.TextShingles.charGrams(col("w"), 2))
+        .as("pair"))
+    val totals = pairs.groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+    val top = totals.orderBy(col("n_occurrences").desc, col("pair")).limit(k)
+    val w = Window.orderBy(col("n_occurrences").desc, col("pair"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", reduced to the
     * unigram feature space): score every raw-corpus document by how

@@ -1019,7 +1019,91 @@ object Llm {
           docs.filter(col("source") === "src0"), "doc_id", "text")
       }
     },
+
+    // L4n — BPE merge-selection census: corpus-wide adjacent
+    // character-pair frequencies inside tokens, top-40 with
+    // deterministic rank (count desc, pair asc).
+    QuerySpec.df("l43_bpe_pairs",
+      """with toks as (
+        |  select unnest(string_split_regex(trim(text), '\s+')) as w
+        |  from documents where length(trim(text)) > 0
+        |),
+        |tw as (select w from toks where length(w) >= 2),
+        |p as (select unnest([w[i:i+1] for i in range(1, length(w))]) as pair
+        |      from tw),
+        |t as (select pair, cast(count(*) as bigint) as n_occurrences
+        |      from p group by pair)
+        |select pair, n_occurrences, rank from (
+        |  select *, cast(row_number() over (
+        |    order by n_occurrences desc, pair) as bigint) as rank from t)
+        |where rank <= 40""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.bpePairStats(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", k = 40)
+    },
+
+    // L5d — REAL audio container decode: each doc gets an actual PCM
+    // WAV with planted header fields (sr = 8000·(id%3+1), ch = id%2+1,
+    // n_samples = 800·(id%5+1)); Spark walks the RIFF chunks of the
+    // pre-materialized payloads; the oracle recomputes the plants
+    // arithmetically (the l17 pattern).
+    QuerySpec.df("l44_audio_meta",
+      """select doc_id,
+        |  cast(8000 * (doc_id % 3 + 1) as int) as sample_rate,
+        |  cast(doc_id % 2 + 1 as int) as audio_channels,
+        |  cast(16 as int) as bit_depth,
+        |  cast(800 * (doc_id % 5 + 1) as bigint) as n_samples,
+        |  'wav' as audio_format
+        |from documents""".stripMargin) {
+      (s, d) =>
+        Multimodal.audioMeta(
+          mediaPayloads(s, d, "audio", Multimodal.attachAudioPayload(_, "doc_id")),
+          "payload")
+          .select("doc_id", "sample_rate", "audio_channels", "bit_depth",
+            "n_samples", "audio_format")
+    },
+
+    // L5e — REAL video container parse: each doc gets a minimal ISO-
+    // BMFF MP4 (ftyp + moov>mvhd) with planted movie timing
+    // (timescale = 600·(id%4+1), duration = timescale·(id%10+1));
+    // Spark walks the box tree; the oracle recomputes arithmetically.
+    QuerySpec.df("l45_video_meta",
+      """select doc_id,
+        |  cast(600 * (doc_id % 4 + 1) as int) as timescale,
+        |  cast(600 * (doc_id % 4 + 1) * (doc_id % 10 + 1) as bigint)
+        |    as duration_units,
+        |  cast(doc_id % 10 + 1 as double) as duration_s,
+        |  'mp4' as video_format
+        |from documents""".stripMargin) {
+      (s, d) =>
+        Multimodal.videoMeta(
+          mediaPayloads(s, d, "video", Multimodal.attachVideoPayload(_, "doc_id")),
+          "payload")
+          .select("doc_id", "timescale", "duration_units", "duration_s",
+            "video_format")
+    },
   )
+
+  /** Media-payload fixture, materialized to a temp parquet once per
+    * (kind, sfDir) — payload synthesis (PNG/WAV/MP4 encoding) is
+    * fixture generation, not the operator the queries name, so it must
+    * not run inside a timed query (VERDICT r5).
+    */
+  private val mediaDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mediaPayloads(s: org.apache.spark.sql.SparkSession, d: String,
+      kind: String,
+      attach: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val path = mediaDirs.computeIfAbsent(s"$kind|$d", _ => {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-${kind}fix-")
+        .resolve("payloads.parquet").toString
+      attach(Fixtures.table(s, d, "documents").select("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
 
   /** Deterministic multi-line "page" fixture: the documents table is
     * single-line word soup, so the line-level operators (l39/l40)
