@@ -85,6 +85,40 @@ object TextShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Adjacent element pairs of a symbol array as `left`␟`right` strings
+    * (US-unit-separator joined; callers filter tokens containing ␟ at
+    * ingest). The per-word kernel behind BPE training's pair census.
+    */
+  private val pairSep = UTF8String.fromString("\u001f")
+  def adjacentPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(arr.getUTF8String(i), pairSep,
+        arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One left-to-right BPE merge pass: every adjacent (`a`, `b`) in the
+    * symbol array becomes the single symbol `a+b` (non-overlapping,
+    * leftmost-first — the Sennrich et al. 2016 apply order).
+    */
+  def mergePair(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val buf = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i) == a && arr.getUTF8String(i + 1) == b) {
+        buf.add(UTF8String.concat(a, b)); i += 2
+      } else { buf.add(arr.getUTF8String(i)); i += 1 }
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** `numHashes` MinHash signature values of a string array in one
     * pass: sig[j] = min over elements of xxhash64(j, elem) (the same
     * values `min(xxhash64(lit(j), col))` aggregates to — int-typed j
@@ -194,6 +228,62 @@ case class CharGrams(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd adjacent-pair list over a symbol-array column (BPE pair
+  * census): element i becomes `arr[i]`␟`arr[i+1]`.
+  */
+case class AdjacentPairs(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_adjacent_pairs needs array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    TextShingleOps.adjacentPairs(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextShingleOps.adjacentPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentPairs =
+    copy(child = newChild)
+}
+
+/** Codegen'd single BPE merge pass over a symbol-array column: every
+  * adjacent (`a`, `b`) collapses to `a+b`, leftmost-first.
+  */
+case class MergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_merge_pair needs array<string>, got ${other.sql}")
+  }
+
+  @transient private lazy val aU = UTF8String.fromString(a)
+  @transient private lazy val bU = UTF8String.fromString(b)
+
+  override def nullSafeEval(t: Any): Any =
+    TextShingleOps.mergePair(t.asInstanceOf[ArrayData], aU, bU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mergeA", aU)
+    val bRef = ctx.addReferenceObj("mergeB", bU)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextShingleOps.mergePair($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergePair =
+    copy(child = newChild)
+}
+
 /** Codegen'd MinHash signature (array<long> of `numHashes` values)
   * over a string-array column — one pass, no shuffle.
   */
@@ -237,5 +327,13 @@ object TextShingles {
   def charGrams(word: Column, k: Int): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     GraftShim.toColumn(CharGrams(GraftShim.toExpression(spark, word), k))
+  }
+  def adjacentPairs(syms: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(AdjacentPairs(GraftShim.toExpression(spark, syms)))
+  }
+  def mergePair(syms: Column, a: String, b: String): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(MergePair(GraftShim.toExpression(spark, syms), a, b))
   }
 }

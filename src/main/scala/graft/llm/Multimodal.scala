@@ -189,6 +189,69 @@ object Multimodal {
     out
   }
 
+  /** FULL PCM decode → per-payload signal statistics: every sample of
+    * the data chunk is read and folded into integer sums, so the
+    * derived doubles (mean / RMS / clip fraction / silence fraction)
+    * are bit-reproducible in any engine that decodes the same samples
+    * — which is what makes this the first hash-checkable full-decode
+    * media operator (the planted fixtures' samples are an integer
+    * formula of (seed, i), so a SQL oracle can regenerate them).
+    *
+    * Scale shape: pure per-row CPU linear in media bytes, no shuffle,
+    * embarrassingly parallel — at 100 TB the cost IS the decode, which
+    * is the honest floor for signal-level audio QC (unlike the
+    * header-only [[audioMeta]] harvest). Clip = |s| >= `clipAbs`
+    * (near full-scale 16-bit), silence = |s| < `silenceAbs`.
+    */
+  def audioStats(df: DataFrame, payloadCol: String,
+      clipAbs: Int = 32000, silenceAbs: Int = 512): DataFrame = {
+    val schema = df.schema
+      .add(StructField("n_vals", LongType))
+      .add(StructField("mean_amp", DoubleType))
+      .add(StructField("rms_amp", DoubleType))
+      .add(StructField("clip_frac", DoubleType))
+      .add(StructField("silence_frac", DoubleType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val m = wavMeta(bytes)
+        val extra: Seq[Any] = if (m == null || m._3 != 16)
+          Seq(null, null, null, null, null)
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var (i, dataOff, dataSize) = (12, -1, 0)
+          while (i + 8 <= bytes.length && dataOff < 0) {
+            val id = new String(bytes, i, 4, "US-ASCII")
+            val size = bb.getInt(i + 4)
+            if (id == "data") { dataOff = i + 8; dataSize = size }
+            else i += 8 + size + (size & 1)
+          }
+          // integer sums are exact (|s| <= 2^15, counts << 2^23), so
+          // the double divisions below are order-independent
+          var (sum, sumSq, clip, silent, k) = (0L, 0L, 0L, 0L, 0)
+          val nVals = dataSize / 2
+          while (k < nVals) {
+            val v = bb.getShort(dataOff + k * 2).toLong
+            sum += v; sumSq += v * v
+            val a = math.abs(v)
+            if (a >= clipAbs) clip += 1
+            if (a < silenceAbs) silent += 1
+            k += 1
+          }
+          val n = nVals.toDouble
+          // Seq[Any] — a bare Seq would numerically widen the Long to
+          // Double and break the BIGINT column at encode time
+          Seq[Any](nVals.toLong, sum / n, math.sqrt(sumSq / n), clip / n,
+            silent / n)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(encoder)
+  }
+
   /** Deterministic minimal MP4 — a real ISO-BMFF box layout (`ftyp` +
     * `moov`>`mvhd` v0) with planted timescale/duration, enough for any
     * box-walking parser to read movie timing.
@@ -330,6 +393,120 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = pngBytes((id % 16).toInt + 1, ((id * 7) % 16).toInt + 1, id)
         Row.fromSeq(r.toSeq ++ Seq(bytes, Row("image/png", bytes.length, metaSource)))
+      }
+    }(encoder)
+  }
+
+  /** Deterministic RGB PNG with hash-mixed pixels: pixel (x, y) channels
+    * come from a splitmix64-style finalizer over (seed, x, y), so images
+    * from different seeds are statistically uncorrelated (unlike
+    * [[pngBytes]]'s linear gradients, whose dHashes would nearly
+    * collide across seeds) — the right fixture for perceptual-hash
+    * dedup, where only identical seeds may match.
+    */
+  def noisePngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var h = seed * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L +
+          y * 0x94d049bb133111ebL
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+        h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+        h ^= h >>> 33
+        img.setRGB(x, y, (h & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Attach a REAL image payload keyed by `id % groups`: every row in a
+    * group carries byte-identical noise PNGs, so a perceptual-hash
+    * dedup's expected output is exactly the within-group pairs —
+    * decode-verified AND oracle-checkable (identical bytes must hash
+    * identically; cross-group noise images collide with probability
+    * ~2^-59 at Hamming <= 2).
+    */
+  def attachGroupedImagePayload(df: DataFrame, idCol: String, groups: Int,
+      width: Int = 36, height: Int = 32): DataFrame = {
+    val schema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("payload_meta", payloadMeta))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // group alphabet is tiny: encode each group's PNG once per partition
+      val cache = new java.util.HashMap[Long, Array[Byte]]()
+      rows.map { r =>
+        val g = r.getLong(idIdx) % groups
+        val bytes = cache.computeIfAbsent(g, noisePngBytes(width, height, _))
+        Row.fromSeq(r.toSeq ++ Seq(bytes, Row("image/png", bytes.length, idCol)))
+      }
+    }(encoder)
+  }
+
+  /** Perceptual 64-bit difference hash (dHash) from REAL decoded
+    * pixels: grayscale block-average the image onto a 9×8 grid, then
+    * bit (cy·8 + cx) = [cell(cx+1, cy) brighter than cell(cx, cy)] —
+    * the standard gradient fingerprint, robust to resizing and small
+    * edits. Cell comparisons cross-multiply integer sums (sumA·nB >
+    * sumB·nA), so the hash is exactly reproducible on any decoder that
+    * yields the same pixels. Undecodable payloads hash to null.
+    *
+    * Scale shape: per-row decode CPU, no shuffle; pair generation is
+    * [[TextDedup.hammingPairs]]' banded join over the resulting codes —
+    * the image sibling of SimHash text dedup.
+    */
+  def imageDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema.add(StructField("dhash", LongType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val extra: Any = if (img == null) null else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w < 9 || h < 8) null else {
+            // 9x8 grid of (gray sum, pixel count) with floor boundaries
+            val sums = Array.ofDim[Long](8, 9)
+            val counts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val cx = x * 9 / w
+                val p = img.getRGB(x, y)
+                sums(cy)(cx) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                counts(cy)(cx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var code = 0L
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                if (sums(cy)(cx + 1) * counts(cy)(cx) >
+                    sums(cy)(cx) * counts(cy)(cx + 1))
+                  code |= 1L << (cy * 8 + cx)
+                cx += 1
+              }
+              cy += 1
+            }
+            code
+          }
+        }
+        Row.fromSeq(r.toSeq :+ extra)
       }
     }(encoder)
   }

@@ -328,6 +328,54 @@ object Similarity {
     emb.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication that confines the quadratic cosine comparison to
+    * k-means cells — cluster the embeddings with the IVF coarse
+    * quantizer ([[trainIvfCentroids]]), compare all pairs WITHIN a cell
+    * only, connect pairs at cosine >= `minCos` into components, keep
+    * the min-id survivor per component plus every unpaired vector.
+    *
+    * Scale shape: the all-pairs term drops from n² to Σ|cell|² — with
+    * √n-ish centroids that is n^1.5 worst-case and near-linear when
+    * cells stay balanced; everything else is one cell-keyed shuffle,
+    * CC's O(log diameter) bounded rounds, and an anti-join against the
+    * loser set only (the corpus never rewrites). The trade vs the
+    * sign-LSH path ([[dropEmbedNearDuplicates]]): cell-boundary pairs
+    * are invisible by design — the paper's semantics, and why this is
+    * rows-only checked with a planted-recall spec rather than an exact
+    * oracle.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, nCentroids: Int = 16, lloydIters: Int = 2): DataFrame = {
+    import graft.functions.Ivf
+    // quantizer trains on the float storage form (VectorAvg's input
+    // type); cosine verification below stays on the caller's precision
+    val centroids = trainIvfCentroids(
+      emb.select(col(idCol),
+        transform(col(vecCol), _.cast("float")).as(vecCol)),
+      idCol, vecCol, nCentroids, lloydIters)
+    val cells = emb
+      .select(col(idCol).as("_sd_id"), col(vecCol).as("_sd_vec"))
+      .withColumn("_sd_cell",
+        element_at(Ivf.nearestCells(col("_sd_vec"), centroids, 1), 1))
+    val lhs = cells.select(col("_sd_cell"), col("_sd_id").as("id_a"),
+      col("_sd_vec").as("v_a"))
+    val rhs = cells.select(col("_sd_cell"), col("_sd_id").as("id_b"),
+      col("_sd_vec").as("v_b"))
+    val pairs = lhs.join(rhs, Seq("_sd_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b")
+    val clusters = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+    val losers = clusters.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    clusters.unpersist()
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * path for an ANN index over 100 TB of vectors (4× smaller than
     * float32, 8× smaller than the double working form). Per vector:

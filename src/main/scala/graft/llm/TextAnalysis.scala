@@ -341,6 +341,105 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
+    * merge rules by repeatedly merging the corpus's most frequent
+    * adjacent symbol pair. Ties break (count desc, pair asc) so the
+    * learned table is deterministic; training stops early when no pair
+    * occurs twice.
+    *
+    * Scale shape — the key move: the corpus collapses to its WORD
+    * FREQUENCY VOCABULARY in one shuffle (the only corpus-sized pass),
+    * and every merge iteration then runs over the bounded vocab frame:
+    * a codegen'd [[graft.functions.AdjacentPairs]] explode + one hash
+    * agg + a 1-row TakeOrdered collect (the chosen pair — the only
+    * thing the driver ever holds), then a codegen'd
+    * [[graft.functions.MergePair]] rewrite. Lineage is cut every 8
+    * iterations (localCheckpoint, the ConnectedComponents lesson) so
+    * nMerges plans never stack. At 100 TB one trains on a hash-sampled
+    * slice (the standard practice) — the vocab agg composes with
+    * [[graft.llm.Corpus]]'s deterministic samplers.
+    *
+    * Tokens containing U+001F (the pair-census separator) are dropped
+    * at ingest — it's a control character, never legitimate text.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    import graft.functions.TextShingles
+    var vocab = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("\u001f"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), TextShingles.charGrams(col("w"), 1).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val top = vocab
+        .select(col("cnt"),
+          explode(TextShingles.adjacentPairs(col("syms"))).as("p"))
+        .groupBy("p").agg(sum("cnt").as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("p")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val sep = top(0).getString(0).indexOf('\u001f')
+        val (a, b) = (top(0).getString(0).substring(0, sep),
+          top(0).getString(0).substring(sep + 1))
+        merges += ((a, b))
+        vocab = vocab.withColumn("syms",
+          TextShingles.mergePair(col("syms"), a, b))
+        if ((i + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned BPE merge table to a corpus: each whitespace token
+    * splits to code points, then merges apply in priority order (lowest
+    * rank first, leftmost occurrence first — the canonical encoder),
+    * yielding (`id`, `tokens` array, `n_tokens`) per document.
+    *
+    * The merge table is vocabulary-sized and rides the closure
+    * (broadcast with the task binary); encoding is pure per-partition
+    * CPU — no shuffle, no driver round-trips.
+    */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val rank = merges.zipWithIndex.toMap
+    val encode = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else text.trim.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+        var syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        var continue = true
+        while (continue && syms.length > 1) {
+          // lowest-rank adjacent pair present in the word
+          var best = Int.MaxValue
+          var bestAt = -1
+          var j = 0
+          while (j < syms.length - 1) {
+            val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+            if (r < best) { best = r; bestAt = j }
+            j += 1
+          }
+          if (bestAt < 0) continue = false
+          else {
+            val merged = syms(bestAt) + syms(bestAt + 1)
+            syms = (syms.take(bestAt) :+ merged) ++ syms.drop(bestAt + 2)
+          }
+        }
+        syms
+      }
+    }
+    docs.select(col(idCol), encode(col(textCol)).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", reduced to the
     * unigram feature space): score every raw-corpus document by how

@@ -229,4 +229,38 @@ object TextDedup {
 
   /** Hamming distance between two simhash codes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** All (id_a, id_b, hamming) pairs within `maxHamming` bits over any
+    * 64-bit fingerprint column ([[simhash]], image dHash) — pigeonhole
+    * banding, never all-pairs: the code splits into `maxHamming + 1`
+    * disjoint bit bands (a pair within distance d differs in at most d
+    * bands, so it agrees EXACTLY on at least one), candidates come from
+    * per-band equi-joins (shuffle is collision-proportional), then
+    * `bit_count(xor)` verifies exactly. The id inequality prunes before
+    * the distinct so each surviving pair is shuffled once.
+    */
+  def hammingPairs(codes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val nBands = maxHamming + 1
+    val bw = 64 / nBands
+    val base = codes.select(col(idCol).as("_hp_id"), col(hashCol).as("_hp_h"))
+    val banded = (0 until nBands).map { b =>
+      val lo = b * bw
+      val width = if (b == nBands - 1) 64 - lo else bw // last band takes the slack bits
+      val key = if (width == 64) col("_hp_h")
+        else expr(s"shiftrightunsigned(_hp_h, $lo)")
+          .bitwiseAND(lit((1L << width) - 1))
+      base.select(lit(b).as("_hp_band"), key.as("_hp_key"),
+        col("_hp_id"), col("_hp_h"))
+    }.reduce(_ unionAll _)
+    val lhs = banded.toDF("_hp_band", "_hp_key", "id_a", "_ha")
+    val rhs = banded.toDF("_hp_band", "_hp_key", "id_b", "_hb")
+    lhs.join(rhs, Seq("_hp_band", "_hp_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("_ha"), col("_hb")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -1082,6 +1082,95 @@ object Llm {
           .select("doc_id", "timescale", "duration_units", "duration_s",
             "video_format")
     },
+
+    // L5f — FULL PCM decode, hash-checked: Spark folds every 16-bit
+    // sample of each WAV into signal stats; the oracle regenerates the
+    // planted sample formula ((id + i·2654435761) % 65536 - 32768 over
+    // i < 800·(id%5+1)·(id%2+1)) with range() and computes the same
+    // integer sums — so a single flipped sample anywhere in the decode
+    // path flips the hash. All divisions are exact-int / exact-int,
+    // IEEE-deterministic in both engines.
+    QuerySpec.df("l46_audio_stats",
+      """with n as (
+        |  select doc_id,
+        |    cast(800 * (doc_id % 5 + 1) * (doc_id % 2 + 1) as bigint) as nvals
+        |  from documents
+        |),
+        |s as (
+        |  select doc_id, ((doc_id + i * 2654435761) % 65536) - 32768 as amp
+        |  from (select doc_id, unnest(range(0, nvals)) as i from n)
+        |)
+        |select doc_id,
+        |  cast(count(*) as bigint) as n_vals,
+        |  cast(sum(amp) as double) / count(*) as mean_amp,
+        |  sqrt(cast(sum(amp * amp) as double) / count(*)) as rms_amp,
+        |  cast(sum(case when abs(amp) >= 32000 then 1 else 0 end) as double)
+        |    / count(*) as clip_frac,
+        |  cast(sum(case when abs(amp) < 512 then 1 else 0 end) as double)
+        |    / count(*) as silence_frac
+        |from s group by doc_id""".stripMargin) {
+      (s, d) =>
+        Multimodal.audioStats(
+          mediaPayloads(s, d, "audio", Multimodal.attachAudioPayload(_, "doc_id")),
+          "payload")
+          .select("doc_id", "n_vals", "mean_amp", "rms_amp",
+            "clip_frac", "silence_frac")
+    },
+
+    // L5g — perceptual image dedup, decode-verified AND hash-checked:
+    // payloads are noise PNGs keyed by doc_id % 37 (byte-identical
+    // within a group, uncorrelated across groups), Spark decodes real
+    // pixels → 64-bit dHash → banded Hamming pair join (<= 2 bits);
+    // the oracle is the planted group structure (identical bytes MUST
+    // pair at distance 0; cross-group noise collides at ~2^-59).
+    QuerySpec.df("l47_image_dedup",
+      """select a.doc_id as id_a, b.doc_id as id_b, cast(0 as int) as hamming
+        |from documents a join documents b
+        |  on a.doc_id % 37 = b.doc_id % 37 and a.doc_id < b.doc_id""".stripMargin) {
+      (s, d) =>
+        val codes = Multimodal.imageDHash(
+          mediaPayloads(s, d, "imggroup",
+            Multimodal.attachGroupedImagePayload(_, "doc_id", groups = 37)),
+          "payload")
+        TextDedup.hammingPairs(codes, "doc_id", "dhash", maxHamming = 2)
+    },
+
+    // L2g — SemDeDup (cluster-then-prune semantic dedup): k-means cells
+    // confine the quadratic cosine pass; within-cell components at
+    // cos >= 0.99 keep their min-id survivor. Rows-only by design
+    // (cell-boundary pairs are invisible per the paper's semantics, and
+    // the quantizer isn't SQL-reproducible); planted recall is spec'd
+    // in LlmSpec.
+    QuerySpec.unchecked("l48_semdedup") { (s, d) =>
+      Similarity.semDedup(
+        plantedCorpus(Fixtures.table(s, d, "embeddings")),
+        "vec_id", "embedding", minCos = 0.99)
+        .select("vec_id")
+    },
+
+    // L4o — BPE tokenizer training: learn a merge table from the
+    // corpus's word-frequency vocabulary (the only corpus-sized pass;
+    // every iteration runs over the bounded vocab). Rows-only: no
+    // iterative BPE in SQL; the Sennrich example is spec'd by hand in
+    // MediaSpec.
+    QuerySpec.unchecked("l49_bpe_train") { (s, d) =>
+      import s.implicits._
+      TextAnalysis.bpeTrain(Fixtures.table(s, d, "documents"), "text",
+          nMerges = 20)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "left", "right")
+    },
+
+    // L4p — BPE encode with the learned table: per-doc subword tokens
+    // + counts (train on the corpus, apply to the corpus — the
+    // sample-then-apply shape of real tokenizer pipelines).
+    QuerySpec.unchecked("l50_bpe_encode") { (s, d) =>
+      val docs = Fixtures.table(s, d, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 20)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"))
+    },
   )
 
   /** Media-payload fixture, materialized to a temp parquet once per

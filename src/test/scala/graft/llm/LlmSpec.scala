@@ -100,6 +100,23 @@ class LlmSpec extends SparkSpec {
     assert(brute == (0L until 100L).map(i => (i, i + 100000L)).toSet)
   }
 
+  test("semDedup: planted copies pruned, no original lost, deterministic") {
+    val corpus = graft.queries.Llm.plantedCorpus(emb)
+    def keptIds() = Similarity.semDedup(corpus, "vec_id", "embedding", minCos = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = keptIds()
+    // survivors per component are min-id, so no original (id < 100000)
+    // can ever lose to its planted copy
+    assert((0L until 500L).forall(kept.contains), "an original was dropped")
+    // the planted copies sit at cos~0.9997 from their originals; a copy
+    // survives only if a cell boundary splits the pair — rare by
+    // construction (the IVF recall bar used by the ANN specs)
+    val survivingCopies = kept.count(_ >= 100000L)
+    assert(survivingCopies <= 5,
+      s"$survivingCopies/100 planted copies escaped semantic dedup")
+    assert(keptIds() == kept, "semDedup output is not deterministic")
+  }
+
   test("IVF ANN: planted near-dup queries retrieve their originals; output deterministic") {
     // corpus = raw float fixture; queries = the planted noisy copies
     // (true NN of planted vec_id i+100000 is original i at cos≈0.9997,

@@ -28,6 +28,36 @@ class MediaSpec extends SparkSpec {
     assert(out.toSeq == Seq(("ab", 2L, 1L), ("ba", 2L, 2L))) // tie: pair asc
   }
 
+  test("bpeTrain learns the Sennrich example merges in order") {
+    // vocab {low:5, lower:2, newest:6, widest:3}; hand-computed pair
+    // census: e-s 9 ties s-t 9 -> pair-asc picks (e,s); then (es,t) 9,
+    // (l,o) 7 ties (o,w) 7 -> (l,o); then (lo,w) 7
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("bpeTrain stops early when no pair repeats") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // a-b and c-d each occur once; nothing reaches the count-2 floor
+    assert(TextAnalysis.bpeTrain(docs, "text", nMerges = 10).isEmpty)
+  }
+
+  test("bpeEncode applies merges by rank, leftmost-first") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val docs = Seq((1L, "lowest newest"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(got(1L) == ((Seq("low", "est", "n", "e", "w", "est"), 6L)))
+    assert(got(2L) == ((Seq.empty, 0L)))
+    assert(got(3L) == ((Seq("x"), 1L)))
+  }
+
   test("wavMeta round-trips the synthesized header; rejects non-WAV") {
     val bytes = Multimodal.wavBytes(16000, 2, 1234, seed = 7L)
     assert(Multimodal.wavMeta(bytes) == ((16000, 2, 16, 1234L)))
@@ -72,6 +102,65 @@ class MediaSpec extends SparkSpec {
     assert(a.isNullAt(a.fieldIndex("sample_rate")))
     val v = Multimodal.videoMeta(df, "payload").collect()(0)
     assert(v.isNullAt(v.fieldIndex("timescale")))
+  }
+
+  test("audioStats matches the sample formula exactly (full decode)") {
+    val docs = Seq(3L).toDF("doc_id")
+    val out = Multimodal.audioStats(
+      Multimodal.attachAudioPayload(docs, "doc_id"), "payload").collect()(0)
+    // id=3: sr plant irrelevant here; nVals = 800*(3%5+1)*(3%2+1) = 6400
+    val nVals = 6400
+    val samples = (0 until nVals).map(i =>
+      ((3L + i * 2654435761L) % 65536L) - 32768L)
+    assert(out.getLong(out.fieldIndex("n_vals")) == nVals.toLong)
+    assert(out.getDouble(out.fieldIndex("mean_amp")) ==
+      samples.sum.toDouble / nVals)
+    assert(out.getDouble(out.fieldIndex("rms_amp")) ==
+      math.sqrt(samples.map(v => v * v).sum.toDouble / nVals))
+    assert(out.getDouble(out.fieldIndex("clip_frac")) ==
+      samples.count(v => math.abs(v) >= 32000).toDouble / nVals)
+    assert(out.getDouble(out.fieldIndex("silence_frac")) ==
+      samples.count(v => math.abs(v) < 512).toDouble / nVals)
+  }
+
+  test("imageDHash: identical bytes hash identically; small edits stay near") {
+    val base = Multimodal.noisePngBytes(36, 32, seed = 11L)
+    val again = Multimodal.noisePngBytes(36, 32, seed = 11L)
+    val other = Multimodal.noisePngBytes(36, 32, seed = 12L)
+    // a small edit: darken one 4x4 cell of the decoded image, re-encode
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0)
+    val outS = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", outS)
+    val edited = outS.toByteArray
+    val df = Seq((1L, base), (2L, again), (3L, other), (4L, edited))
+      .toDF("id", "payload")
+    val h = Multimodal.imageDHash(df, "payload").select("id", "dhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "identical bytes must hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(4L)) <= 4, "one edited cell flips at most its two comparisons")
+    assert(ham(h(1L), h(3L)) > 8, "independent noise images should be far apart")
+  }
+
+  test("hammingPairs equals brute force at radius 0..3") {
+    val codes = Seq(
+      1L -> 0x0123456789abcdefL,
+      2L -> 0x0123456789abcdefL,               // ham 0 from 1
+      3L -> 0x0123456789abcdeeL,               // ham 1 from 1/2
+      4L -> 0x0123456789abcd00L,               // ham ~6
+      5L -> 0x7654321089abcdefL).toDF("id", "code")
+    for (r <- 0 to 3) {
+      val got = TextDedup.hammingPairs(codes, "id", "code", r)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      val rows = codes.collect().map(x => (x.getLong(0), x.getLong(1)))
+      val brute = (for {
+        (ia, ca) <- rows; (ib, cb) <- rows if ia < ib
+        d = java.lang.Long.bitCount(ca ^ cb) if d <= r
+      } yield (ia, ib, d)).toSet
+      assert(got == brute, s"radius $r mismatch")
+    }
   }
 
   test("extractFeatures decodes wav payloads for real (audio branch)") {
