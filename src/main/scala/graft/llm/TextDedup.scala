@@ -245,17 +245,21 @@ object TextDedup {
     val nBands = maxHamming + 1
     val bw = 64 / nBands
     val base = codes.select(col(idCol).as("_hp_id"), col(hashCol).as("_hp_h"))
-    val banded = (0 until nBands).map { b =>
+    // all band keys in ONE pass (posexplode of a key array) — a
+    // union-per-band formulation would re-evaluate the upstream frame
+    // once per band per join side, which multiplies any expensive
+    // producer (image decode, simhash) by 2×bands
+    val keys = (0 until nBands).map { b =>
       val lo = b * bw
       val width = if (b == nBands - 1) 64 - lo else bw // last band takes the slack bits
-      val key = if (width == 64) col("_hp_h")
-        else expr(s"shiftrightunsigned(_hp_h, $lo)")
-          .bitwiseAND(lit((1L << width) - 1))
-      base.select(lit(b).as("_hp_band"), key.as("_hp_key"),
-        col("_hp_id"), col("_hp_h"))
-    }.reduce(_ unionAll _)
-    val lhs = banded.toDF("_hp_band", "_hp_key", "id_a", "_ha")
-    val rhs = banded.toDF("_hp_band", "_hp_key", "id_b", "_hb")
+      if (width == 64) col("_hp_h")
+      else expr(s"shiftrightunsigned(_hp_h, $lo)")
+        .bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = base.select(col("_hp_id"), col("_hp_h"),
+      posexplode(array(keys: _*)).as(Seq("_hp_band", "_hp_key")))
+    val lhs = banded.toDF("id_a", "_ha", "_hp_band", "_hp_key")
+    val rhs = banded.toDF("id_b", "_hb", "_hp_band", "_hp_key")
     lhs.join(rhs, Seq("_hp_band", "_hp_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

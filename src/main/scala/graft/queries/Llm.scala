@@ -1128,10 +1128,14 @@ object Llm {
         |from documents a join documents b
         |  on a.doc_id % 37 = b.doc_id % 37 and a.doc_id < b.doc_id""".stripMargin) {
       (s, d) =>
+        // decode once: the code table (id, 64-bit hash) is tiny, so
+        // materialize it before the self-join re-reads it per side —
+        // otherwise the image decode runs once per join side
         val codes = Multimodal.imageDHash(
           mediaPayloads(s, d, "imggroup",
             Multimodal.attachGroupedImagePayload(_, "doc_id", groups = 37)),
           "payload")
+          .select("doc_id", "dhash").localCheckpoint()
         TextDedup.hammingPairs(codes, "doc_id", "dhash", maxHamming = 2)
     },
 
@@ -1187,7 +1191,11 @@ object Llm {
     val path = mediaDirs.computeIfAbsent(s"$kind|$d", _ => {
       val out = java.nio.file.Files.createTempDirectory(s"graft-${kind}fix-")
         .resolve("payloads.parquet").toString
-      attach(Fixtures.table(s, d, "documents").select("doc_id"))
+      // spread the payloads over the session's parallelism: binary
+      // blobs compress into a single small parquet file otherwise, and
+      // one input split would serialize the decode onto one core
+      attach(Fixtures.table(s, d, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism))
         .write.mode("overwrite").parquet(out)
       out
     })
