@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -319,6 +319,68 @@ object Corpus {
       .select(col("id").as(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** WITHIN-document repeated-line removal (the Rae et al. 2021
+    * "repetition removal" rewrite, document-local — distinct from
+    * [[dedupLines]], which dedups across the corpus): keep the first
+    * occurrence of each line inside a document, preserving order.
+    *
+    * Scale shape: pure per-row array work — an indexed `filter` HOF
+    * keeps a line iff it is absent from the prefix before it — so the
+    * whole operator is scan-shaped with ZERO shuffle (the per-doc
+    * O(lines²) term is bounded by document size, never corpus size).
+    */
+  def dropRepeatedLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, (l, i) =>
+      array_position(slice(lines, lit(1), i), l) === 0)
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** HTML → text ingest normalization (the first step of every
+    * web-crawl pipeline): drop script/style blocks and comments, strip
+    * tags, decode the common entities (`&amp;` LAST, so `&amp;lt;`
+    * correctly yields `&lt;`), collapse whitespace. Regex-only on
+    * purpose — RE2-compatible (no backreferences/lookahead), so the
+    * same semantics express in any engine, and the whole operator is a
+    * scan-time column expression (no shuffle, no UDF).
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    val amp = regexp_replace(ent, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /** Canonical URL for dedup keys (the CCNet/C4 URL-normalization
+    * step): lowercase scheme+host, strip the fragment, drop tracking
+    * parameters (`utm_*`, `fbclid`, `gclid`), tidy leftover `?`/`&`
+    * runs, and remove default ports (`:80` for http, `:443` for
+    * https). RE2-compatible regex steps only (capture groups instead
+    * of lookarounds) so the semantics reproduce in any engine;
+    * scan-time column expression, no shuffle.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val hostLower = concat(
+      lower(regexp_extract(url, "^((?i)https?://[^/?#]+)", 1)),
+      regexp_replace(url, "^(?i)https?://[^/?#]+", ""))
+    val noFrag = regexp_replace(hostLower, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "$1")
+    val tidy1 = regexp_replace(noTrack, "\\?&+", "?")
+    val tidy2 = regexp_replace(tidy1, "&&+", "&")
+    val tidy3 = regexp_replace(tidy2, "[?&]+$", "")
+    val noP80 = regexp_replace(tidy3, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    regexp_replace(noP80, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
   }
 
   /** Exact duplicate-span detection (Lee et al. 2021, "Deduplicating

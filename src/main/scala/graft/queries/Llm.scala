@@ -1166,6 +1166,132 @@ object Llm {
         .toDF("rank", "left", "right")
     },
 
+    // L6j — HTML → text ingest normalization: both engines wrap the
+    // fixture text into a deterministic page (title/style/script/
+    // comment/entities), then strip independently — script+style+
+    // comment blocks out, tags out, entities decoded (&amp; last),
+    // whitespace collapsed.
+    QuerySpec.df("l51_html_to_text",
+      """with pg as (
+        |  select doc_id,
+        |    '<html><head><title>T</title><style>p{color:red}</style></head>'
+        |    || '<body><h1>Doc ' || cast(doc_id as varchar) || '</h1><p>'
+        |    || text || '</p><script>var x = 1;</script>'
+        |    || '<p>A &lt;tag&gt; &amp; more&nbsp;here</p><!-- hidden --></body></html>'
+        |      as html
+        |  from documents),
+        |t1 as (select doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |  '(?s)<!--.*?-->', ' ', 'g'),
+        |  '<[^>]+>', ' ', 'g') as t from pg),
+        |t2 as (select doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |  '&lt;', '<', 'g'),
+        |  '&gt;', '>', 'g'),
+        |  '&quot;', '"', 'g'),
+        |  '&#39;', chr(39), 'g'),
+        |  '&nbsp;', ' ', 'g'),
+        |  '&amp;', '&', 'g') as t from t1),
+        |c as (select doc_id,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) as clean_text from t2)
+        |select doc_id, clean_text,
+        |  cast(length(clean_text) as bigint) as n_chars
+        |from c""".stripMargin) {
+      (s, d) =>
+        val pg = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(
+            lit("<html><head><title>T</title><style>p{color:red}</style></head>"),
+            lit("<body><h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+            col("text"), lit("</p><script>var x = 1;</script>"),
+            lit("<p>A &lt;tag&gt; &amp; more&nbsp;here</p><!-- hidden --></body></html>"))
+            .as("html"))
+        pg.select(col("doc_id"),
+            Corpus.htmlToText(col("html")).as("clean_text"))
+          .withColumn("n_chars", length(col("clean_text")).cast("long"))
+    },
+
+    // L6k — canonical URL normalization: mixed-case scheme/host,
+    // default port, tracking params, and fragment planted per doc;
+    // both engines canonicalize independently (RE2-compatible steps).
+    QuerySpec.df("l52_url_canonical",
+      """with u as (
+        |  select doc_id,
+        |    'HTTP://Site' || cast(doc_id % 7 as varchar)
+        |    || '.Example.COM:80/Path/' || cast(doc_id as varchar)
+        |    || '?utm_source=feed&q=' || cast(doc_id % 13 as varchar)
+        |    || '&fbclid=x#sec' as url
+        |  from documents),
+        |s1 as (select doc_id, url,
+        |  lower(regexp_extract(url, '^((?i)https?://[^/?#]+)', 1))
+        |    || regexp_replace(url, '^(?i)https?://[^/?#]+', '') as c from u),
+        |s2 as (select doc_id, url, regexp_replace(c, '#.*$', '') as c from s1),
+        |s3 as (select doc_id, url, regexp_replace(c,
+        |  '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g') as c from s2),
+        |s4 as (select doc_id, url,
+        |  regexp_replace(regexp_replace(regexp_replace(c,
+        |    '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') as c from s3),
+        |s5 as (select doc_id, url, regexp_replace(regexp_replace(c,
+        |  '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+        |  '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') as c from s4)
+        |select doc_id, url, c as canonical_url from s5""".stripMargin) {
+      (s, d) =>
+        val u = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(lit("HTTP://Site"), (col("doc_id") % 7).cast("string"),
+            lit(".Example.COM:80/Path/"), col("doc_id").cast("string"),
+            lit("?utm_source=feed&q="), (col("doc_id") % 13).cast("string"),
+            lit("&fbclid=x#sec")).as("url"))
+        u.select(col("doc_id"), col("url"),
+          Corpus.canonicalUrl(col("url")).as("canonical_url"))
+    },
+
+    // L4q — WITHIN-document repeated-line removal (document-local
+    // repetition rewrite; l40 is the cross-corpus sibling). 2-word
+    // synthetic lines so the small vocabulary repeats inside a page.
+    QuerySpec.df("l53_drop_repeated_lines",
+      s"""with ${duckPages(2, decorate = false)},
+         |ls as (select doc_id, string_split(text, chr(10)) as ll from pages),
+         |k as (select doc_id, len(ll) as n_lines,
+         |  [ll[i+1] for i in range(0, len(ll))
+         |   if not list_contains(ll[1:i], ll[i+1])] as kept
+         |  from ls)
+         |select doc_id, cast(n_lines as bigint) as n_lines,
+         |  cast(len(kept) as bigint) as n_kept,
+         |  array_to_string(kept, chr(10)) as clean_text
+         |from k""".stripMargin) {
+      (s, d) =>
+        Corpus.dropRepeatedLines(
+          syntheticPageFixture(s, d, 2, decorate = false), "doc_id", "text")
+    },
+
+    // L3g — sparse JL random projection, hash-checked: the ±1/0
+    // projection matrix regenerates from the same integer congruence in
+    // both engines; inputs quantize to integer thousandths so the
+    // signed sums are exact and the two final IEEE ops are
+    // bit-identical. One output row per (vector, output dim).
+    QuerySpec.df("l54_jl_project",
+      """with e as (select vec_id, embedding from embeddings),
+        |x as (select vec_id, unnest(range(0, 16)) as j, embedding from e),
+        |s as (
+        |  select vec_id, j,
+        |    list_sum([
+        |      case ((((((42::bigint*1234567 + i::bigint*69069 + j::bigint*9876543)
+        |               % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647) % 6
+        |        when 0 then cast(round(cast(embedding[i+1] as double) * 1000) as bigint)
+        |        when 1 then -cast(round(cast(embedding[i+1] as double) * 1000) as bigint)
+        |        else 0 end
+        |      for i in range(0, len(embedding))]) as sq
+        |  from x)
+        |select vec_id, cast(j as int) as j,
+        |  (cast(sq as double) / 1000.0) * sqrt(3.0/16) as proj_val
+        |from s""".stripMargin) {
+      (s, d) =>
+        Fixtures.table(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(graft.functions.JlProjectFn.jlProject(
+              col("embedding"), k = 16)).as(Seq("j", "proj_val")))
+    },
+
     // L4p — BPE encode with the learned table: per-doc subword tokens
     // + counts (train on the corpus, apply to the corpus — the
     // sample-then-apply shape of real tokenizer pipelines).

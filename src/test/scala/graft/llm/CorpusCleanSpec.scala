@@ -10,6 +10,41 @@ import org.apache.spark.sql.functions._
 class CorpusCleanSpec extends SparkSpec {
   import spark.implicits._
 
+  test("htmlToText strips blocks/tags and decodes entities in order") {
+    val html = "<html><head><style>p{x}</style><script src=\"a.js\">var a;</script>" +
+      "</head><body><!-- note --><p>A &amp;amp; B &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(Corpus.htmlToText(col("h")).as("t")).collect()(0).getString(0)
+    // &amp; decodes LAST: '&amp;amp;' -> '&amp;' literal, not '&'
+    assert(out == "A &amp; B <i> \"q\" 's' end")
+  }
+
+  test("canonicalUrl lowercases scheme+host, strips tracking/fragment/default port") {
+    val cases = Seq(
+      "HTTP://Ex.COM:80/P?utm_source=a&q=1&gclid=z#f" -> "http://ex.com/P?q=1",
+      "HTTPS://A.Org:443/x?utm_campaign=c" -> "https://a.org/x",
+      "http://a.com:8080/y#frag" -> "http://a.com:8080/y", // non-default port kept
+      "https://B.net/KeepCase/Path" -> "https://b.net/KeepCase/Path",
+      "http://c.io/?fbclid=only" -> "http://c.io/")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), Corpus.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
+  }
+
+  test("dropRepeatedLines keeps first occurrence per document, order intact") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\na"),
+      (2L, "only\nlines"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.dropRepeatedLines(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 6L, 3L, "a\nb\nc"),
+      (2L, 2L, 2L, "only\nlines"),
+      (3L, 1L, 1L, "")))
+  }
+
   test("c4Clean applies the line rules and page gates exactly") {
     val docs = Seq(
       // 4 lines: 2 keepable, 1 no-punct, 1 too-short => page kept

@@ -100,6 +100,31 @@ class LlmSpec extends SparkSpec {
     assert(brute == (0L until 100L).map(i => (i, i + 100000L)).toSet)
   }
 
+  test("jlProject preserves pairwise distances within JL distortion; deterministic") {
+    import graft.functions.JlProjectFn
+    val rows = emb.limit(20)
+      .select(col("vec_id"), col("embedding"),
+        JlProjectFn.jlProject(col("embedding"), k = 32).as("p"))
+      .collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Double](2).toArray))
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- rows.indices; j <- rows.indices if i < j
+      d0 = dist(rows(i)._1, rows(j)._1) if d0 > 0
+    } yield dist(rows(i)._2, rows(j)._2) / d0
+    assert(ratios.forall(r => r > 0.3 && r < 2.0),
+      s"distance ratio escaped JL bounds: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean off unity")
+    // fixed seed => bit-identical on re-evaluation
+    val again = emb.limit(20)
+      .select(JlProjectFn.jlProject(col("embedding"), k = 32)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    assert(rows.map(_._2).zip(again).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("semDedup: planted copies pruned, no original lost, deterministic") {
     val corpus = graft.queries.Llm.plantedCorpus(emb)
     def keptIds() = Similarity.semDedup(corpus, "vec_id", "embedding", minCos = 0.99)
