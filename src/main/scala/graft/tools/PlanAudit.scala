@@ -72,7 +72,11 @@ object PlanDigest {
     // round-7: the dedup/coverage plans whose agg/join strategy is the
     // whole point (a regression to SortAggregate/window would ship
     // silently otherwise)
-    "l40_line_dedup", "l41_dup_spans", "l42_dsir_weights")
+    "l40_line_dedup", "l41_dup_spans", "l42_dsir_weights",
+    // round-7 wave 2: pair census (hash agg + TakeOrdered, not a
+    // window sort), banded Hamming dedup (one checkpoint-fed shuffle
+    // join), and the JL kernel (single codegen'd scan, zero shuffle)
+    "l43_bpe_pairs", "l47_image_dedup", "l54_jl_project")
 
   val digestFile = "PLAN_DIGESTS.json"
 
