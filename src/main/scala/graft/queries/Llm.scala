@@ -1264,6 +1264,36 @@ object Llm {
           syntheticPageFixture(s, d, 2, decorate = false), "doc_id", "text")
     },
 
+    // L6l — Bloom-prefiltered incremental dedup: same planted fixture
+    // and oracle as l25 (bloom filters have no false negatives, so the
+    // prefiltered path is bit-identical to the exact one — that
+    // equivalence IS what the hash check proves); the bloom index cuts
+    // the verification join to dupes + fpp×batch rows.
+    QuerySpec.df("l55_bloom_dedup",
+      """with corpus as (select text from documents where doc_id % 3 = 0),
+        |batch as (
+        |  select doc_id,
+        |    case when doc_id % 11 = 5
+        |         then (select text from documents where doc_id = 3)
+        |         else text end as text
+        |  from documents where doc_id % 3 <> 0)
+        |select b.doc_id,
+        |       md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) as fp
+        |from batch b
+        |where md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) not in
+        |      (select md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |       from corpus)""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val t3 = docs.filter(col("doc_id") === 3).select("text").head().getString(0)
+        val corpus = docs.filter(col("doc_id") % 3 === 0)
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 5, lit(t3)).otherwise(col("text")))
+        Corpus.bloomDedupAgainstCorpus(batch, corpus, "text")
+          .select("doc_id", "fp")
+    },
+
     // L3g — sparse JL random projection, hash-checked: the ±1/0
     // projection matrix regenerates from the same integer congruence in
     // both engines; inputs quantize to integer thousandths so the

@@ -409,6 +409,29 @@ class LlmSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  test("bloom-prefiltered dedup equals the exact path and actually prunes") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1000L until 1100L).map(i => (i, s"novel doc $i")) ++
+      Seq((2000L, "corpus doc number 7"), (2001L, "Corpus  Doc  Number 13")))
+      .toDF("doc_id", "text")
+    val exact = Corpus.dedupAgainstCorpus(batch, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Corpus.bloomDedupAgainstCorpus(batch, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact, "bloom path must be bit-identical to exact dedup")
+    assert(!bloom.contains(2000L) && !bloom.contains(2001L)) // dupes (incl. normalized) dropped
+    assert((1000L until 1100L).forall(bloom.contains))
+    // the filter really prunes: at fpp=0.01 the 100 novel docs put
+    // ~1 expected row into the verification join, not 100
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val filter = corpus.select(fp.as("fp")).stat.bloomFilter("fp", 200, 0.01)
+    val survivors = batch.withColumn("f", fp).collect()
+      .count(r => filter.mightContainString(r.getString(r.fieldIndex("f"))))
+    assert(survivors <= 12, s"prefilter let $survivors/102 rows through")
+  }
+
   test("quantization round-trips within scale/254 per element; zero vector safe") {
     import spark.implicits._
     val df = Seq(
