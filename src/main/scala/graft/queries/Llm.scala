@@ -1458,7 +1458,8 @@ object Llm {
       val out = java.nio.file.Files.createTempDirectory("graft-imgfix-")
         .resolve("payloads.parquet").toString
       Multimodal.attachImagePayload(
-        Fixtures.table(s, d, "documents").select("doc_id"), "doc_id")
+        Fixtures.table(s, d, "documents").select("doc_id")
+          .repartition(s.sparkContext.defaultParallelism), "doc_id")
         .write.mode("overwrite").parquet(out)
       out
     })
