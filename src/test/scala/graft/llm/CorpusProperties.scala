@@ -63,6 +63,64 @@ object CorpusProperties extends Properties("graft.llm.corpus") {
       everyOnce && binsOk && oversizeAlone
     }
 
+  // ---- round-7 kernel properties ----
+
+  private val tokenGen: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(('a' to 'e') ++ Seq('é', '中'))).map(_.mkString))
+
+  property("charGrams(k=1) splits to code points; k grams tile the token") =
+    forAll(Gen.nonEmptyListOf(tokenGen), Gen.chooseNum(1, 4)) { (toks, k) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "w")
+      val got = df.select(col("id"),
+          graft.functions.TextShingles.charGrams(col("w"), k).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      toks.zipWithIndex.forall { case (t, i) =>
+        val cps = t.codePoints().toArray.map(c => new String(Character.toChars(c)))
+        val want = if (cps.length < k) Seq.empty
+          else cps.sliding(k).map(_.mkString).toSeq
+        got(i.toLong) == want
+      }
+    }
+
+  property("mergePair then adjacentPairs never re-emits the merged pair") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))) { syms =>
+      val df = Seq(Tuple1(syms)).toDF("syms")
+      val merged = df.select(
+          graft.functions.TextShingles.mergePair(col("syms"), "a", "b").as("m"))
+        .select(graft.functions.TextShingles.adjacentPairs(col("m")).as("p"))
+        .collect()(0).getSeq[String](0)
+      // leftmost-first, non-overlapping: no surviving adjacent (a, b)
+      !merged.contains("ab")
+    }
+
+  property("hammingPairs equals brute force on random 64-bit codes") =
+    forAll(Gen.listOfN(12, Gen.long), Gen.chooseNum(0, 3)) { (codes, r) =>
+      val rows = codes.distinct.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      val df = rows.toDF("id", "code")
+      val got = TextDedup.hammingPairs(df, "id", "code", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      val brute = (for {
+        (ia, ca) <- rows; (ib, cb) <- rows if ia < ib
+        d = java.lang.Long.bitCount(ca ^ cb) if d <= r
+      } yield (ia, ib, d)).toSet
+      got == brute
+    }
+
+  property("jlProject: deterministic, k-dim, zero vector maps to zero") =
+    forAll(Gen.chooseNum(2, 24), Gen.chooseNum(1L, 999L)) { (k, seed) =>
+      val df = Seq(
+        (1L, Array.fill(16)(0f)),
+        (2L, Array.tabulate(16)(i => (i - 8) * 0.25f))).toDF("id", "v")
+      val out = df.select(col("id"),
+          graft.functions.JlProjectFn.jlProject(col("v"), k, seed).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val again: Seq[Double] = df.select(
+          graft.functions.JlProjectFn.jlProject(col("v"), k, seed))
+        .collect()(1).getSeq[Double](0)
+      out(1L).forall(_ == 0.0) && out(2L).length == k && out(2L) == again
+    }
+
   property("source mix: membership is a pure function of the id") =
     forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (fa, fb) =>
       val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
