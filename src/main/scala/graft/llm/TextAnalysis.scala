@@ -341,6 +341,92 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Approximate top-k n-grams with BOUNDED memory (SpaceSaving,
+    * Metwally et al. 2005, merged as summaries): the exact census
+    * ([[ngramTopK]]) is right while distinct grams fit a hash
+    * aggregate — bigrams do; 5-grams over 100 TB do not. Here every
+    * partition keeps an `m`-counter SpaceSaving summary (any gram with
+    * true count > partitionN/m survives; an evicted-and-reinserted
+    * gram's count is overestimated by at most its recorded `err`), and
+    * the summaries combine RELATIONALLY: per gram, the upper bound is
+    * Σ counts where present + Σ min-counter over absent partitions
+    * (the classic mergeable-summaries bound), the lower bound is
+    * Σ (count − err) where present. Memory is partitions × m rows —
+    * fixed — regardless of vocabulary size.
+    *
+    * Output: top-`k` by upper bound with (`est_hi`, `est_lo`) so the
+    * caller sees the uncertainty; `rank` over (est_hi desc, gram asc).
+    * Results depend on partition layout (inherent to the sketch), so
+    * the driver check is rows-only; correctness rides on the
+    * planted-skew spec (clearly separated heads are exact: a gram
+    * never evicted has err 0 and est_hi = est_lo = true count).
+    */
+  def ngramTopKApprox(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int,
+      m: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val grams = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(graft.functions.TextShingles.grams(norm, n)).as("gram"))
+    val summarySchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("err", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(summarySchema)
+    val summaries = grams.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counters = new java.util.HashMap[String, Array[Long]]() // (cnt, err)
+      it.foreach { r =>
+        val g = r.getString(0)
+        val c = counters.get(g)
+        if (c != null) c(0) += 1
+        else if (counters.size < m) counters.put(g, Array(1L, 0L))
+        else {
+          // evict the minimum counter (ties on gram for determinism
+          // under a fixed partition layout)
+          var minG: String = null
+          var minC = Long.MaxValue
+          counters.forEach { (kk, vv) =>
+            if (vv(0) < minC || (vv(0) == minC && (minG == null || kk < minG))) {
+              minC = vv(0); minG = kk
+            }
+          }
+          counters.remove(minG)
+          counters.put(g, Array(minC + 1, minC))
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[SRow](counters.size)
+      counters.forEach { (g, v) => out += SRow(pid, g, v(0), v(1)) }
+      out.iterator
+    }(enc)
+    // relational merge of the per-partition summaries (bounded input:
+    // partitions × m rows). localCheckpoint: the summary feeds three
+    // aggregates below and must not recompute the corpus scan per use.
+    val sums = summaries.localCheckpoint()
+    val minPerPart = sums.groupBy("pid")
+      .agg(when(count(lit(1)) < m, lit(0L))
+        .otherwise(min(col("cnt"))).as("minc"))
+    val allMin = minPerPart.agg(
+      coalesce(sum("minc"), lit(0L)).as("all_min"))
+    val perGram = sums.join(minPerPart, "pid")
+      .groupBy("gram")
+      .agg(sum("cnt").as("present_cnt"),
+        sum(col("cnt") - col("err")).as("lo"),
+        sum("minc").as("present_min"))
+    perGram.crossJoin(broadcast(allMin))
+      .select(col("gram"),
+        (col("present_cnt") + col("all_min") - col("present_min")).as("est_hi"),
+        col("lo").as("est_lo"))
+      .orderBy(col("est_hi").desc, col("gram")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("est_hi").desc, col("gram"))).cast("long"))
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
     * merge rules by repeatedly merging the corpus's most frequent
     * adjacent symbol pair. Ties break (count desc, pair asc) so the

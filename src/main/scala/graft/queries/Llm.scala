@@ -1322,6 +1322,17 @@ object Llm {
               col("embedding"), k = 16)).as(Seq("j", "proj_val")))
     },
 
+    // L4r — bounded-memory approximate n-gram census (SpaceSaving
+    // summaries merged relationally): the 100 TB path when the distinct
+    // gram set outgrows the exact census's aggregate. Rows-only —
+    // estimates depend on partition layout by construction; the
+    // planted-skew spec pins the guarantees.
+    QuerySpec.unchecked("l56_ngram_topk_approx") { (s, d) =>
+      TextAnalysis.ngramTopKApprox(
+        Fixtures.table(s, d, "documents"), "doc_id", "text",
+        n = 2, k = 40, m = 4096)
+    },
+
     // L4p — BPE encode with the learned table: per-doc subword tokens
     // + counts (train on the corpus, apply to the corpus — the
     // sample-then-apply shape of real tokenizer pipelines).

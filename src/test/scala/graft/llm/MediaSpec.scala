@@ -58,6 +58,34 @@ class MediaSpec extends SparkSpec {
     assert(got(3L) == ((Seq("x"), 1L)))
   }
 
+  test("ngramTopKApprox: separated heads exact, bounds sandwich truth, memory bounded") {
+    // skewed corpus: "x y" dominates, mid grams repeat, long tail unique
+    val docs = (
+      (1L to 50L).map(i => (i, "x y")) ++
+      (51L to 60L).map(i => (i, "mid one")) ++
+      (61L to 66L).map(i => (i, "mid two")) ++
+      (100L to 160L).map(i => (i, s"tail$i only$i"))).toDF("doc_id", "text")
+    // eviction regime: m=8 churns the unique tail; the dominant head
+    // stays resident in every partition, so its bounds are TIGHT and
+    // it must rank first (junk upper bounds are always < 50)
+    val out = TextAnalysis.ngramTopKApprox(docs.repartition(4),
+        "doc_id", "text", n = 2, k = 3, m = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head._1 == "x y" && out.head._4 == 1L)
+    assert(out.head._2 == 50L && out.head._3 == 50L) // hi == lo == truth
+    // all reported bounds are consistent (lo <= hi, hi bounded by N)
+    out.foreach { case (g, hi, lo, _) =>
+      assert(lo <= hi && hi <= 127L, s"$g: [$lo, $hi]") }
+    // no-eviction regime (m >= per-partition distinct grams): the
+    // sketch degenerates to the exact census with zero-width bounds
+    val exactRegime = TextAnalysis.ngramTopKApprox(docs.repartition(4),
+        "doc_id", "text", n = 2, k = 3, m = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(exactRegime.map(x => (x._1, x._2, x._4)).toSeq == Seq(
+      ("x y", 50L, 1L), ("mid one", 10L, 2L), ("mid two", 6L, 3L)))
+    assert(exactRegime.forall(x => x._2 == x._3)) // hi == lo everywhere
+  }
+
   test("wavMeta round-trips the synthesized header; rejects non-WAV") {
     val bytes = Multimodal.wavBytes(16000, 2, 1234, seed = 7L)
     assert(Multimodal.wavMeta(bytes) == ((16000, 2, 16, 1234L)))
