@@ -1322,6 +1322,32 @@ object Llm {
               col("embedding"), k = 16)).as(Seq("j", "proj_val")))
     },
 
+    // L4s — conditional bigram-LM fluency score (add-1 smoothing):
+    // P(w2|w1) from the corpus's own transitions; both engines build
+    // the same bigram/prefix models and score per doc.
+    QuerySpec.df("l57_bigram_logprob",
+      """with base as (
+        |  select doc_id, string_split_regex(trim(text), '\s+') as ws
+        |  from documents where length(trim(text)) > 0),
+        |toks as (select unnest(ws) as w from base),
+        |v as (select cast(count(distinct w) as double) as vsize
+        |      from toks where length(w) > 0),
+        |g0 as (select doc_id, ws, unnest(range(0, len(ws) - 1)) as p
+        |       from base where len(ws) >= 2),
+        |g as (select doc_id, ws[p+1] as w1,
+        |        array_to_string(ws[p+1 : p+2], ' ') as bg from g0),
+        |cb as (select bg, cast(count(*) as bigint) as cbg from g group by bg),
+        |cw as (select w1, cast(count(*) as bigint) as cw1 from g group by w1)
+        |select doc_id, cast(count(*) as bigint) as n_bigrams,
+        |  round(avg(log2(cast(cbg + 1 as double)
+        |    / (cast(cw1 as double) + vsize))), 6) as mean_logp
+        |from g join cb using (bg) join cw using (w1) cross join v
+        |group by doc_id""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.bigramLogProb(
+          Fixtures.table(s, d, "documents"), "doc_id", "text")
+    },
+
     // L4r — bounded-memory approximate n-gram census (SpaceSaving
     // summaries merged relationally): the 100 TB path when the distinct
     // gram set outgrows the exact census's aggregate. Rows-only —

@@ -58,6 +58,22 @@ class MediaSpec extends SparkSpec {
     assert(got(3L) == ((Seq("x"), 1L)))
   }
 
+  test("bigramLogProb: shuffled text scores below natural text, counts exact") {
+    val natural = "the cat sat on the mat"
+    val shuffled = "cat the mat sat the on" // same unigrams, rare transitions
+    val docs = ((1L to 5L).map(i => (i, natural)) :+ (6L, shuffled))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 5L && out(6L)._1 == 5L)
+    // a unigram model cannot separate these two docs; the bigram model must
+    assert(out(6L)._2 < out(1L)._2,
+      s"shuffled ${out(6L)._2} should score below natural ${out(1L)._2}")
+    // single-token and empty docs have no transitions and drop out
+    val edge = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLogProb(edge, "doc_id", "text").count() == 0)
+  }
+
   test("ngramTopKApprox: separated heads exact, bounds sandwich truth, memory bounded") {
     // skewed corpus: "x y" dominates, mid grams repeat, long tail unique
     val docs = (
