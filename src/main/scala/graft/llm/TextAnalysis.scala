@@ -285,6 +285,44 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** Unicode script histogram per document: the fraction of non-space
+    * characters in each major script (Latin, Cyrillic, Han, Arabic,
+    * plus digits and other), and the dominant script by argmax (fixed
+    * tie order). The standard companion signal to [[langId]] for
+    * multilingual corpus routing — script is decidable per character
+    * (no stopword lists), so mixed-script spam and mislabeled-language
+    * docs surface immediately.
+    *
+    * Pure scan-time regexp counting (codegen'd, no UDF, no shuffle);
+    * script classes via regex script properties, which both Java regex
+    * (`\p{IsLatin}`) and RE2 (`\p{Latin}`) support, so the semantics
+    * reproduce in any engine.
+    */
+  def scriptMix(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    def cnt(cls: String): Column =
+      length(regexp_replace(text, s"[^$cls]", ""))
+    val nChars = length(regexp_replace(text, "\\s", ""))
+    val base = greatest(nChars, lit(1)).cast("double")
+    val scripts = Seq(
+      "latin" -> cnt("\\p{IsLatin}"),
+      "cyrillic" -> cnt("\\p{IsCyrillic}"),
+      "han" -> cnt("\\p{IsHan}"),
+      "arabic" -> cnt("\\p{IsArabic}"),
+      "digit" -> cnt("0-9"))
+    val fracs = scripts.map { case (n, c) => n -> round(c / base, 6) }
+    val counted = scripts.map(_._2).reduce(_ + _)
+    val best = fracs.map(_._2).reduce((a, b) => greatest(a, b))
+    val dominant = fracs.foldRight(lit("other"): Column) { case ((n, f), acc) =>
+      when(f === best && best > 0.0, lit(n)).otherwise(acc)
+    }
+    docs.select(col(idCol) +: nChars.cast("long").as("n_chars") +:
+      fracs.map { case (n, f) => f.as(s"${n}_frac") } :+
+      round((nChars - counted) / base, 6).as("other_frac") :+
+      dominant.as("dominant_script"): _*)
+  }
+
   /** Per-document mean CONDITIONAL bigram log-probability under the
     * corpus's own add-1-smoothed bigram model — the next step up from
     * [[unigramLogProb]] as a fluency proxy: P(w₂|w₁) = (C(w₁w₂)+1) /

@@ -1322,6 +1322,56 @@ object Llm {
               col("embedding"), k = 16)).as(Seq("j", "proj_val")))
     },
 
+    // L4t — Unicode script histogram + dominant script; the fixture
+    // plants Cyrillic/Han/Arabic tails on a rotating quarter of docs so
+    // every script class exercises (Java \p{IsX} ≡ RE2 \p{X}).
+    QuerySpec.df("l58_script_mix",
+      """with t as (
+        |  select doc_id, text || case cast(doc_id % 4 as int)
+        |    when 1 then ' Привет мир дела'
+        |    when 2 then ' 中文测试内容很多'
+        |    when 3 then ' مرحبا بالعالم'
+        |    else '' end as text
+        |  from documents),
+        |c as (select doc_id,
+        |  length(regexp_replace(text, '\s', '', 'g')) as n_chars,
+        |  length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) as latin,
+        |  length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) as cyr,
+        |  length(regexp_replace(text, '[^\p{Han}]', '', 'g')) as han,
+        |  length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) as arab,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) as dig
+        |  from t),
+        |f as (select doc_id, n_chars,
+        |  round(cast(latin as double) / greatest(n_chars, 1), 6) as latin_frac,
+        |  round(cast(cyr as double) / greatest(n_chars, 1), 6) as cyrillic_frac,
+        |  round(cast(han as double) / greatest(n_chars, 1), 6) as han_frac,
+        |  round(cast(arab as double) / greatest(n_chars, 1), 6) as arabic_frac,
+        |  round(cast(dig as double) / greatest(n_chars, 1), 6) as digit_frac,
+        |  round(cast(n_chars - latin - cyr - han - arab - dig as double)
+        |    / greatest(n_chars, 1), 6) as other_frac
+        |  from c)
+        |select doc_id, cast(n_chars as bigint) as n_chars,
+        |  latin_frac, cyrillic_frac, han_frac, arabic_frac, digit_frac,
+        |  other_frac,
+        |  case greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac,
+        |                digit_frac)
+        |    when 0.0 then 'other'
+        |    when latin_frac then 'latin'
+        |    when cyrillic_frac then 'cyrillic'
+        |    when han_frac then 'han'
+        |    when arabic_frac then 'arabic'
+        |    else 'digit' end as dominant_script
+        |from f""".stripMargin) {
+      (s, d) =>
+        val t = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 1, lit(" Привет мир дела"))
+              .when(col("doc_id") % 4 === 2, lit(" 中文测试内容很多"))
+              .when(col("doc_id") % 4 === 3, lit(" مرحبا بالعالم"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.scriptMix(t, "doc_id", "text")
+    },
+
     // L4s — conditional bigram-LM fluency score (add-1 smoothing):
     // P(w2|w1) from the corpus's own transitions; both engines build
     // the same bigram/prefix models and score per doc.

@@ -58,6 +58,27 @@ class MediaSpec extends SparkSpec {
     assert(got(3L) == ((Seq("x"), 1L)))
   }
 
+  test("scriptMix classifies pure and mixed scripts with exact fractions") {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "Привет мир"),
+      (3L, "中文 测试"),
+      (4L, "مرحبا"),
+      (5L, "12345"),
+      (6L, "!!! ???"),          // nothing recognized → other
+      (7L, "ab 中文"),          // 2 latin vs 2 han: tie → latin (fixed order)
+      (8L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(r.fieldIndex("dominant_script")))).toMap
+    assert(out(1L) == ((10L, 1.0, "latin")))
+    assert(out(2L)._3 == "cyrillic" && out(3L)._3 == "han")
+    assert(out(4L)._3 == "arabic" && out(5L)._3 == "digit")
+    assert(out(6L)._3 == "other")
+    assert(out(7L)._3 == "latin" && out(7L)._2 == 0.5)
+    assert(out(8L) == ((0L, 0.0, "other"))) // empty doc: safe division, other
+  }
+
   test("bigramLogProb: shuffled text scores below natural text, counts exact") {
     val natural = "the cat sat on the mat"
     val shuffled = "cat the mat sat the on" // same unigrams, rare transitions
