@@ -170,6 +170,27 @@ object Corpus {
       .withColumnRenamed("_bd_fp", "fp")
   }
 
+  /** Corpus changelog between two versions (the audit step after a
+    * cleaning/dedup pass, and the companion to the catalog's
+    * time-travel reads): per document id, whether it was `added`,
+    * `removed`, `changed` (same id, different normalized-text
+    * fingerprint), or `unchanged`. One full-outer join on the id with
+    * 16-byte fingerprints — text never shuffles, so diffing two 100 TB
+    * versions moves only ids and hashes.
+    */
+  def corpusDiff(oldV: DataFrame, newV: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val o = oldV.select(col(idCol).as("_cd_id"), fp.as("_cd_old"))
+    val n = newV.select(col(idCol).as("_cd_id"), fp.as("_cd_new"))
+    o.join(n, Seq("_cd_id"), "full_outer")
+      .select(col("_cd_id").as(idCol),
+        when(col("_cd_old").isNull, "added")
+          .when(col("_cd_new").isNull, "removed")
+          .when(col("_cd_old") =!= col("_cd_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Deterministic stratified sample: keep `k` documents per stratum,
     * chosen by a multiplicative hash of the id (so membership is
     * reproducible across engines, retries, and partitionings — the

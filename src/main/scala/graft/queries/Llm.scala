@@ -1322,6 +1322,42 @@ object Llm {
               col("embedding"), k = 16)).as(Seq("j", "proj_val")))
     },
 
+    // L6m — corpus version diff: old = doc_id % 3 == 0 slice; new =
+    // the same slice minus % 9 == 0 (removed), with % 9 == 3 docs
+    // rewritten (changed), plus fresh ids (added).
+    QuerySpec.df("l59_corpus_diff",
+      """with oldv as (
+        |  select doc_id, text from documents where doc_id % 3 = 0),
+        |newv as (
+        |  select doc_id,
+        |    case when doc_id % 9 = 3 then text || ' EDITED' else text end as text
+        |  from documents where doc_id % 3 = 0 and doc_id % 9 <> 0
+        |  union all
+        |  select doc_id + 1000000 as doc_id, text
+        |  from documents where doc_id % 3 = 1 and doc_id < 30),
+        |o as (select doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as f from oldv),
+        |n as (select doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as f from newv)
+        |select coalesce(o.doc_id, n.doc_id) as doc_id,
+        |  case when o.f is null then 'added'
+        |       when n.f is null then 'removed'
+        |       when o.f <> n.f then 'changed'
+        |       else 'unchanged' end as status
+        |from o full outer join n on o.doc_id = n.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val oldV = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        val newV = docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 9 =!= 0)
+          .withColumn("text", when(col("doc_id") % 9 === 3,
+            concat(col("text"), lit(" EDITED"))).otherwise(col("text")))
+          .select("doc_id", "text")
+          .unionAll(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") < 30)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Corpus.corpusDiff(oldV, newV, "doc_id", "text")
+    },
+
     // L4t — Unicode script histogram + dominant script; the fixture
     // plants Cyrillic/Han/Arabic tails on a rotating quarter of docs so
     // every script class exercises (Java \p{IsX} ≡ RE2 \p{X}).

@@ -76,7 +76,11 @@ object PlanDigest {
     // round-7 wave 2: pair census (hash agg + TakeOrdered, not a
     // window sort), banded Hamming dedup (one checkpoint-fed shuffle
     // join), and the JL kernel (single codegen'd scan, zero shuffle)
-    "l43_bpe_pairs", "l47_image_dedup", "l54_jl_project")
+    "l43_bpe_pairs", "l47_image_dedup", "l54_jl_project",
+    // the bigram LM must stay one lazy plan (vocab as broadcast 1-row
+    // agg, no eager count) — a digest change here means an extra
+    // shuffle or a lost broadcast
+    "l57_bigram_logprob")
 
   val digestFile = "PLAN_DIGESTS.json"
 
