@@ -285,6 +285,54 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** Vocabulary drift between two corpus versions: per-token
+    * probability under each version's unigram distribution (add-1
+    * smoothed over the union vocabulary), the token's contribution to
+    * the symmetrized KL (Jensen-Shannon-style) divergence, and a
+    * deterministic rank of the top-`k` movers — the "what did my
+    * filter do to the distribution" audit after a cleaning pass.
+    *
+    * Scale shape: two token hash-aggregations (map-side combined), a
+    * vocabulary-keyed full-outer join, totals as broadcast 1-row
+    * aggregates (one lazy plan, no eager counts); the top-k is a
+    * TakeOrderedAndProject over the vocabulary-sized frame, never the
+    * corpus.
+    */
+  def vocabDrift(oldV: org.apache.spark.sql.DataFrame,
+      newV: org.apache.spark.sql.DataFrame,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.filter(length(trim(col(textCol))) > 0)
+        .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as(as))
+    val o = counts(oldV, "c_old")
+    val n = counts(newV, "c_new")
+    val joined = o.join(n, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val totals = joined.agg(
+      sum("c_old").cast("double").as("t_old"),
+      sum("c_new").cast("double").as("t_new"),
+      count(lit(1)).cast("double").as("vsize"))
+    val scored = joined.crossJoin(broadcast(totals))
+      .withColumn("p_old",
+        (col("c_old") + 1).cast("double") / (col("t_old") + col("vsize")))
+      .withColumn("p_new",
+        (col("c_new") + 1).cast("double") / (col("t_new") + col("vsize")))
+      .withColumn("drift", round(
+        (col("p_new") - col("p_old")) * log2(col("p_new") / col("p_old")), 10))
+    val top = scored
+      .orderBy(col("drift").desc, col("w")).limit(k)
+      .select(col("w"), col("c_old"), col("c_new"),
+        round(col("p_old"), 8).as("p_old"),
+        round(col("p_new"), 8).as("p_new"), col("drift"))
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("drift").desc, col("w"))).cast("long"))
+  }
+
   /** Unicode script histogram per document: the fraction of non-space
     * characters in each major script (Latin, Cyrillic, Han, Arabic,
     * plus digits and other), and the dominant script by argmax (fixed

@@ -1322,6 +1322,49 @@ object Llm {
               col("embedding"), k = 16)).as(Seq("j", "proj_val")))
     },
 
+    // L4u — vocabulary drift between two corpus versions: old = even
+    // ids, new = odd ids with a planted spam token on % 7 == 1 docs;
+    // top-20 movers of the symmetrized-KL contribution.
+    QuerySpec.df("l60_vocab_drift",
+      """with oldv as (select text from documents where doc_id % 2 = 0),
+        |newv as (select case when doc_id % 7 = 1
+        |    then text || ' spamtoken spamtoken spamtoken' else text end as text
+        |  from documents where doc_id % 2 = 1),
+        |tok_o as (select unnest(string_split_regex(trim(text), '\s+')) as w
+        |          from oldv where length(trim(text)) > 0),
+        |co as (select w, cast(count(*) as bigint) as c_old from tok_o
+        |       where length(w) > 0 group by w),
+        |tok_n as (select unnest(string_split_regex(trim(text), '\s+')) as w
+        |          from newv where length(trim(text)) > 0),
+        |cn as (select w, cast(count(*) as bigint) as c_new from tok_n
+        |       where length(w) > 0 group by w),
+        |j as (select coalesce(co.w, cn.w) as w,
+        |        coalesce(c_old, 0) as c_old, coalesce(c_new, 0) as c_new
+        |      from co full outer join cn on co.w = cn.w),
+        |t as (select cast(sum(c_old) as double) as t_old,
+        |        cast(sum(c_new) as double) as t_new,
+        |        cast(count(*) as double) as vsize from j),
+        |s as (select w, c_old, c_new,
+        |        cast(c_old + 1 as double) / (t_old + vsize) as po,
+        |        cast(c_new + 1 as double) / (t_new + vsize) as pn
+        |      from j cross join t),
+        |d as (select w, c_old, c_new, po, pn,
+        |        round((pn - po) * log2(pn / po), 10) as drift from s),
+        |top as (select * from d order by drift desc, w limit 20)
+        |select w, c_old, c_new, round(po, 8) as p_old, round(pn, 8) as p_new,
+        |  drift, cast(row_number() over (order by drift desc, w) as bigint) as rank
+        |from top""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val oldV = docs.filter(col("doc_id") % 2 === 0).select("text")
+        val newV = docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("text", when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" spamtoken spamtoken spamtoken")))
+            .otherwise(col("text")))
+          .select("text")
+        TextAnalysis.vocabDrift(oldV, newV, "text", k = 20)
+    },
+
     // L6m — corpus version diff: old = doc_id % 3 == 0 slice; new =
     // the same slice minus % 9 == 0 (removed), with % 9 == 3 docs
     // rewritten (changed), plus fresh ids (added).

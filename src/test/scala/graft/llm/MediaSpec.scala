@@ -58,6 +58,23 @@ class MediaSpec extends SparkSpec {
     assert(got(3L) == ((Seq("x"), 1L)))
   }
 
+  test("vocabDrift ranks the injected token first; shared vocab stays near zero") {
+    val oldV = (1L to 10L).map(i => Tuple1("x y")).toDF("text")
+    val newV = (1L to 10L).map(i => Tuple1("x z")).toDF("text")
+    val out = TextAnalysis.vocabDrift(oldV, newV, "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getLong(6)))
+    // the measure is symmetric: the removed token drifts as much as the
+    // injected one; the tie breaks on token asc (y before z)
+    assert(out.take(2).map(_._1).toSeq == Seq("y", "z"))
+    assert(out(0)._4 == out(1)._4) // equal-magnitude movers tie exactly
+    val z = out.find(_._1 == "z").get
+    assert(z._2 == 0L && z._3 == 10L)
+    // x appears identically in both versions: zero drift contribution
+    assert(out.find(_._1 == "x").get._4 == 0.0)
+    assert(out.map(_._4).sorted.reverse.toSeq == out.map(_._4).toSeq) // ranked desc
+  }
+
   test("scriptMix classifies pure and mixed scripts with exact fractions") {
     val docs = Seq(
       (1L, "hello world"),
