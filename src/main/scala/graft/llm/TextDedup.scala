@@ -153,23 +153,44 @@ object TextDedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Incremental NEAR-dup dedup: drop batch documents whose shingle-set
-    * Jaccard with ANY existing corpus document reaches `threshold` —
-    * the fuzzy counterpart of `Corpus.dedupAgainstCorpus` (exact
-    * fingerprints), for the per-ingest step where re-crawled pages
-    * arrive reformatted rather than byte-identical.
-    *
-    * Same MinHash+LSH shape as [[minhashLshPairs]], but the band join
-    * is batch × corpus instead of a self-join: candidates are
-    * band-bucket collisions only, then exact Jaccard verifies. The
-    * corpus side's banded signatures are a pure function of its text —
-    * a real pipeline persists them once as the dedup index and joins
-    * each ingest against the stored bands, so per-batch cost is
-    * O(batch + collisions), not O(corpus).
+  /** Build the PERSISTABLE near-dup index of a corpus: one row per
+    * document with its shingle set and full MinHash signature —
+    * everything text-derived, computed once. Write this frame to a
+    * versioned table and every subsequent ingest
+    * ([[nearDupAgainstIndex]]) derives band keys from the stored
+    * signature ARITHMETICALLY (no re-shingling, no re-hashing of
+    * corpus text): per-ingest corpus cost drops from O(corpus text)
+    * to a scan of (id, shingles, 16 longs).
     */
-  def nearDupAgainstCorpus(
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
+    val sh = withShingles(
+      corpus.select(col(idCol), col(textCol)), textCol, "sh", shingleK)
+    sh.select(col(idCol), col("sh"),
+      graft.functions.TextShingles.minhashSig(col("sh"), numHashes).as("sig"))
+  }
+
+  /** Band keys derived from a stored MinHash signature column — pure
+    * arithmetic over the persisted longs.
+    */
+  private def bandKeys(sigCol: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      val slice = (0 until rows).map(r => element_at(sigCol, b * rows + r + 1))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
+    }: _*)
+  }
+
+  /** Incremental near-dup dedup of a batch against a PERSISTED index
+    * ([[buildNearDupIndex]]'s output, read back from storage): batch
+    * docs shingle and sign fresh; the corpus side only explodes band
+    * keys out of its stored signatures. Semantics identical to
+    * [[nearDupAgainstCorpus]] — which is now this, composed with an
+    * inline index build.
+    */
+  def nearDupAgainstIndex(
       batch: DataFrame,
-      corpus: DataFrame,
+      index: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 16,
@@ -177,24 +198,22 @@ object TextDedup {
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
 
-    def bandedSigs(df: DataFrame, as: String) = {
-      val sh = withShingles(
-        df.select(col(idCol).as(as), col(textCol)), textCol, "sh", shingleK)
-        .select(col(as), col("sh"))
-      val sigs = sh.select(col(as),
+    val shB = withShingles(
+      batch.select(col(idCol).as("_nd_batch_id"), col(textCol)),
+      textCol, "sh", shingleK)
+      .select(col("_nd_batch_id"), col("sh"))
+    val bandsB = shB
+      .select(col("_nd_batch_id"),
         graft.functions.TextShingles.minhashSig(col("sh"), numHashes).as("sig"))
-      val bandStructs = array((0 until bands).map { b =>
-        val slice = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
-        struct(lit(b).as("band"), xxhash64(slice: _*).as("sig"))
-      }: _*)
-      (sh, sigs.select(col(as), explode(bandStructs).as("bs"))
-        .select(col(as), col("bs.band").as("band"), col("bs.sig").as("sig")))
-    }
-
-    val (shB, bandsB) = bandedSigs(batch, "_nd_batch_id")
-    val (shC, bandsC) = bandedSigs(corpus, "_nd_corpus_id")
+      .select(col("_nd_batch_id"),
+        explode(bandKeys(col("sig"), numHashes, bands)).as("bs"))
+      .select(col("_nd_batch_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val shC = index.select(col(idCol).as("_nd_corpus_id"), col("sh"))
+    val bandsC = index
+      .select(col(idCol).as("_nd_corpus_id"),
+        explode(bandKeys(col("sig"), numHashes, bands)).as("bs"))
+      .select(col("_nd_corpus_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val candidates = bandsB.join(bandsC, Seq("band", "sig"))
       .select("_nd_batch_id", "_nd_corpus_id").distinct()
     val hits = candidates
@@ -205,6 +224,29 @@ object TextDedup {
       .select(col("_nd_batch_id").as(idCol)).distinct()
     batch.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** Incremental NEAR-dup dedup: drop batch documents whose shingle-set
+    * Jaccard with ANY existing corpus document reaches `threshold` —
+    * the fuzzy counterpart of `Corpus.dedupAgainstCorpus` (exact
+    * fingerprints), for the per-ingest step where re-crawled pages
+    * arrive reformatted rather than byte-identical. This is
+    * [[nearDupAgainstIndex]] with the index built inline; a real
+    * pipeline persists [[buildNearDupIndex]] once and ingests against
+    * the stored frame, so per-batch cost is O(batch + collisions),
+    * not O(corpus text).
+    */
+  def nearDupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    nearDupAgainstIndex(batch,
+      buildNearDupIndex(corpus, idCol, textCol, numHashes, shingleK),
+      idCol, textCol, numHashes, bands, shingleK, threshold)
 
   /** 64-bit SimHash per document: tokens hash to 64-bit codes; each bit
     * position accumulates +1/-1 across tokens; the sign vector is the

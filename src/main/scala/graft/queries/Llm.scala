@@ -1365,6 +1365,53 @@ object Llm {
         TextAnalysis.vocabDrift(oldV, newV, "text", k = 20)
     },
 
+    // L6n — incremental near-dup dedup against a PERSISTED index: the
+    // corpus's (id, shingles, MinHash sig) frame round-trips through
+    // parquet (materialized once per sfDir, outside timed runs) and
+    // every ingest derives band keys arithmetically from the stored
+    // signatures — no corpus re-shingling. Same fixture and oracle as
+    // l37, which is what proves index-ingest ≡ inline-build ingest.
+    QuerySpec.df("l61_neardup_index",
+      s"""with d0 as (select text from documents where doc_id = 0),
+         |corpus as (select doc_id, text from documents where doc_id % 3 = 0),
+         |batch as (
+         |  select doc_id,
+         |    case when doc_id % 10 = 1 then 'dup ' || (select text from d0)
+         |         else text end as text
+         |  from documents where doc_id % 3 <> 0),
+         |sh_c as (select doc_id, $duckShingles as sg
+         |         from (select doc_id, text, string_split(text, ' ') as words from corpus)),
+         |sh_b as (select doc_id, $duckShingles as sg
+         |         from (select doc_id, text, string_split(text, ' ') as words from batch)),
+         |hits as (
+         |  select distinct b.doc_id
+         |  from sh_b b join sh_c c
+         |  on len(list_intersect(b.sg, c.sg)) * 1.0 /
+         |     (len(b.sg) + len(c.sg) - len(list_intersect(b.sg, c.sg))) >= 0.8)
+         |select doc_id from batch
+         |where doc_id not in (select doc_id from hits)""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1, concat(lit("dup "), lit(d0)))
+              .otherwise(col("text")).as("text"))
+        val indexPath = nearDupIndexDirs.computeIfAbsent(d, _ => {
+          val out = java.nio.file.Files.createTempDirectory("graft-ndidx-")
+            .resolve("index.parquet").toString
+          TextDedup.buildNearDupIndex(
+            docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text")
+            .write.mode("overwrite").parquet(out)
+          out
+        })
+        TextDedup.nearDupAgainstIndex(batch, s.read.parquet(indexPath),
+          "doc_id", "text")
+          .select("doc_id")
+    },
+
     // L6m — corpus version diff: old = doc_id % 3 == 0 slice; new =
     // the same slice minus % 9 == 0 (removed), with % 9 == 3 docs
     // rewritten (changed), plus fresh ids (added).
@@ -1498,6 +1545,14 @@ object Llm {
         .select(col("doc_id"), col("n_tokens"))
     },
   )
+
+  /** Near-dup index fixture (l61): the persisted corpus index,
+    * materialized once per sfDir — index BUILD cost is the one-time
+    * step a real pipeline amortizes across ingests, so timed runs
+    * measure the ingest only.
+    */
+  private val nearDupIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Media-payload fixture, materialized to a temp parquet once per
     * (kind, sfDir) — payload synthesis (PNG/WAV/MP4 encoding) is
