@@ -1139,6 +1139,24 @@ object Llm {
         TextDedup.hammingPairs(codes, "doc_id", "dhash", maxHamming = 2)
     },
 
+    // L5h — perceptual image near-dup CLUSTERS: dHash pairs → connected
+    // components, the image sibling of l13/l30. The planted 37-group
+    // fixture makes the expected components exactly doc_id % 37's
+    // min-id representative — decode-verified AND hash-checked.
+    QuerySpec.df("l62_image_clusters",
+      """select doc_id, doc_id % 37 as component
+        |from documents""".stripMargin) {
+      (s, d) =>
+        val codes = Multimodal.imageDHash(
+          mediaPayloads(s, d, "imggroup",
+            Multimodal.attachGroupedImagePayload(_, "doc_id", groups = 37)),
+          "payload")
+          .select("doc_id", "dhash").localCheckpoint()
+        val pairs = TextDedup.hammingPairs(codes, "doc_id", "dhash", maxHamming = 2)
+        graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+    },
+
     // L2g — SemDeDup (cluster-then-prune semantic dedup): k-means cells
     // confine the quadratic cosine pass; within-cell components at
     // cos >= 0.99 keep their min-id survivor. Rows-only by design
