@@ -121,6 +121,35 @@ object CorpusProperties extends Properties("graft.llm.corpus") {
       out(1L).forall(_ == 0.0) && out(2L).length == k && out(2L) == again
     }
 
+  property("canonicalUrl is idempotent") =
+    forAll(for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+      host <- Gen.oneOf("Ex.COM", "a.b.org", "X9.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/P/q", "/")
+      query <- Gen.oneOf("", "?utm_source=a", "?q=1&utm_medium=m", "?fbclid=z&q=2")
+      frag <- Gen.oneOf("", "#sec")
+    } yield s"$scheme://$host$port$path$query$frag") { url =>
+      val df = Seq(url).toDF("u")
+      val once = df.select(Corpus.canonicalUrl(col("u"))).collect()(0).getString(0)
+      val twice = Seq(once).toDF("u")
+        .select(Corpus.canonicalUrl(col("u"))).collect()(0).getString(0)
+      once == twice
+    }
+
+  property("bloom dedup equals exact dedup on random batch/corpus overlaps") =
+    forAll(Gen.chooseNum(0, 30), Gen.chooseNum(1, 30)) { (nDup, nNew) =>
+      val corpus = (0L until 40L).map(i => (i, s"corpus text $i")).toDF("doc_id", "text")
+      val batch = ((0L until nDup.toLong).map(i => (500 + i, s"corpus text $i")) ++
+        (0L until nNew.toLong).map(i => (900 + i, s"fresh text $i")))
+        .toDF("doc_id", "text")
+      val exact = Corpus.dedupAgainstCorpus(batch, corpus, "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloom = Corpus.bloomDedupAgainstCorpus(batch, corpus, "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      bloom == exact
+    }
+
   property("source mix: membership is a pure function of the id") =
     forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (fa, fb) =>
       val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
