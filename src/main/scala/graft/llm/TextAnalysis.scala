@@ -292,11 +292,14 @@ object TextAnalysis {
     * deterministic rank of the top-`k` movers — the "what did my
     * filter do to the distribution" audit after a cleaning pass.
     *
-    * Scale shape: two token hash-aggregations (map-side combined), a
-    * vocabulary-keyed full-outer join, totals as broadcast 1-row
-    * aggregates (one lazy plan, no eager counts); the top-k is a
-    * TakeOrderedAndProject over the vocabulary-sized frame, never the
-    * corpus.
+    * Scale shape: two token hash-aggregations (map-side combined) and
+    * a vocabulary-keyed full-outer join, MATERIALIZED once
+    * (localCheckpoint) because both the totals aggregate and the
+    * scoring pass read it — without that, Catalyst plans the corpus
+    * scans twice (4 scans instead of 2, verified via PlanAudit).
+    * Totals then ride as a broadcast 1-row aggregate and the top-k is
+    * a TakeOrderedAndProject over the vocabulary-sized frame, never
+    * the corpus.
     */
   def vocabDrift(oldV: org.apache.spark.sql.DataFrame,
       newV: org.apache.spark.sql.DataFrame,
@@ -313,6 +316,7 @@ object TextAnalysis {
       .select(col("w"),
         coalesce(col("c_old"), lit(0L)).as("c_old"),
         coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .localCheckpoint()
     val totals = joined.agg(
       sum("c_old").cast("double").as("t_old"),
       sum("c_new").cast("double").as("t_new"),
