@@ -58,6 +58,17 @@ class MediaSpec extends SparkSpec {
     assert(got(3L) == ((Seq("x"), 1L)))
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged; normalization-aware") {
+    val oldV = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newV = Seq((2L, "Beta "), (3L, "gamma edited"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.corpusDiff(oldV, newV, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fingerprints normalize case/whitespace, so "Beta " == "beta"
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("vocabDrift ranks the injected token first; shared vocab stays near zero") {
     val oldV = (1L to 10L).map(i => Tuple1("x y")).toDF("text")
     val newV = (1L to 10L).map(i => Tuple1("x z")).toDF("text")
