@@ -285,6 +285,30 @@ object TextAnalysis {
           .as("mean_logp"))
   }
 
+  /** Per-source vocabulary richness: token count, distinct types,
+    * hapax legomena (tokens seen exactly once), type-token ratio, and
+    * hapax fraction — the classic lexical-diversity profile (low TTR →
+    * templated/boilerplate-heavy source; high hapax fraction → noisy
+    * OCR/garbage vocabulary). Two stacked hash aggregations, both
+    * map-side combinable; cost O(tokens), state bounded by vocabulary.
+    */
+  def vocabStats(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(groupCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_frac"))
+
   /** Vocabulary drift between two corpus versions: per-token
     * probability under each version's unigram distribution (add-1
     * smoothed over the union vocabulary), the token's contribution to

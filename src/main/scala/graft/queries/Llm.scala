@@ -1340,6 +1340,26 @@ object Llm {
               col("embedding"), k = 16)).as(Seq("j", "proj_val")))
     },
 
+    // L4v — per-source vocabulary richness (types, hapax, TTR).
+    QuerySpec.df("l63_vocab_stats",
+      """with toks as (
+        |  select source, unnest(string_split_regex(trim(text), '\s+')) as w
+        |  from documents where length(trim(text)) > 0),
+        |tc as (select source, w, cast(count(*) as bigint) as c
+        |       from toks where length(w) > 0 group by source, w)
+        |select source,
+        |  cast(sum(c) as bigint) as n_tokens,
+        |  cast(count(*) as bigint) as n_types,
+        |  cast(sum(case when c = 1 then 1 else 0 end) as bigint) as n_hapax,
+        |  round(cast(count(*) as double) / sum(c), 6) as type_token_ratio,
+        |  round(cast(sum(case when c = 1 then 1 else 0 end) as double)
+        |    / count(*), 6) as hapax_frac
+        |from tc group by source""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.vocabStats(
+          Fixtures.table(s, d, "documents"), "source", "text")
+    },
+
     // L4u — vocabulary drift between two corpus versions: old = even
     // ids, new = odd ids with a planted spam token on % 7 == 1 docs;
     // top-20 movers of the symmetrized-KL contribution.
