@@ -384,17 +384,17 @@ object Corpus {
     * [[dedupLines]], which dedups across the corpus): keep the first
     * occurrence of each line inside a document, preserving order.
     *
-    * Scale shape: pure per-row array work — an indexed `filter` HOF
-    * keeps a line iff it is absent from the prefix before it — so the
-    * whole operator is scan-shaped with ZERO shuffle (the per-doc
-    * O(lines²) term is bounded by document size, never corpus size).
+    * Scale shape: pure per-row scan work with ZERO shuffle — a
+    * codegen'd one-pass LinkedHashSet kernel
+    * ([[graft.functions.DistinctLines]]), O(lines) per document. (The
+    * earlier indexed-filter HOF formulation was CodegenFallback and
+    * O(lines²) per doc — per-element lambda binding made it the worst
+    * work-comparable ratio in the bench suite.)
     */
   def dropRepeatedLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, (l, i) =>
-      array_position(slice(lines, lit(1), i), l) === 0)
+    val kept = graft.functions.TextShingles.distinctLines(col(textCol))
     docs.select(col(idCol),
-      size(lines).cast("long").as("n_lines"),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),
       array_join(kept, "\n").as("clean_text"))
   }
