@@ -43,7 +43,13 @@ object JlProjectOps {
         // a plain linear congruence has arithmetic-progression
         // structure mod 6 (constant-sign runs) that wrecks the JL
         // isometry
-        var h = (seed * 1234567L + i * 69069L + j * 9876543L) % 2147483647L
+        // floorMod, not %: a negative seed (or seed*1234567 overflow)
+        // would otherwise keep h negative through the Lehmer rounds and
+        // collapse h%6 into [-5,0] — nearly all entries become -1,
+        // destroying the {1/6,1/6,2/3} distribution and the engine
+        // congruence (which assumes nonnegative residues)
+        var h = java.lang.Math.floorMod(
+          seed * 1234567L + i * 69069L + j * 9876543L, 2147483647L)
         h = h * 48271L % 2147483647L
         h = h * 48271L % 2147483647L
         val m = h % 6

@@ -110,6 +110,15 @@ object Multimodal {
   /** RIFF/WAVE chunk walk: (sampleRate, channels, bitsPerSample,
     * nSamples) from the fmt and data chunk headers — no sample data is
     * touched. Null for anything that isn't a WAV.
+    *
+    * Corrupt media is the NORM in crawled corpora, so the walk is
+    * hardened for liveness: chunk sizes are untrusted 32-bit values — a
+    * negative size (e.g. 0xFFFFFFF8) would make the cursor non-advance
+    * (infinite loop: a hung executor task at 100 TB), so it returns
+    * null instead; the cursor advances in 64-bit arithmetic (no Int
+    * overflow wraparound); and a declared data size larger than the
+    * remaining payload is clamped to the actual bytes, so n_samples is
+    * honest on truncated files.
     */
   private[llm] def wavMeta(bytes: Array[Byte]): (Int, Int, Int, Long) = {
     @inline def u8(i: Int): Int = bytes(i) & 0xff
@@ -120,16 +129,45 @@ object Multimodal {
       new String(bytes, i, 4, "US-ASCII")
     val n = bytes.length
     if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return null
-    var (i, sr, ch, bits, dataSize) = (12, -1, -1, -1, -1L)
+    var (sr, ch, bits, dataSize) = (-1, -1, -1, -1L)
+    var i = 12L
     while (i + 8 <= n) {
-      val (id, size) = (fourcc(i), le32(i + 4))
+      val p = i.toInt
+      val (id, size) = (fourcc(p), le32(p + 4))
+      if (size < 0) return null // corrupt unsigned-32 size
       if (id == "fmt " && i + 24 <= n) {
-        ch = le16(i + 10); sr = le32(i + 12); bits = le16(i + 22)
-      } else if (id == "data") dataSize = size.toLong
-      i += 8 + size + (size & 1) // chunks are word-aligned
+        ch = le16(p + 10); sr = le32(p + 12); bits = le16(p + 22)
+      } else if (id == "data")
+        dataSize = math.min(size.toLong, n - i - 8)
+      i += 8L + size + (size & 1) // chunks are word-aligned
     }
-    if (sr < 0 || ch <= 0 || bits <= 0 || dataSize < 0) null
-    else (sr, ch, bits, dataSize / (ch.toLong * bits / 8))
+    if (sr < 0 || ch <= 0 || bits <= 0 || dataSize < 0) return null
+    val bytesPerFrame = ch.toLong * bits / 8
+    if (bytesPerFrame <= 0) null
+    else (sr, ch, bits, dataSize / bytesPerFrame)
+  }
+
+  /** Locate the PCM data chunk: (offset, size clamped to the payload),
+    * or null if absent/corrupt — the shared hardened walk behind
+    * [[wavFeatures]] and [[audioStats]] (same liveness rules as
+    * [[wavMeta]]).
+    */
+  private[llm] def wavDataChunk(bytes: Array[Byte]): Array[Int] = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val n = bytes.length
+    var i = 12L
+    while (i + 8 <= n) {
+      val p = i.toInt
+      val id = new String(bytes, p, 4, "US-ASCII")
+      val size = le32(p + 4)
+      if (size < 0) return null
+      if (id == "data")
+        return Array(p + 8, math.min(size.toLong, n - i - 8).toInt)
+      i += 8L + size + (size & 1)
+    }
+    null
   }
 
   /** Header-only audio metadata decode: sample rate / channels / bit
@@ -165,16 +203,11 @@ object Multimodal {
   def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val m = wavMeta(bytes)
     if (m == null || m._3 != 16) return fakeFeatures(bytes, dim)
+    val dc = wavDataChunk(bytes)
+    if (dc == null) return fakeFeatures(bytes, dim)
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    // find the data chunk again (wavMeta validated the layout)
-    var (i, dataOff, dataSize) = (12, -1, 0)
-    while (i + 8 <= bytes.length && dataOff < 0) {
-      val id = new String(bytes, i, 4, "US-ASCII")
-      val size = bb.getInt(i + 4)
-      if (id == "data") { dataOff = i + 8; dataSize = size }
-      else i += 8 + size + (size & 1)
-    }
+    val (dataOff, dataSize) = (dc(0), dc(1))
     var (sum, sumSq, k) = (0.0, 0.0, 0)
     val nVals = dataSize / 2
     while (k < nVals) {
@@ -217,18 +250,17 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val m = wavMeta(bytes)
-        val extra: Seq[Any] = if (m == null || m._3 != 16)
+        val dc = if (m == null || m._3 != 16) null else wavDataChunk(bytes)
+        val extra: Seq[Any] = if (dc == null)
           Seq(null, null, null, null, null)
+        else if (dc(1) < 2)
+          // structurally valid WAV with an empty data chunk: report the
+          // zero sample count but null stats (0.0/0 would be NaN)
+          Seq[Any](0L, null, null, null, null)
         else {
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          var (i, dataOff, dataSize) = (12, -1, 0)
-          while (i + 8 <= bytes.length && dataOff < 0) {
-            val id = new String(bytes, i, 4, "US-ASCII")
-            val size = bb.getInt(i + 4)
-            if (id == "data") { dataOff = i + 8; dataSize = size }
-            else i += 8 + size + (size & 1)
-          }
+          val (dataOff, dataSize) = (dc(0), dc(1))
           // integer sums are exact (|s| <= 2^15, counts << 2^23), so
           // the double divisions below are order-independent
           var (sum, sumSq, clip, silent, k) = (0L, 0L, 0L, 0L, 0)
@@ -302,26 +334,38 @@ object Multimodal {
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
     @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     @inline def fourcc(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    // Untrusted sizes, hardened like the RIFF walk: 64-bit cursors (no
+    // Int wraparound on huge declared sizes), size < 8 (including the
+    // size==1 largesize form) → null, moovEnd clamped to the payload so
+    // a truncated moov box yields null rather than reading past the
+    // buffer, and the mvhd field reads are bounds-checked per version.
     val n = bytes.length
-    var i = 0
-    var moov = -1
-    var moovEnd = -1
+    var i = 0L
+    var moov = -1L
+    var moovEnd = -1L
     while (i + 8 <= n && moov < 0) {          // top-level boxes
-      val size = be32(i).toInt
+      val size = be32(i.toInt)
       if (size < 8) return null
-      if (fourcc(i + 4) == "moov") { moov = i + 8; moovEnd = i + size }
+      if (fourcc(i.toInt + 4) == "moov") {
+        moov = i + 8; moovEnd = math.min(i + size, n.toLong)
+      }
       i += size
     }
     if (moov < 0) return null
     var j = moov
     while (j + 8 <= moovEnd) {                // moov children
-      val size = be32(j).toInt
+      val size = be32(j.toInt)
       if (size < 8) return null
-      if (fourcc(j + 4) == "mvhd") {
-        val version = u8(j + 8)
+      if (fourcc(j.toInt + 4) == "mvhd") {
+        if (j + 9 > moovEnd) return null
+        val version = u8(j.toInt + 8)
+        val need = if (version == 1) 40L else 28L
+        if (j + need > moovEnd) return null
+        val p = j.toInt
         val (ts, dur) =
-          if (version == 1) (be32(j + 28).toInt, be64(j + 32))
-          else (be32(j + 20).toInt, be32(j + 24))
+          if (version == 1) (be32(p + 28).toInt, be64(p + 32))
+          else (be32(p + 20).toInt, be32(p + 24))
+        if (ts <= 0) return null
         return (ts, dur, dur.toDouble / ts)
       }
       j += size

@@ -534,23 +534,38 @@ object TextAnalysis {
     val summaries = grams.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val counters = new java.util.HashMap[String, Array[Long]]() // (cnt, err)
+      // count → grams at that count (stream-summary buckets): eviction
+      // picks TreeMap.firstEntry / TreeSet.first in O(log m) instead of
+      // rescanning all m counters per evicted gram — the full-scan
+      // formulation was O(distinct-tail × m) on heavy-tailed corpora,
+      // the exact regime this sketch exists for. Tie on lexicographic
+      // min gram (TreeSet order) preserves the previous determinism
+      // contract under a fixed partition layout.
+      val byCount = new java.util.TreeMap[Long, java.util.TreeSet[String]]()
+      @inline def bucketAdd(cnt: Long, g: String): Unit = {
+        var s = byCount.get(cnt)
+        if (s == null) { s = new java.util.TreeSet[String](); byCount.put(cnt, s) }
+        s.add(g); ()
+      }
+      @inline def bucketRemove(cnt: Long, g: String): Unit = {
+        val s = byCount.get(cnt)
+        s.remove(g)
+        if (s.isEmpty) byCount.remove(cnt); ()
+      }
       it.foreach { r =>
         val g = r.getString(0)
         val c = counters.get(g)
-        if (c != null) c(0) += 1
-        else if (counters.size < m) counters.put(g, Array(1L, 0L))
-        else {
-          // evict the minimum counter (ties on gram for determinism
-          // under a fixed partition layout)
-          var minG: String = null
-          var minC = Long.MaxValue
-          counters.forEach { (kk, vv) =>
-            if (vv(0) < minC || (vv(0) == minC && (minG == null || kk < minG))) {
-              minC = vv(0); minG = kk
-            }
-          }
+        if (c != null) {
+          bucketRemove(c(0), g); c(0) += 1; bucketAdd(c(0), g)
+        } else if (counters.size < m) {
+          counters.put(g, Array(1L, 0L)); bucketAdd(1L, g)
+        } else {
+          val minEntry = byCount.firstEntry()
+          val minC = minEntry.getKey
+          val minG = minEntry.getValue.first()
+          bucketRemove(minC, minG)
           counters.remove(minG)
-          counters.put(g, Array(minC + 1, minC))
+          counters.put(g, Array(minC + 1, minC)); bucketAdd(minC + 1, g)
         }
       }
       val out = new scala.collection.mutable.ArrayBuffer[SRow](counters.size)

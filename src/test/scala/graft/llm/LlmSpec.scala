@@ -125,6 +125,28 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_._2).zip(again).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("jlProject keeps the Achlioptas sign distribution for negative seeds") {
+    // project unit basis vectors so each output value IS a matrix entry
+    // (±sqrt(3/k) or 0): a signed-% bug would collapse negative-seed
+    // residues into [-5,0] and make nearly every nonzero entry -1
+    for (seed <- Seq(-7L, -999999L, Long.MinValue / 1234567L)) {
+      val d = 60; val k = 16
+      val entries = for {
+        i <- 0 until d
+        v = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array.tabulate(d)(x => if (x == i) 1.0f else 0.0f))
+        j <- 0 until k
+      } yield graft.functions.JlProjectOps.project(v, k, seed).getDouble(j)
+      val n = entries.size.toDouble
+      val zeroFrac = entries.count(_ == 0.0) / n
+      val posFrac = entries.count(_ > 0.0) / n
+      val negFrac = entries.count(_ < 0.0) / n
+      assert(zeroFrac > 0.55 && zeroFrac < 0.78, s"seed=$seed zero=$zeroFrac")
+      assert(posFrac > 0.08 && posFrac < 0.25, s"seed=$seed pos=$posFrac")
+      assert(negFrac > 0.08 && negFrac < 0.25, s"seed=$seed neg=$negFrac")
+    }
+  }
+
   test("semDedup: planted copies pruned, no original lost, deterministic") {
     val corpus = graft.queries.Llm.plantedCorpus(emb)
     def keptIds() = Similarity.semDedup(corpus, "vec_id", "embedding", minCos = 0.99)

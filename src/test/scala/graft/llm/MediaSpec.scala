@@ -189,6 +189,51 @@ class MediaSpec extends SparkSpec {
     assert(m == ((90000, 45000L, 0.5)))
   }
 
+  test("corrupt media: negative chunk sizes, truncation, empty data — no hangs") {
+    // negative RIFF chunk size (0xFFFFFFF8 = -8): a trusting walk never
+    // advances its cursor (hung executor task); must return null fast
+    val negSize = Multimodal.wavBytes(8000, 1, 100, seed = 1L)
+    val bbn = java.nio.ByteBuffer.wrap(negSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbn.putInt(40, -8) // data chunk size
+    assert(Multimodal.wavMeta(negSize) == null)
+    assert(Multimodal.wavDataChunk(negSize) == null)
+
+    // declared data size beyond the payload (truncated file): n_samples
+    // must reflect the bytes actually present, not the declared size
+    val trunc = Multimodal.wavBytes(8000, 1, 100, seed = 1L)
+    val bbt = java.nio.ByteBuffer.wrap(trunc)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbt.putInt(40, 100 * 2 + 5000)
+    val mt = Multimodal.wavMeta(trunc)
+    assert(mt != null && mt._4 == 100L, s"clamped n_samples: $mt")
+    val dct = Multimodal.wavDataChunk(trunc)
+    assert(dct(1) == 200)
+
+    // huge unsigned size in a leading chunk: cursor must not wrap Int
+    val huge = Multimodal.wavBytes(8000, 1, 4, seed = 1L)
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 2) // fmt chunk claims ~2^31 bytes
+    assert(Multimodal.wavMeta(huge) == null) // walk exits, no wraparound
+
+    // structurally valid WAV, EMPTY data chunk: stats are null (not
+    // NaN), n_vals reports 0
+    val empty = Multimodal.wavBytes(8000, 1, 0, seed = 1L)
+    val df = Seq((1L, empty)).toDF("doc_id", "payload")
+    val st = Multimodal.audioStats(df, "payload").collect()(0)
+    assert(st.getLong(st.fieldIndex("n_vals")) == 0L)
+    assert(st.isNullAt(st.fieldIndex("mean_amp")))
+    assert(st.isNullAt(st.fieldIndex("rms_amp")))
+
+    // truncated moov: mvhd fields would read past the buffer; null, not
+    // an exception
+    val mp4 = Multimodal.mp4Bytes(1200, 6000L)
+    assert(Multimodal.mp4Meta(java.util.Arrays.copyOf(mp4, 40)) == null)
+    // and a zero timescale must not produce Infinity
+    val zt = Multimodal.mp4Bytes(0, 6000L)
+    assert(Multimodal.mp4Meta(zt) == null)
+  }
+
   test("audioMeta/videoMeta emit nulls for undecodable payloads, not failures") {
     val df = Seq((1L, "junk bytes".getBytes)).toDF("doc_id", "payload")
     val a = Multimodal.audioMeta(df, "payload").collect()(0)
