@@ -318,15 +318,9 @@ object Similarity {
     * loser set only — the corpus never rewrites).
     */
   def dropEmbedNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
-      minCos: Double): DataFrame = {
-    val clusters = embedNearDupClusters(emb, idCol, vecCol, minCos)
-    val losers = clusters.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count()
-    clusters.unpersist()
-    emb.join(losers, Seq(idCol), "left_anti")
-  }
+      minCos: Double): DataFrame =
+    graft.operators.ConnectedComponents.collapse(emb,
+      nearDupPairs(emb, idCol, vecCol, minCos), "id_a", "id_b", idCol)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication that confines the quadratic cosine comparison to

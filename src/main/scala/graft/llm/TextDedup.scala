@@ -140,18 +140,10 @@ object TextDedup {
       numHashes: Int = 16,
       bands: Int = 8,
       shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val clusters = nearDupClusters(docs, idCol, textCol, numHashes, bands, shingleK, threshold)
-    // materialize the (small — only duplicate losers) drop set, then
-    // release the full per-vertex label cache ConnectedComponents hands
-    // us: the caller's repeated actions re-read only the loser set
-    val losers = clusters.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count()
-    clusters.unpersist()
-    docs.join(losers, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.8): DataFrame =
+    graft.operators.ConnectedComponents.collapse(docs,
+      minhashLshPairs(docs, idCol, textCol, numHashes, bands, shingleK, threshold),
+      "id_a", "id_b", idCol)
 
   /** Build the PERSISTABLE near-dup index of a corpus: one row per
     * document with its shingle set and full MinHash signature —

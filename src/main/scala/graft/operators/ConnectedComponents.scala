@@ -15,18 +15,21 @@ import org.apache.spark.storage.StorageLevel
   * label chains by one self-join hop (`label(v) := label(label(v))`),
   * which halves the remaining chain length — so convergence needs
   * O(log diameter) rounds instead of O(diameter). The convergence
-  * witness is folded into the round itself: the previous label rides
-  * along as a `prev` column (labels rows carry it, neighbor rows
-  * contribute null, `min` ignores nulls), so "did anything change" is
-  * a filter+count over the already-persisted round result — no extra
-  * join. Type-agnostic (ids need only be orderable), unlike a numeric
-  * label sum.
+  * witness rides the PROPAGATE step (each labels row carries its
+  * pre-round label as `prev`; neighbor rows contribute null, which
+  * `min` skips) as a CollectMetrics observation folded into the one
+  * materializing action per round. Detecting convergence there is
+  * sound AND lets the final round skip the pointer-jump join entirely:
+  * at a propagate fixpoint every edge (u,v) has label(u) ≤ label(v)
+  * and label(v) ≤ label(u), so labels are constant per component and
+  * the jump is a no-op. Type-agnostic (ids need only be orderable),
+  * unlike a numeric label sum.
   *
   * Scale shape: per round two shuffle joins of O(|V| + |E|) rows
-  * (propagate, pointer jump), one action, no driver-side state beyond
-  * the changed count. Near-dup clusters from LSH pair emission are
-  * clique-dense (every copy pairs with most others), so real corpora
-  * converge in 2-3 rounds.
+  * (propagate, pointer jump — the jump skipped in the final round),
+  * one action, no driver-side state beyond the changed count. Near-dup
+  * clusters from LSH pair emission are clique-dense (every copy pairs
+  * with most others), so real corpora converge in 2-3 rounds.
   */
 object ConnectedComponents {
 
@@ -42,12 +45,15 @@ object ConnectedComponents {
     val edges = fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // iterated over every round
-    var backing = edges.select(col("src").as("id")).distinct()
+    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels: DataFrame = backing
+    var backing = labels // the cached frame behind `labels`
+    // the previous round's propagate cache: released only after the
+    // NEXT round's action has materialized the jump built on top of it
+    var prevPropagated: DataFrame = null
 
-    val idType = backing.schema("component").dataType
+    val idType = labels.schema("component").dataType
 
     var round = 0
     var converged = false
@@ -55,51 +61,80 @@ object ConnectedComponents {
       // min over own label and every neighbor's label; each labels row
       // also carries its pre-round label as `prev` (neighbor rows carry
       // null, which min() skips) so the convergence witness needs no
-      // join back to the previous round.
+      // join back to the previous round. The witness is observed HERE
+      // (CollectMetrics lands during the one materializing count), so
+      // a converged round never builds the jump join at all. Works for
+      // any orderable id type (a numeric label-sum would cast string
+      // ids to null and falsely declare convergence).
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("component"),
           lit(null).cast(idType).as("prev"))
-      // persisted: both sides of the pointer-jump self-join read it
+      val obs = Observation(s"cc_changed_r$round")
       val propagated = labels.select(col("id"), col("component"), col("component").as("prev"))
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min("component").as("component"), min("prev").as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // pointer jump: follow the label one hop (label(v) := label(label(v)))
-      val jumped = propagated.alias("x")
-        .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).alias("y"),
-          col("x.component") === col("y.pid"), "left")
-        .select(col("x.id").as("id"),
-          coalesce(col("y.pcomp"), col("x.component")).as("component"),
-          col("x.prev").as("prev"))
-      // convergence witness: CollectMetrics piggy-backed on the
-      // materializing count — the changed total is computed while rows
-      // stream into the cache, so the round needs no witness join and
-      // the persisted frame stays (id, component). Works for any
-      // orderable id type (a numeric label-sum would cast string ids
-      // to null and falsely declare convergence).
-      val obs = Observation(s"cc_changed_r$round")
-      val next = jumped
         .observe(obs, sum(when(col("component") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
         .select("id", "component")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize; metric lands during this one action
+      propagated.count() // materialize; metric lands during this one action
       val changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Number].longValue)
-      // CUT THE LINEAGE: the jump self-join doubles the logical plan
-      // every round (exponential analysis cost / OOM past ~8 rounds —
-      // the classic iterative-Spark leak); a fresh LogicalRDD over the
-      // cached partitions keeps the per-round plan O(1)
-      labels = spark.createDataFrame(next.rdd, next.schema)
+      // this count also forced the PREVIOUS round's jump (labels'
+      // backing), so the frames it read from are now dead
+      if (prevPropagated != null) prevPropagated.unpersist()
       backing.unpersist()
-      propagated.unpersist()
-      backing = next
       converged = changed == 0
+      if (converged) {
+        backing = propagated // already component-constant; no jump needed
+      } else {
+        // pointer jump: follow the label one hop
+        // (label(v) := label(label(v))) — both sides read the cached
+        // propagate result
+        val jumped = propagated.alias("x")
+          .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).alias("y"),
+            col("x.component") === col("y.pid"), "left")
+          .select(col("x.id").as("id"),
+            coalesce(col("y.pcomp"), col("x.component")).as("component"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // CUT THE LINEAGE: the jump self-join doubles the logical plan
+        // every round (exponential analysis cost / OOM past ~8 rounds —
+        // the classic iterative-Spark leak); a fresh LogicalRDD over the
+        // cached partitions keeps the per-round plan O(1). The jump
+        // materializes lazily inside the NEXT round's count (or the
+        // caller's first action if maxIter is hit), which is why
+        // `propagated` stays cached until then.
+        labels = spark.createDataFrame(jumped.rdd, jumped.schema)
+        backing = jumped
+        prevPropagated = propagated
+      }
       round += 1
+    }
+    if (!converged) {
+      backing.count() // maxIter exit: materialize the dangling jump
+      if (prevPropagated != null) prevPropagated.unpersist()
     }
     edges.unpersist()
     System.err.println(s"[graft] connectedComponents: $round rounds" +
       (if (converged) "" else s" (maxIter=$maxIter hit before fixpoint)"))
     backing // the persisted frame — caller owns the unpersist
+  }
+
+  /** Collapse components to survivors: keep the min-id row per
+    * component plus every row of `df` that appears in no pair — the
+    * shared end-game of near-duplicate dedup (text MinHash, embedding
+    * LSH, image dHash). Anti-joins `df` against the LOSER set only
+    * (cluster members that are not their component's min), which is
+    * small — the corpus itself never rewrites.
+    */
+  def collapse(df: DataFrame, pairs: DataFrame, aCol: String, bCol: String,
+      idCol: String): DataFrame = {
+    val clusters = run(pairs, aCol, bCol)
+    val losers = clusters.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    clusters.unpersist()
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

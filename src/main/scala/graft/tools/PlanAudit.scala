@@ -61,26 +61,61 @@ object PlanAudit {
   */
 object PlanDigest {
 
+  /** BUILDER pipelines behind the registry's sharedFrame memo
+    * (queries/Llm.scala): l12b/l13/l14, l30/l31, and l47/l62 now
+    * return consumers of a localCheckpoint'd shared frame, so their
+    * registry plans are cached-RDD scans — the 100 TB-load-bearing
+    * shapes (MinHash banding, sign-LSH probing, banded Hamming join)
+    * live in these builder plans, digested under `b_*` names. l13/l30/
+    * l62's connected-components rounds are iterative actions with no
+    * single plan to digest; their shape is spec'd in
+    * ConnectedComponentsSpec instead.
+    */
+  val builders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "b_ndpairs_minhash_lsh" -> ((s, d) =>
+      graft.llm.TextDedup.minhashLshPairs(
+        graft.Fixtures.table(s, d, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleK = 3, threshold = 0.8)),
+    "b_embpairs_sign_lsh" -> ((s, d) =>
+      graft.llm.Similarity.nearDupPairs(
+        graft.queries.Llm.plantedCorpus(graft.Fixtures.table(s, d, "embeddings")),
+        "vec_id", "embedding", minCos = 0.99)),
+    // the banded Hamming pair join (l47/l62's edge builder) over an
+    // in-memory code table: the guard target is the join shape
+    // (posexplode banding + shuffle equi-join, no cartesian), which is
+    // independent of where the codes come from
+    "b_hamming_pairs" -> ((s, d) => {
+      val codes = s.range(0, 1000).selectExpr(
+        "id as doc_id", "xxhash64(id % 37) as dhash")
+      graft.llm.TextDedup.hammingPairs(codes, "doc_id", "dhash", maxHamming = 2)
+    }))
+
   /** Queries whose plans are load-bearing (VERDICT r5 plan audit set +
     * the r5 operators).
     */
   val headline: Seq[String] = Seq(
     "q02_filter", "q04_join_broadcast", "q09_join_asof", "q10_agg_tpch1",
     "q15_window_rank", "l02_minhash_lsh", "l05_cosine_knn",
-    "l12b_embed_neardup_lsh", "l13_neardup_clusters", "l33_ngram_topk",
-    "l36_unigram_logprob",
+    "l33_ngram_topk", "l36_unigram_logprob",
     // round-7: the dedup/coverage plans whose agg/join strategy is the
     // whole point (a regression to SortAggregate/window would ship
     // silently otherwise)
     "l40_line_dedup", "l41_dup_spans", "l42_dsir_weights",
     // round-7 wave 2: pair census (hash agg + TakeOrdered, not a
-    // window sort), banded Hamming dedup (one checkpoint-fed shuffle
-    // join), and the JL kernel (single codegen'd scan, zero shuffle)
-    "l43_bpe_pairs", "l47_image_dedup", "l54_jl_project",
+    // window sort) and the JL kernel (single codegen'd scan, zero
+    // shuffle)
+    "l43_bpe_pairs", "l54_jl_project",
     // the bigram LM must stay one lazy plan (vocab as broadcast 1-row
     // agg, no eager count) — a digest change here means an extra
     // shuffle or a lost broadcast
-    "l57_bigram_logprob")
+    "l57_bigram_logprob",
+    // round-8: the repeated-line codegen kernel (scan-shaped, zero
+    // shuffle), Bloom-prefiltered dedup (broadcast sketch, no shuffle
+    // of corpus text), vocab drift (once-materialized vocab join),
+    // persisted-index incremental near-dup
+    "l53_drop_repeated_lines", "l55_bloom_dedup", "l60_vocab_drift",
+    "l61_neardup_index") ++ builders.keys.toSeq.sorted
+
 
   val digestFile = "PLAN_DIGESTS.json"
 
@@ -109,7 +144,8 @@ object PlanDigest {
 
   def digestFor(spark: SparkSession, sfDir: String,
       name: String): Map[String, Int] = {
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val df = builders.get(name).map(_(spark, sfDir))
+      .getOrElse(graft.SparkEntry.queries(name)(spark, sfDir))
     digest(df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
   }
