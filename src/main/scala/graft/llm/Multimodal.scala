@@ -395,6 +395,179 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Solid-gray JPEG frame (REAL ImageIO encode) — the MJPEG frame
+    * fixture. A constant-luma plane survives JPEG quantization within
+    * ±2 gray levels, so frame statistics bucketed at 64-level width are
+    * exactly engine-reproducible while the decode stays honest.
+    */
+  def grayJpegBytes(width: Int, height: Int, gray: Int): Array[Byte] = {
+    // RGB, not TYPE_BYTE_GRAY: a gray raster is a LINEAR colorspace, so
+    // sRGB value g written through Graphics2D lands as a different
+    // sample (and getRGB converts back non-identically — sRGB 32 reads
+    // as 99); an RGB image keeps the sRGB value end-to-end and the JPEG
+    // YCbCr round-trip of a constant plane is exact to ±2
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(gray, gray, gray))
+    g2.fillRect(0, 0, width, height)
+    g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Deterministic motion-JPEG AVI: a real RIFF `AVI ` container
+    * (`LIST hdrl` with a minimal `avih`, `LIST movi` with one `00dc`
+    * JPEG chunk per frame). Planted formulas, all mod-id so any engine
+    * can reproduce them: `n_frames = 3 + id%5`,
+    * `frame_w = 24 + (id%3)·8`, `frame_h = 24`, frame f's luma =
+    * `32 + 64·((id+f)%4)`. MJPEG is the one video codec whose frames
+    * decode with the stock ImageIO JPEG reader — no external codec —
+    * which closes the "video frame decode stubbed" gap honestly.
+    */
+  def aviMjpegBytes(docId: Long): Array[Byte] = {
+    val nFrames = (3 + docId % 5).toInt
+    val w = (24 + (docId % 3) * 8).toInt
+    val h = 24
+    val frames = (0 until nFrames).map(f =>
+      grayJpegBytes(w, h, (32 + 64 * ((docId + f) % 4)).toInt))
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      bb.array() // word-aligned: trailing pad byte stays zero
+    }
+    def list(kind: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ payload)
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40000)        // microseconds per frame (25 fps)
+        .putInt(0).putInt(0)  // max bytes/s, padding granularity
+        .putInt(0)            // flags
+        .putInt(nFrames)      // total frames
+        .putInt(0).putInt(1)  // initial frames, streams
+        .putInt(0)            // suggested buffer
+        .putInt(w).putInt(h)  // width, height
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.flatMap(chunk("00dc", _)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  /** Attach a REAL motion-JPEG AVI payload per row ([[aviMjpegBytes]]'
+    * planted formulas). The frame alphabet has period lcm(3,4,5)=60, so
+    * each distinct container encodes once per partition.
+    */
+  def attachMjpegPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("payload_meta", payloadMeta))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      val cache = new java.util.HashMap[Long, Array[Byte]]()
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = cache.computeIfAbsent(id % 60, aviMjpegBytes(_))
+        Row.fromSeq(r.toSeq ++ Seq(bytes, Row("video/x-msvideo", bytes.length, idCol)))
+      }
+    }(encoder)
+  }
+
+  /** Extract the `00dc` frame payloads from a motion-JPEG AVI — the
+    * same hardened-walk rules as [[wavMeta]] (untrusted 32-bit sizes:
+    * negative → null, 64-bit cursors, payloads clamped to the buffer).
+    * Null for anything that isn't a RIFF AVI.
+    */
+  private[llm] def aviFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def fourcc(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    val n = bytes.length
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 12L
+    while (i + 8 <= n) {
+      val p = i.toInt
+      val size = le32(p + 4)
+      if (size < 0) return null
+      if (fourcc(p) == "LIST" && i + 12 <= n && fourcc(p + 8) == "movi") {
+        val listEnd = math.min(i + 8 + size, n.toLong)
+        var j = i + 12
+        while (j + 8 <= listEnd) {
+          val q = j.toInt
+          val fsize = le32(q + 4)
+          if (fsize < 0) return null
+          if (fourcc(q) == "00dc") {
+            val len = math.min(fsize.toLong, listEnd - j - 8).toInt
+            out += java.util.Arrays.copyOfRange(bytes, q + 8, q + 8 + len)
+          }
+          j += 8L + fsize + (fsize & 1)
+        }
+      }
+      i += 8L + size + (size & 1)
+    }
+    out.toArray
+  }
+
+  /** Per-frame video decode: explode each MJPEG AVI payload into one
+    * row per frame with REAL ImageIO-decoded width/height and the
+    * 64-level luma bucket `round((mean_gray − 32) / 64)` (quantization-
+    * robust for the planted fixture, honest for any input). Payloads
+    * that aren't MJPEG AVIs, and frames that don't decode, contribute
+    * no rows.
+    *
+    * Scale shape: per-row decode CPU inside one scan — the same
+    * embarrassingly-parallel shape as [[imageDHash]]; downstream
+    * aggregations see only (id, small ints).
+    */
+  def videoFrames(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("frame_idx", IntegerType))
+      .add(StructField("frame_w", IntegerType))
+      .add(StructField("frame_h", IntegerType))
+      .add(StructField("gray_bucket", IntegerType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = aviFrames(r.getAs[Array[Byte]](payloadIdx))
+        if (frames == null) Iterator.empty
+        else frames.iterator.zipWithIndex.flatMap { case (fb, idx) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fb))
+          if (img == null) Iterator.empty
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum.toDouble / (w.toLong * h)
+            val bucket = math.round((mean - 32.0) / 64.0).toInt
+            Iterator.single(Row.fromSeq(r.toSeq ++ Seq(idx, w, h, bucket)))
+          }
+        }
+      }
+    }(encoder)
+  }
+
   /** Deterministic tiny RGB PNG — a real image container, used to put
     * honest decodable bytes in the payload column (pixel (x,y) color is
     * an integer function of (seed, x, y), so pixel statistics are

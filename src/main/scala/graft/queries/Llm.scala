@@ -1141,6 +1141,27 @@ object Llm {
           .select(col("id").as("doc_id"), col("component"))
     },
 
+    // L5i — per-frame VIDEO decode, decode-verified AND hash-checked:
+    // payloads are real motion-JPEG AVIs (RIFF/LIST/00dc walk + stock
+    // ImageIO JPEG decode — the one codec the sandbox has), frames are
+    // planted solid-luma planes; Spark decodes real pixels, the oracle
+    // replays the planted formulas. Closes the "video frame decode
+    // stubbed" gap from rounds 5-7.
+    QuerySpec.df("l64_video_frames",
+      """select doc_id, cast(frame_idx as int) as frame_idx,
+        |  cast(24 + (doc_id % 3) * 8 as int) as frame_w,
+        |  cast(24 as int) as frame_h,
+        |  cast((doc_id + frame_idx) % 4 as int) as gray_bucket
+        |from (select doc_id, unnest(range(0, 3 + doc_id % 5)) as frame_idx
+        |      from documents)""".stripMargin) {
+      (s, d) =>
+        Multimodal.videoFrames(
+          mediaPayloads(s, d, "mjpeg",
+            Multimodal.attachMjpegPayload(_, "doc_id")),
+          "payload")
+          .select("doc_id", "frame_idx", "frame_w", "frame_h", "gray_bucket")
+    },
+
     // L2g — SemDeDup (cluster-then-prune semantic dedup): k-means cells
     // confine the quadratic cosine pass; within-cell components at
     // cos >= 0.99 keep their min-id survivor. Rows-only by design

@@ -189,6 +189,42 @@ class MediaSpec extends SparkSpec {
     assert(m == ((90000, 45000L, 0.5)))
   }
 
+  test("MJPEG AVI: planted frames decode to exact counts, dims, luma buckets") {
+    for (id <- Seq(0L, 7L, 59L)) {
+      val avi = Multimodal.aviMjpegBytes(id)
+      val frames = Multimodal.aviFrames(avi)
+      assert(frames != null && frames.length == (3 + id % 5).toInt)
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+        assert(img != null, s"frame $f of doc $id must decode")
+        assert(img.getWidth == 24 + (id % 3) * 8 && img.getHeight == 24)
+        var sum = 0L
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          sum += (img.getRGB(x, y) & 0xff)
+        val mean = sum.toDouble / (img.getWidth * img.getHeight)
+        val bucket = math.round((mean - 32.0) / 64.0).toInt
+        assert(bucket == ((id + f) % 4).toInt,
+          s"doc $id frame $f mean $mean bucket $bucket")
+      }
+    }
+    // videoFrames explodes through the DataFrame surface too
+    val df = Seq((3L, Multimodal.aviMjpegBytes(3L)),
+      (4L, "not an avi".getBytes.toArray)).toDF("doc_id", "payload")
+    val out = Multimodal.videoFrames(df, "payload")
+      .select("doc_id", "frame_idx", "gray_bucket").collect()
+    assert(out.length == 6) // doc 3: 3+3%5=6 frames; junk row: none
+    assert(out.forall(_.getLong(0) == 3L))
+
+    // hardened walk: negative chunk size and truncation return null/partial
+    val bad = Multimodal.aviMjpegBytes(1L)
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8) // the hdrl LIST's own top-level chunk size
+    assert(Multimodal.aviFrames(bad) == null)
+    val cut = java.util.Arrays.copyOf(Multimodal.aviMjpegBytes(1L), 40)
+    assert(Multimodal.aviFrames(cut) != null) // truncated: no movi → 0 frames
+    assert(Multimodal.aviFrames(cut).isEmpty)
+  }
+
   test("corrupt media: negative chunk sizes, truncation, empty data — no hangs") {
     // negative RIFF chunk size (0xFFFFFFF8 = -8): a trusting walk never
     // advances its cursor (hung executor task); must return null fast
