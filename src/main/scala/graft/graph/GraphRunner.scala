@@ -150,8 +150,13 @@ final class GraphRunner(
     flatNodes.map(_._1).groupBy(identity)
       .collect { case (id, xs) if xs.size > 1 => id }.toSeq.sorted
       .foreach(id => errors += s"node id '$id' is ambiguous after expansion")
-    val storeNames = manifest.stores.map(_.name).toSet ++
-      flatNodes.flatMap { case (_, f, _) => f.webhook } // webhook auto-store
+    // stores in scope: the root manifest's, every expanded subgraph /
+    // component's OWN declarations (a component's internal stores are
+    // part of its packaged graph.yml, not re-declared by the host), and
+    // webhook auto-stores
+    val storeNames = (manifest :: flatNodes.map(_._3)).distinct
+      .flatMap(_.stores.map(_.name)).toSet ++
+      flatNodes.flatMap { case (_, f, _) => f.webhook }
     flatNodes.foreach { case (id, f, _) =>
       if (f.kind == "invalid")
         errors += s"node $id: no node_file/webhook/uses"
