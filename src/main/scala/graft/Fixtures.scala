@@ -23,17 +23,25 @@ object Fixtures {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long and truncate to micros — the
-    * same truncation DuckDB applies when it reads the file, so both
-    * engines see identical microsecond timestamps.
+  /** events.parquet's ts physical type has varied across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects — read
+    * nanos as long and truncate to micros, the same truncation DuckDB
+    * applies) or TIMESTAMP(MICROS) (isAdjustedToUTC=false → Spark reads
+    * TIMESTAMP_NTZ; cast to session-TZ TIMESTAMP, identity wall-clock
+    * under the project-wide UTC session zone). Branch on the decoded
+    * type so either generation yields the same TIMESTAMP column.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+        raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
 
