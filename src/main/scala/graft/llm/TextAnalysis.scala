@@ -786,4 +786,81 @@ object TextAnalysis {
       .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))) + lit(0.0), 6)
         .as("entropy"))
   }
+
+  /** BM25 retrieval scores (Robertson/Sparck Jones; the Okapi
+    * formulation with the +1 idf floor, as in Lucene): for each query
+    * term, the top-`k` documents by
+    * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
+    * `idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)`. One output row per
+    * (term, doc) with the 6dp-rounded score and the per-term rank
+    * (score desc, doc id asc — total order, hash-stable). Documents
+    * with no tokens don't exist for retrieval, so N and avgdl are
+    * computed over token-bearing documents.
+    *
+    * Scale shape: the token explode feeds two map-side-combined hash
+    * aggregations (doc length, per-(doc,term) tf); the term filter is
+    * applied BEFORE the tf shuffle so only rows for the |terms| query
+    * terms move; N/avgdl and the per-term document frequencies ride a
+    * broadcast 1-row / |terms|-row frame (the lazy-total pattern of
+    * [[unigramLogProb]]); the final top-k windows only over documents
+    * that contain a query term. Nothing driver-side, nothing
+    * proportional to the corpus after the scan.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col(idCol), col("w").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val idf = log((col("n") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)) + lit(1.0))
+    val scored = tf
+      .join(dl, idCol)
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(idf * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("term"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Linear document-quality classifier (the fastText-style linear
+    * model shape used for pretraining-corpus filtering, e.g. the
+    * CCNet/LLaMA "Wikipedia-reference" filter): a fixed weight vector
+    * over the standard quality signals, squashed through a sigmoid,
+    * thresholded at 0.5. Weights are deterministic constants standing
+    * in for a trained model's — the engine surface (signal extraction,
+    * fixed-order dot product, decision) is the operator; swapping in
+    * learned weights is a parameter change.
+    *
+    * Pure column expressions end-to-end (the signals are single-pass
+    * regex/length counters, the dot product is a literal chain), so the
+    * whole classifier stays inside whole-stage codegen over the scan —
+    * zero shuffles, zero UDFs. The weighted sum is written as one
+    * fixed-order left-associated chain so the double arithmetic is
+    * bit-identical on any IEEE-754 engine (the determinism contract of
+    * QuerySpec).
+    */
+  def qualityClassifier(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val z = lit(-2.5) +
+      lit(3.0) * alphaRatio(t) +
+      lit(5.0) * stopwordRatio(t) -
+      lit(8.0) * punctRatio(t) +
+      lit(0.35) * log(tokenCount(t) + lit(1.0))
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    docs.select(col(idCol), score.as("score"),
+      (score >= 0.5).as("keep"))
+  }
 }
