@@ -191,6 +191,38 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Deterministic train/val/test split assignment: each row lands in
+    * a named split with probability proportional to its weight, chosen
+    * by the same multiplicative id hash as [[stratifiedSample]] — so
+    * membership is a pure function of the id, reproducible across
+    * engines, retries, partitionings, and corpus versions (a document
+    * keeps its split when the corpus around it changes — the property
+    * that prevents eval-set leakage across dataset releases; an
+    * RNG-based randomSplit loses it on every re-run).
+    *
+    * Scale shape: scan-time column expression, zero shuffle — the
+    * split column is computed per row from the id alone.
+    *
+    * @param splits (name, weight) in priority order; weights are
+    *               normalized (0.8/0.1/0.1 and 8/1/1 are the same)
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val frac = pmod(col(idCol) * lit(2654435761L), lit(1048576L)) /
+      lit(1048576.0)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.init // cumulative upper bounds, last split catches the rest
+    val expr = splits.init.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        val cond = frac < lit(cut)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic stratified sample: keep `k` documents per stratum,
     * chosen by a multiplicative hash of the id (so membership is
     * reproducible across engines, retries, and partitionings — the

@@ -240,6 +240,58 @@ object TextDedup {
       buildNearDupIndex(corpus, idCol, textCol, numHashes, shingleK),
       idCol, textCol, numHashes, bands, shingleK, threshold)
 
+  /** Cross-corpus near-dup MATCH PROVENANCE: for each batch document,
+    * every corpus document it near-duplicates, with the exact shingle
+    * Jaccard — the attribution step behind [[nearDupAgainstCorpus]]'s
+    * drop decision. A dedup that only filters can't answer "which
+    * existing page is this a re-crawl of?" or audit a decontamination
+    * pass; this returns the matched (batch, corpus) pairs themselves.
+    *
+    * Scale shape: identical to [[minhashLshPairs]] but asymmetric —
+    * band keys bucket-join batch against corpus (never all-pairs),
+    * and only band-colliding candidates pay the exact-Jaccard verify.
+    * Per-ingest cost is O(batch + band collisions); the corpus side
+    * can come from a persisted [[buildNearDupIndex]] frame.
+    */
+  def crossCorpusMatches(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val shB = withShingles(
+      batch.select(col(idCol).as("batch_id"), col(textCol)),
+      textCol, "sh", shingleK)
+      .select(col("batch_id"), col("sh"))
+    val idx = buildNearDupIndex(corpus, idCol, textCol, numHashes, shingleK)
+    val shC = idx.select(col(idCol).as("corpus_id"), col("sh"))
+    val bandsB = shB
+      .select(col("batch_id"),
+        graft.functions.TextShingles.minhashSig(col("sh"), numHashes).as("sig"))
+      .select(col("batch_id"),
+        explode(bandKeys(col("sig"), numHashes, bands)).as("bs"))
+      .select(col("batch_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bandsC = idx
+      .select(col(idCol).as("corpus_id"),
+        explode(bandKeys(col("sig"), numHashes, bands)).as("bs"))
+      .select(col("corpus_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val candidates = bandsB.join(bandsC, Seq("band", "sig"))
+      .select("batch_id", "corpus_id").distinct()
+    candidates
+      .join(shB.withColumnRenamed("sh", "sh_b"), "batch_id")
+      .join(shC.withColumnRenamed("sh", "sh_c"), "corpus_id")
+      .withColumn("_i", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .withColumn("jaccard",
+        col("_i") / (size(col("sh_b")) + size(col("sh_c")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash per document: tokens hash to 64-bit codes; each bit
     * position accumulates +1/-1 across tokens; the sign vector is the
     * fingerprint. Near-dups have small Hamming distance.

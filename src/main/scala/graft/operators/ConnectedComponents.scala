@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -131,6 +131,38 @@ object ConnectedComponents {
       idCol: String): DataFrame = {
     val clusters = run(pairs, aCol, bCol)
     val losers = clusters.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    clusters.unpersist()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware collapse: keep the BEST row per component by
+    * `score` (highest wins, ties broken by smallest id) plus every row
+    * of `df` in no pair. [[collapse]] keeps the min-id member — the
+    * right default when members are interchangeable; real cleaning
+    * pipelines instead keep the best representative (Lee et al. 2021
+    * keep the LONGEST member of each exact-substring cluster, since
+    * truncated re-crawls near-duplicate their full originals).
+    *
+    * Scale shape: identical to [[collapse]] — the only addition is a
+    * per-component `row_number` over the CLUSTER MEMBERS (bounded by
+    * near-dup cluster sizes, thousands of small partitions — never the
+    * corpus), and the corpus still rewrites nothing: survivors come
+    * from one anti-join against the loser ids.
+    */
+  def collapseBest(df: DataFrame, pairs: DataFrame, aCol: String,
+      bCol: String, idCol: String, score: Column): DataFrame = {
+    val clusters = run(pairs, aCol, bCol)
+    val members = df
+      .select(col(idCol).as("id"), score.as("_cb_score"))
+      .join(clusters, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("_cb_score").desc, col("id").asc)
+    val losers = members.withColumn("_cb_rn", row_number().over(w))
+      .filter(col("_cb_rn") > 1)
       .select(col("id").as(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     losers.count()

@@ -1587,6 +1587,111 @@ object Llm {
       TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"))
     },
+
+    // L6o — deterministic train/val/test split assignment (80/10/10 by
+    // the multiplicative id hash): membership is a pure function of
+    // the doc id, so a document keeps its split across corpus versions
+    // — the anti-leakage property RNG-based randomSplit loses on every
+    // re-run. Scan-shaped, zero shuffle.
+    QuerySpec.df("l65_split_assign",
+      """select doc_id, source,
+        |  case when ((doc_id * 2654435761) % 1048576) * 1.0 / 1048576 < 0.8
+        |         then 'train'
+        |       when ((doc_id * 2654435761) % 1048576) * 1.0 / 1048576 < 0.9
+        |         then 'val'
+        |       else 'test' end as split
+        |from documents""".stripMargin) {
+      (s, d) =>
+        Corpus.assignSplits(
+          Fixtures.table(s, d, "documents").select("doc_id", "source"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
+    // L2h — quality-aware near-dup collapse: keep the LONGEST member
+    // of each cluster (Lee et al. 2021's survivor rule — truncated
+    // re-crawls near-duplicate their full originals), ties to the min
+    // id; l14 is the min-id-survivor sibling. Shares the verified LSH
+    // edge list with l13/l14.
+    QuerySpec.df("l66_keep_longest",
+      s"""with recursive sh as (
+         |  select doc_id, $duckShingles as sg
+         |  from (select doc_id, text, string_split(text, ' ') as words from documents)
+         |),
+         |pairs as (
+         |  select a.doc_id as id_a, b.doc_id as id_b
+         |  from sh a join sh b on b.doc_id > a.doc_id
+         |  where len(list_intersect(a.sg, b.sg)) * 1.0 /
+         |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8
+         |),
+         |edges as (select id_a as src, id_b as dst from pairs
+         |          union select id_b as src, id_a as dst from pairs),
+         |reach(v, r) as (
+         |  select src, src from edges
+         |  union
+         |  select e.src, reach.r from edges e join reach on reach.v = e.dst
+         |),
+         |memb as (select v, min(r) as cluster from reach group by v),
+         |scored as (
+         |  select m.v, m.cluster, length(d.text) as ln
+         |  from memb m join documents d on d.doc_id = m.v),
+         |win as (select v from (
+         |  select v, row_number() over (
+         |    partition by cluster order by ln desc, v asc) as rn from scored)
+         |  where rn = 1),
+         |losers as (select v from scored where v not in (select v from win))
+         |select doc_id, cast(length(text) as bigint) as n_chars
+         |from documents where doc_id not in (select v from losers)""".stripMargin) {
+      (s, d) =>
+        graft.operators.ConnectedComponents.collapseBest(
+          Fixtures.table(s, d, "documents"), ndPairs(s, d),
+          "id_a", "id_b", "doc_id", length(col("text")))
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    },
+
+    // L2i — cross-corpus near-dup match PROVENANCE: for each batch doc
+    // every corpus doc it near-duplicates, with the exact shingle
+    // Jaccard — the attribution behind l37's drop decision ("which
+    // existing page is this a re-crawl of?"). The fixture plants a
+    // near-copy (nearest corpus doc's text + one extra token) on batch
+    // docs with doc_id % 7 == 1; natural cross near-dups participate
+    // identically in both engines.
+    QuerySpec.df("l67_match_provenance",
+      s"""with corpus as (
+         |  select doc_id, text from documents where doc_id % 3 = 0),
+         |batch as (
+         |  select b.doc_id,
+         |    case when b.doc_id % 7 = 1 and d3.text is not null
+         |         then d3.text || ' xtra' else b.text end as text
+         |  from documents b
+         |  left join documents d3 on d3.doc_id = b.doc_id - (b.doc_id % 3)
+         |  where b.doc_id % 3 <> 0),
+         |shb as (select doc_id, $duckShingles as sg
+         |        from (select doc_id, text, string_split(text, ' ') as words
+         |              from batch)),
+         |shc as (select doc_id, $duckShingles as sg
+         |        from (select doc_id, text, string_split(text, ' ') as words
+         |              from corpus))
+         |select b.doc_id as batch_id, c.doc_id as corpus_id,
+         |  round(len(list_intersect(b.sg, c.sg)) * 1.0 /
+         |        (len(b.sg) + len(c.sg) - len(list_intersect(b.sg, c.sg))), 4)
+         |    as jaccard
+         |from shb b join shc c on
+         |  len(list_intersect(b.sg, c.sg)) * 1.0 /
+         |  (len(b.sg) + len(c.sg) - len(list_intersect(b.sg, c.sg))) >= 0.8""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        val nearest = docs.select(col("doc_id").as("_mp_id"),
+          col("text").as("_mp_text"))
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+          .join(nearest,
+            col("_mp_id") === col("doc_id") - (col("doc_id") % 3), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 1 && col("_mp_text").isNotNull,
+              concat(col("_mp_text"), lit(" xtra")))
+              .otherwise(col("text")).as("text"))
+        TextDedup.crossCorpusMatches(batch, corpus, "doc_id", "text")
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

@@ -284,6 +284,44 @@ class LlmSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("cross-corpus match provenance names the matched corpus doc with its jaccard") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus text about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),    // exact → j=1.0
+      (11L, "oh the quick brown fox jumps over the lazy dog tonight"), // fuzzy copy of 1
+      (12L, "a genuinely novel document that matches nothing in the corpus")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.crossCorpusMatches(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(m => (m._1, m._2))
+    assert(got.map(m => (m._1, m._2)) == List((10L, 1L), (11L, 1L)))
+    assert(got.head._3 == 1.0)              // exact copy
+    assert(got(1)._3 >= 0.8 && got(1)._3 < 1.0) // fuzzy copy
+    // provenance agrees with the drop decision of nearDupAgainstCorpus
+    val dropped = TextDedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == Set(10L, 11L) && !dropped.contains(10L))
+  }
+
+  test("split assignment is deterministic, respects weights, covers every row once") {
+    val assigned = Corpus.assignSplits(docs.select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n) // exactly one split per row
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    assert(counts("train") > counts.getOrElse("test", 0L))
+    // pure function of the id: re-evaluation and weight scaling don't move rows
+    val again = Corpus.assignSplits(docs.select("doc_id"), "doc_id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)) // same after normalizing
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+  }
+
   test("multimodal feature extraction is deterministic with stable shape") {
     val withPayload = Multimodal.attachPayload(docs, "text")
     val f1 = Multimodal.extractFeatures(withPayload, "payload", dim = 16)

@@ -41,4 +41,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(Seq((2L, 1L), (1L, 2L), (2L, 1L), (5L, 4L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
   }
+
+  test("collapseBest keeps the top-scoring member per cluster, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 10), (2L, 30), (3L, 30), // cluster {1,2,3}: 2 and 3 tie on score
+      (7L, 5), (8L, 9),             // cluster {7,8}: 8 wins on score
+      (9L, 1)                       // unpaired: survives untouched
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val kept = ConnectedComponents.collapseBest(df, pairs, "a", "b", "id", col("score"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 8L, 9L))
+    // min-id collapse on the same input keeps different survivors
+    val keptMin = ConnectedComponents.collapse(df, pairs, "a", "b", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(1L, 7L, 9L))
+  }
 }
