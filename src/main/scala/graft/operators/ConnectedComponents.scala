@@ -155,18 +155,41 @@ object ConnectedComponents {
   def collapseBest(df: DataFrame, pairs: DataFrame, aCol: String,
       bCol: String, idCol: String, score: Column): DataFrame = {
     val clusters = run(pairs, aCol, bCol)
+    val losers = bestLosers(df, clusters, idCol, score)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    clusters.unpersist()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[collapse]] over an ALREADY-COMPUTED clusters frame ([[run]]'s
+    * output, typically a persisted artifact shared across consumers —
+    * the clusters report, the collapse, and the keep-best collapse all
+    * read the same component labeling instead of re-running the
+    * iteration). One anti-join; the corpus never rewrites.
+    */
+  def collapseFromClusters(df: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame =
+    df.join(
+      clusters.filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** [[collapseBest]] over an already-computed clusters frame. */
+  def collapseBestFromClusters(df: DataFrame, clusters: DataFrame,
+      idCol: String, score: Column): DataFrame =
+    df.join(bestLosers(df, clusters, idCol, score), Seq(idCol), "left_anti")
+
+  private def bestLosers(df: DataFrame, clusters: DataFrame,
+      idCol: String, score: Column): DataFrame = {
     val members = df
       .select(col(idCol).as("id"), score.as("_cb_score"))
       .join(clusters, "id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col("_cb_score").desc, col("id").asc)
-    val losers = members.withColumn("_cb_rn", row_number().over(w))
+    members.withColumn("_cb_rn", row_number().over(w))
       .filter(col("_cb_rn") > 1)
       .select(col("id").as(idCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    losers.count()
-    clusters.unpersist()
-    df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -320,7 +320,7 @@ object Llm {
          |)
          |select v as doc_id, min(r) as cluster from reach group by v""".stripMargin) {
       (s, d) =>
-        graft.operators.ConnectedComponents.run(ndPairs(s, d), "id_a", "id_b")
+        ndClusters(s, d)
           .select(col("id").as("doc_id"), col("component").as("cluster"))
     },
 
@@ -351,9 +351,8 @@ object Llm {
          |select doc_id, lang from documents
          |where doc_id not in (select v from losers)""".stripMargin) {
       (s, d) =>
-        graft.operators.ConnectedComponents.collapse(
-          Fixtures.table(s, d, "documents"), ndPairs(s, d),
-          "id_a", "id_b", "doc_id")
+        graft.operators.ConnectedComponents.collapseFromClusters(
+          Fixtures.table(s, d, "documents"), ndClusters(s, d), "doc_id")
           .select("doc_id", "lang")
     },
 
@@ -442,7 +441,7 @@ object Llm {
          |)
          |select v as vec_id, min(r) as cluster from reach group by v""".stripMargin) {
       (s, d) =>
-        graft.operators.ConnectedComponents.run(embPairs(s, d), "id_a", "id_b")
+        embClusters(s, d)
           .select(col("id").as("vec_id"), col("component").as("cluster"))
     },
 
@@ -478,9 +477,9 @@ object Llm {
          |select vec_id from corpus
          |where vec_id not in (select v from losers)""".stripMargin) {
       (s, d) =>
-        graft.operators.ConnectedComponents.collapse(
-          plantedCorpus(Fixtures.table(s, d, "embeddings")), embPairs(s, d),
-          "id_a", "id_b", "vec_id")
+        graft.operators.ConnectedComponents.collapseFromClusters(
+          plantedCorpus(Fixtures.table(s, d, "embeddings")),
+          embClusters(s, d), "vec_id")
           .select("vec_id")
     },
 
@@ -1642,9 +1641,9 @@ object Llm {
          |select doc_id, cast(length(text) as bigint) as n_chars
          |from documents where doc_id not in (select v from losers)""".stripMargin) {
       (s, d) =>
-        graft.operators.ConnectedComponents.collapseBest(
-          Fixtures.table(s, d, "documents"), ndPairs(s, d),
-          "id_a", "id_b", "doc_id", length(col("text")))
+        graft.operators.ConnectedComponents.collapseBestFromClusters(
+          Fixtures.table(s, d, "documents"), ndClusters(s, d),
+          "doc_id", length(col("text")))
           .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
     },
 
@@ -1730,6 +1729,28 @@ object Llm {
     sharedFrame(s, s"ndpairs|$d")(
       TextDedup.minhashLshPairs(Fixtures.table(s, d, "documents"),
         "doc_id", "text", numHashes = 16, bands = 8, shingleK = 3, threshold = 0.8))
+
+  /** Component labels over a shared edge list, computed once — the
+    * clusters report (l13/l30), the min-id collapse (l14/l31), and the
+    * keep-longest collapse (l66) are all consumers of the SAME
+    * labeling; re-running the CC iteration per entry re-pays its
+    * per-round fixed cost for an identical answer. The CC run's own
+    * persist is swapped for the memo's localCheckpoint.
+    */
+  private def sharedClusters(s: org.apache.spark.sql.SparkSession,
+      key: String, pairs: => org.apache.spark.sql.DataFrame) =
+    sharedFrames.computeIfAbsent(s"${System.identityHashCode(s)}|$key", _ => {
+      val cc = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      val cp = cc.localCheckpoint()
+      cc.unpersist()
+      cp
+    })
+
+  private def ndClusters(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedClusters(s, s"ndclusters|$d", ndPairs(s, d))
+
+  private def embClusters(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedClusters(s, s"embclusters|$d", embPairs(s, d))
 
   /** The verified sign-LSH embedding near-dup edge list over the
     * planted corpus — shared by l12b (pairs), l30 (clusters), l31
