@@ -165,6 +165,59 @@ object StreamingBridge {
     q.awaitTermination()
   }
 
+  /** Streaming NEAR-duplicate ingest: the fuzzy counterpart of
+    * [[dedupedIngest]] for the re-crawl regime where duplicates arrive
+    * reformatted rather than byte-identical. Per AvailableNow batch:
+    * collapse near-dups WITHIN the batch (MinHash/LSH pairs →
+    * connected components, min-id survivor), drop survivors whose
+    * shingle Jaccard with ANY already-ingested document reaches the
+    * threshold, append what remains to the corpus, and extend the
+    * persisted MinHash index (`<corpus>_ndindex`: id, shingles,
+    * signature) with the newcomers' signatures.
+    *
+    * Scale: the corpus side of every batch derives band keys
+    * ARITHMETICALLY from stored signatures
+    * ([[graft.llm.TextDedup.nearDupAgainstIndex]]) — history is never
+    * re-shingled, so per-batch cost is O(batch + band collisions)
+    * regardless of corpus size; the index grows by exactly the
+    * surviving documents.
+    */
+  def nearDupedIngest(spark: SparkSession, catalog: Catalog, staging: String,
+      corpus: TableHandle, idCol: String, textCol: String,
+      checkpointRoot: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      threshold: Double = 0.8): Unit = {
+    val index = new TableHandle(spark, catalog, s"${corpus.name}_ndindex")
+    val stream = readStream(spark, catalog, staging, maxFilesPerTrigger)
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        s"$checkpointRoot/_checkpoints/ndingest_${corpus.name}")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatch = graft.operators.ConnectedComponents.collapse(
+          batch,
+          graft.llm.TextDedup.minhashLshPairs(batch, idCol, textCol,
+            threshold = threshold),
+          "id_a", "id_b", idCol)
+        val fresh =
+          if (index.exists)
+            graft.llm.TextDedup.nearDupAgainstIndex(inBatch, index.read,
+              idCol, textCol, threshold = threshold)
+          else inBatch
+        // localCheckpoint: `fresh` is consumed twice (corpus append +
+        // index build) and its lineage crosses the batch's LSH joins
+        val settled = fresh.localCheckpoint()
+        corpus.append(settled)
+        corpus.flush()
+        index.append(
+          graft.llm.TextDedup.buildNearDupIndex(settled, idCol, textCol))
+        index.flush()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming query into a new version of `outTable` using
     * AvailableNow (process-everything-then-stop — the streaming
     * equivalent of the reference's run-to-completion node execution).

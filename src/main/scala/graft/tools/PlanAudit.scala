@@ -114,7 +114,11 @@ object PlanDigest {
     // of corpus text), vocab drift (once-materialized vocab join),
     // persisted-index incremental near-dup
     "l53_drop_repeated_lines", "l55_bloom_dedup", "l60_vocab_drift",
-    "l61_neardup_index") ++ builders.keys.toSeq.sorted
+    "l61_neardup_index",
+    // round-9: split assignment must stay a zero-shuffle scan; match
+    // provenance must stay a banded bucket join (a regression to a
+    // nested-loop cross product would ship silently otherwise)
+    "l65_split_assign", "l67_match_provenance") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"

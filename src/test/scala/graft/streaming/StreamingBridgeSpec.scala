@@ -206,4 +206,40 @@ class StreamingBridgeSpec extends SparkSpec {
       Seq(1L, 3L, 5L) || after.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(2L, 3L, 5L))
   }
+
+  test("near-duped streaming ingest: fuzzy within-batch, vs stored index, index grows with survivors") {
+    import spark.implicits._
+    val root = tmpDir("neardup-ingest")
+    val cat = new Catalog(root)
+    val staging = new TableHandle(spark, cat, "staging")
+    val corpus = new TableHandle(spark, cat, "corpus")
+    // batch 1: docs 1 and 5 are a fuzzy pair (one appended word)
+    staging.append(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text about database systems entirely"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight yes")
+    ).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.nearDupedIngest(spark, cat, "staging", corpus,
+      "doc_id", "text", root)
+    val ids1 = corpus.read.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L, 2L)) // min-id survivor of the fuzzy pair
+    // batch 2: a REFORMATTED copy of doc 1 (not byte-identical) + a novel doc
+    staging.append(Seq(
+      (7L, "oh the quick brown fox jumps over the lazy dog tonight"),
+      (8L, "genuinely novel content that matches nothing ingested before")
+    ).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.nearDupedIngest(spark, cat, "staging", corpus,
+      "doc_id", "text", root)
+    val ids2 = corpus.read.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(1L, 2L, 8L)) // fuzzy re-crawl dropped vs the index
+    val index = new TableHandle(spark, cat, "corpus_ndindex")
+    assert(index.read.count() == 3) // one signature row per survivor
+    assert(index.read.columns.toSet == Set("doc_id", "sh", "sig"))
+    // exactly-once: a drain with nothing staged changes nothing
+    StreamingBridge.nearDupedIngest(spark, cat, "staging", corpus,
+      "doc_id", "text", root)
+    assert(corpus.read.count() == 3 && index.read.count() == 3)
+  }
 }
