@@ -516,4 +516,48 @@ object Corpus {
         round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("dup_frac"))
   }
+
+  /** The REWRITE half of [[duplicateSpans]] (Lee et al. 2021 §4.2,
+    * ExactSubstr): remove every token position covered by a duplicated
+    * `k`-token window, keeping the rest in document order. l41/
+    * [[duplicateSpans]] measures the coverage; this produces the
+    * cleaned corpus the paper trains on. Documents that lose every
+    * token come back with empty `clean_text` (the caller's length
+    * filter drops them — the paper's behavior).
+    *
+    * Scale shape: the same gram census + coverage equi-join as
+    * [[duplicateSpans]] (nothing all-pairs), plus one anti-join of
+    * exploded tokens against covered positions and one per-document
+    * regroup (`collect_list` bounded by document length) to reassemble
+    * text. Everything shuffles on (id) or (gram) keys only.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val base = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), ws.as("ws"))
+    val grams = base.filter(size(col("ws")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - k),
+          j => array_join(slice(col("ws"), j + 1, lit(k)), " ")))
+          .as(Seq("p", "gram")))
+    val dups = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select("gram")
+    val covered = grams.join(dups, "gram")
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + k - 1)).as("pos"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")), " ").as("clean_text"))
+    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

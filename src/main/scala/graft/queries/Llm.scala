@@ -979,6 +979,41 @@ object Llm {
           Fixtures.table(s, d, "documents"), "doc_id", "text", k = 3)
     },
 
+    // L4l' — the REWRITE half of l41 (Lee et al. ExactSubstr): cut
+    // every token position covered by a duplicated 3-gram window,
+    // reassemble the survivors in order. l41 measures; this cleans.
+    QuerySpec.df("l68_dup_span_removal",
+      """with base as (
+        |  select doc_id, string_split_regex(trim(text), '\s+') as ws
+        |  from documents where length(trim(text)) > 0
+        |),
+        |g0 as (select doc_id, ws, unnest(range(0, len(ws) - 2)) as p
+        |       from base where len(ws) >= 3),
+        |g as (select doc_id, p, array_to_string(ws[p+1 : p+3], ' ') as gram
+        |      from g0),
+        |dup as (select gram from g group by gram having count(*) > 1),
+        |cov as (
+        |  select distinct doc_id, tok_pos
+        |  from (select doc_id, unnest(range(p, p+3)) as tok_pos
+        |        from g join dup using (gram))),
+        |toks as (select doc_id, unnest(ws) as w,
+        |                generate_subscripts(ws, 1) - 1 as pos from base),
+        |reb as (
+        |  select t.doc_id, cast(count(*) as bigint) as n_kept,
+        |         array_to_string(list(t.w order by t.pos), ' ') as clean_text
+        |  from toks t
+        |  left join cov c on c.doc_id = t.doc_id and c.tok_pos = t.pos
+        |  where c.doc_id is null
+        |  group by t.doc_id)
+        |select b.doc_id, cast(len(b.ws) as bigint) as n_tokens,
+        |  coalesce(r.n_kept, 0) as n_kept,
+        |  coalesce(r.clean_text, '') as clean_text
+        |from base b left join reb r using (doc_id)""".stripMargin) {
+      (s, d) =>
+        Corpus.removeDuplicateSpans(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", k = 3)
+    },
+
     // L4m — DSIR unigram importance weights; target distribution =
     // the src0 slice of the corpus (stand-in for an external
     // high-quality target set).

@@ -284,6 +284,26 @@ class LlmSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("duplicate-span removal cuts exactly the positions duplicateSpans counts") {
+    import spark.implicits._
+    val mismatches = Corpus.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .join(Corpus.duplicateSpans(docs, "doc_id", "text", k = 3)
+        .select("doc_id", "dup_tokens"), "doc_id")
+      .filter(col("n_tokens") - col("n_kept") =!= col("dup_tokens"))
+    assert(mismatches.count() == 0)
+    // hand-checkable: "a b c" repeats at p=0 and p=4 → positions
+    // {0,1,2, 4,5,6} covered, only "x" (p=3) survives
+    val toy = Seq(
+      (1L, "a b c x a b c"),
+      (2L, "unique words only here")).toDF("doc_id", "text")
+    val got = Corpus.removeDuplicateSpans(toy, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((7L, 1L, "x")))
+    assert(got(2L) == ((4L, 4L, "unique words only here")))
+  }
+
   test("cross-corpus match provenance names the matched corpus doc with its jaccard") {
     import spark.implicits._
     val corpus = Seq(
