@@ -295,6 +295,42 @@ object Corpus {
         frac * lit(1048576.0))
   }
 
+  /** Temperature-based source rebalancing (the multilingual/mC4
+    * sampling rule): target share of source i ∝ nᵢ^τ — τ=1 keeps the
+    * natural mix, τ→0 equalizes sources. Sampling can only REMOVE
+    * rows, so the budget is the largest total for which every source
+    * can meet its target share from its own rows (B = min nᵢ/pᵢ);
+    * each source keeps `min(1, B·pᵢ/nᵢ)` of its rows, chosen by the
+    * deterministic multiplicative id hash (same reproducibility
+    * contract as [[sourceMix]] / [[assignSplits]]).
+    *
+    * Scale shape: one count aggregation; the per-source fraction table
+    * (bounded by source cardinality) flows through broadcast 1-row
+    * totals — no collect, one lazy plan — and joins back as a
+    * broadcast; the keep decision is scan-time hash arithmetic.
+    * Fractions round to 6 dp so the decision is engine-portable
+    * (`pow` is within-1-ulp, not bit-exact, across libms).
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    val counts = df.groupBy(sourceCol)
+      .agg(count(lit(1)).cast("double").as("_tm_n"))
+      .withColumn("_tm_w", pow(col("_tm_n"), lit(tau)))
+    val total = counts.agg(sum("_tm_w").as("_tm_tot"))
+    val shares = counts.crossJoin(broadcast(total))
+      .withColumn("_tm_p", col("_tm_w") / col("_tm_tot"))
+    val budget = shares.agg(min(col("_tm_n") / col("_tm_p")).as("_tm_b"))
+    val fracs = shares.crossJoin(broadcast(budget))
+      .select(col(sourceCol),
+        round(least(lit(1.0), col("_tm_b") * col("_tm_p") / col("_tm_n")), 6)
+          .as("_tm_frac"))
+    df.join(broadcast(fracs), sourceCol)
+      .filter(pmod(col(idCol) * lit(2654435761L), lit(1048576L)) <
+        col("_tm_frac") * lit(1048576.0))
+      .drop("_tm_frac")
+  }
+
   /** Sequence packing: assign documents to context-window bins of at
     * most `budget` tokens (greedy next-fit in id order), the step that
     * turns a cleaned corpus into fixed-length training sequences.

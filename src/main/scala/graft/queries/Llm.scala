@@ -714,6 +714,41 @@ object Llm {
           .select("doc_id", "source")
     },
 
+    // L6p — temperature-rebalanced source mix (the mC4/multilingual
+    // sampling rule): target share of source i ∝ n_i^τ at τ=0.5, the
+    // keep budget is the largest total every source can serve, and
+    // membership is the deterministic id hash. Fractions round to 6 dp
+    // in both engines so the hash-threshold decision is portable.
+    QuerySpec.df("l69_temperature_mix",
+      """with docs as (
+        |  select doc_id,
+        |    case when doc_id % 10 < 6 then 'web'
+        |         when doc_id % 10 < 9 then 'books'
+        |         else 'code' end as source
+        |  from documents),
+        |c as (select source, cast(count(*) as double) as n
+        |      from docs group by source),
+        |w as (select source, n, pow(n, 0.5) as wgt from c),
+        |t as (select sum(wgt) as tot from w),
+        |p as (select source, n, wgt / tot as p from w cross join t),
+        |b as (select min(n / p) as bud from p),
+        |f as (select source,
+        |        round(least(1.0, bud * p / n), 6) as frac
+        |      from p cross join b)
+        |select d.doc_id, d.source from docs d
+        |join f using (source)
+        |where (d.doc_id * 2654435761) % 1048576 < frac * 1048576""".stripMargin) {
+      (s, d) =>
+        // the fixture's sources are uniform (a no-op for rebalancing);
+        // derive a 60/30/10 skew from the id — identical in both engines
+        val skewed = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 10 < 6, "web")
+            .when(col("doc_id") % 10 < 9, "books")
+            .otherwise("code").as("source"))
+        Corpus.temperatureMix(skewed, "source", "doc_id", tau = 0.5)
+          .select("doc_id", "source")
+    },
+
     // L6j — int8 embedding quantization: scale, quantized checksum, and
     // reconstruction MSE per vector
     QuerySpec.df("l27_quantize",

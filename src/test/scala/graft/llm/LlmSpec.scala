@@ -327,6 +327,30 @@ class LlmSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(10L, 11L) && !dropped.contains(10L))
   }
 
+  test("temperature mix keeps rare sources whole and flattens the share gap") {
+    import spark.implicits._
+    val skewed = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 < 6, "web")
+        .when(col("doc_id") % 10 < 9, "books")
+        .otherwise("code").as("source"))
+    val before = skewed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Corpus.temperatureMix(skewed, "source", "doc_id", tau = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rarest source sets the budget: kept in full (within hash rounding)
+    assert(after("code") >= (before("code") * 0.95).toLong)
+    // dominant source down-sampled; share gap strictly narrows
+    assert(after("web") < before("web"))
+    val gapBefore = before("web").toDouble / before("code") // 6x
+    val gapAfter = after("web").toDouble / after("code")
+    assert(gapAfter < gapBefore)
+    // deterministic: same input, same sample
+    val again = Corpus.temperatureMix(skewed, "source", "doc_id", tau = 0.5)
+    assert(Corpus.temperatureMix(skewed, "source", "doc_id", tau = 0.5)
+      .except(again).isEmpty)
+  }
+
   test("split assignment is deterministic, respects weights, covers every row once") {
     val assigned = Corpus.assignSplits(docs.select("doc_id"), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
