@@ -1192,8 +1192,8 @@ object Llm {
       (s, d) =>
         // decode once: the shared code table (id, 64-bit hash) is tiny
         // and localCheckpoint'd — the self-join reads the cache per
-        // side, and l62 reuses the same decode
-        TextDedup.hammingPairs(imageCodes(s, d), "doc_id", "dhash", maxHamming = 2)
+        // side, and l62 reuses the same decode AND the same pair list
+        imgPairs(s, d)
     },
 
     // L5h — perceptual image near-dup CLUSTERS: dHash pairs → connected
@@ -1204,9 +1204,7 @@ object Llm {
       """select doc_id, doc_id % 37 as component
         |from documents""".stripMargin) {
       (s, d) =>
-        val pairs = TextDedup.hammingPairs(imageCodes(s, d), "doc_id", "dhash",
-          maxHamming = 2)
-        graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+        graft.operators.ConnectedComponents.run(imgPairs(s, d), "id_a", "id_b")
           .select(col("id").as("doc_id"), col("component"))
     },
 
@@ -1830,6 +1828,14 @@ object Llm {
       Similarity.nearDupPairs(
         plantedCorpus(Fixtures.table(s, d, "embeddings")),
         "vec_id", "embedding", minCos = 0.99))
+
+  /** The verified banded-Hamming near-dup pair list over the decoded
+    * dHash codes — shared by l47 (the pairs ARE its output) and l62
+    * (clusters over them). */
+  private def imgPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedFrame(s, s"imgpairs|$d")(
+      TextDedup.hammingPairs(imageCodes(s, d), "doc_id", "dhash",
+        maxHamming = 2))
 
   /** Decoded 64-bit dHash code table of the grouped-PNG fixture —
     * decode once, shared by l47 (pairs) and l62 (clusters). */

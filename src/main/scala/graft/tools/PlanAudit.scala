@@ -117,8 +117,11 @@ object PlanDigest {
     "l61_neardup_index",
     // round-9: split assignment must stay a zero-shuffle scan; match
     // provenance must stay a banded bucket join (a regression to a
-    // nested-loop cross product would ship silently otherwise)
-    "l65_split_assign", "l67_match_provenance") ++ builders.keys.toSeq.sorted
+    // nested-loop cross product would ship silently otherwise); span
+    // removal must keep its (gram)/(id)-keyed shuffles with no
+    // cartesian term
+    "l65_split_assign", "l67_match_provenance",
+    "l68_dup_span_removal") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
