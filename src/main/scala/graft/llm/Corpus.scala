@@ -79,6 +79,38 @@ object Corpus {
       .select(col("doc_id_c").as(idCol), col("bench_id"), col("n_shared"))
   }
 
+  /** Multi-benchmark contamination REPORT: [[decontaminate]] audits
+    * one eval set; real releases check many at once (MMLU, GSM8K, …)
+    * and publish per-set hit counts in the dataset card. Per
+    * (corpus doc, eval set): total shared `k`-gram matches summed over
+    * that set's documents, and how many of its documents were hit.
+    * Rows appear only for contaminated (doc, set) pairs — the caller
+    * thresholds `n_shared` for the drop decision.
+    *
+    * Scale shape: ONE gram equi-join for all sets (the benchmark union
+    * carries its set label through the explode), both aggregations
+    * map-side combinable; benchmark suites are tiny next to the
+    * corpus, so the gram join's build side broadcasts in practice.
+    */
+  def contaminationReport(corpus: DataFrame,
+      benchmarks: Seq[(String, DataFrame)],
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(benchmarks.nonEmpty, "at least one benchmark set required")
+    val cg = TextDedup.withShingles(
+        corpus.select(col(idCol), col(textCol)), textCol, "g", k)
+      .select(col(idCol), explode(col("g")).as("gram"))
+    val bench = benchmarks.map { case (name, df) =>
+      df.select(lit(name).as("eval_set"), col(idCol).as("_cr_bid"),
+        col(textCol))
+    }.reduce(_ unionAll _)
+    val bg = TextDedup.withShingles(bench, textCol, "g", k)
+      .select(col("eval_set"), col("_cr_bid"), explode(col("g")).as("gram"))
+    cg.join(bg, "gram")
+      .groupBy(col(idCol), col("eval_set"))
+      .agg(count(lit(1)).as("n_shared"),
+        countDistinct(col("_cr_bid")).as("n_bench_docs"))
+  }
+
   /** PII patterns kept deliberately engine-portable (no lookarounds):
     * the same source strings compile identically under Java regex and
     * RE2-family engines, so redaction is reproducible off-Spark too.

@@ -309,6 +309,37 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") / col("n_types"), 6)
           .as("hapax_frac"))
 
+  /** Vocabulary coverage / OOV rate against the corpus's own top-`k`
+    * token vocabulary (the tokenizer-health metric: what fraction of
+    * running text a budget-`k` word vocabulary fails to cover, per
+    * document). Vocabulary membership is deterministic — tokens rank
+    * by (count desc, token asc), so ties at the cutoff resolve
+    * identically in any engine.
+    *
+    * Scale shape: one token hash-aggregation (map-side combined), a
+    * TakeOrdered top-k over the vocabulary-sized frame (never the
+    * corpus), and one broadcast semi-join of exploded tokens against
+    * the k-row vocabulary folded into a per-document aggregate.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(topK)
+      .select(col("w"), lit(true).as("_vc_in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_vc_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_frac"))
+  }
+
   /** Vocabulary drift between two corpus versions: per-token
     * probability under each version's unigram distribution (add-1
     * smoothed over the union vocabulary), the token's contribution to

@@ -749,6 +749,81 @@ object Llm {
           .select("doc_id", "source")
     },
 
+    // L6q — multi-benchmark contamination report: the dataset-card
+    // audit behind l19's single-set drop decision. Two disjoint eval
+    // sets derive from the fixture; corpus docs plant 8-gram overlap
+    // with set A (doc_id%7==3 append doc 0's text) or set B
+    // (doc_id%11==5 append doc 25's text) — first-match precedence
+    // identical in both engines.
+    QuerySpec.df("l70_contamination_report",
+      s"""with d0 as (select text from documents where doc_id = 0),
+         |d25 as (select text from documents where doc_id = 25),
+         |corpus as (
+         |  select doc_id,
+         |    case when doc_id % 7 = 3 then text || ' ' || (select text from d0)
+         |         when doc_id % 11 = 5 then text || ' ' || (select text from d25)
+         |         else text end as text
+         |  from documents where doc_id % 25 <> 0),
+         |bench as (
+         |  select 'benchA' as eval_set, doc_id, text from documents
+         |  where doc_id % 50 = 0
+         |  union all
+         |  select 'benchB' as eval_set, doc_id, text from documents
+         |  where doc_id % 50 = 25),
+         |cg as (select doc_id, $duckGrams8 as grams
+         |       from (select doc_id, text, string_split(text, ' ') as words
+         |             from corpus)),
+         |bg as (select eval_set, doc_id, $duckGrams8 as grams
+         |       from (select eval_set, doc_id, text,
+         |                    string_split(text, ' ') as words from bench)),
+         |j as (select c.doc_id, b.eval_set, b.doc_id as bid,
+         |             len(list_intersect(c.grams, b.grams)) as ns
+         |      from cg c join bg b
+         |        on len(list_intersect(c.grams, b.grams)) > 0)
+         |select doc_id, eval_set, cast(sum(ns) as bigint) as n_shared,
+         |       cast(count(*) as bigint) as n_bench_docs
+         |from j group by doc_id, eval_set""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
+        val d25 = docs.filter(col("doc_id") === 25).select("text").head().getString(0)
+        val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + d0)))
+              .when(col("doc_id") % 11 === 5, concat(col("text"), lit(" " + d25)))
+              .otherwise(col("text")))
+        Corpus.contaminationReport(corpus,
+          Seq("benchA" -> docs.filter(col("doc_id") % 50 === 0),
+            "benchB" -> docs.filter(col("doc_id") % 50 === 25)),
+          "doc_id", "text", k = 8)
+    },
+
+    // L4u — vocabulary coverage / OOV rate against the corpus's own
+    // top-200 token vocabulary (tokenizer-health metric); vocabulary
+    // ties at the cutoff rank (count desc, token asc) in both engines.
+    QuerySpec.df("l71_vocab_coverage",
+      """with toks as (
+        |  select doc_id, w from (
+        |    select doc_id,
+        |           unnest(string_split_regex(trim(text), '\s+')) as w
+        |    from documents where length(trim(text)) > 0)
+        |  where length(w) > 0),
+        |counts as (select w, count(*) as c from toks group by w),
+        |v as (select w from (
+        |  select w, row_number() over (order by c desc, w asc) as rn
+        |  from counts) where rn <= 200)
+        |select t.doc_id, cast(count(*) as bigint) as n_tokens,
+        |  cast(sum(case when v.w is null then 1 else 0 end) as bigint)
+        |    as n_oov,
+        |  round(sum(case when v.w is null then 1 else 0 end) * 1.0
+        |    / count(*), 6) as oov_frac
+        |from toks t left join v on v.w = t.w
+        |group by t.doc_id""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.vocabCoverage(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", topK = 200)
+    },
+
     // L6j — int8 embedding quantization: scale, quantized checksum, and
     // reconstruction MSE per vector
     QuerySpec.df("l27_quantize",

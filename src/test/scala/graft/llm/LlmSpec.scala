@@ -327,6 +327,42 @@ class LlmSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(10L, 11L) && !dropped.contains(10L))
   }
 
+  test("contamination report counts shared grams per eval set; clean docs absent") {
+    import spark.implicits._
+    val eight = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"prefix words then $eight trailing"), // hits benchA doc 10
+      (2L, "totally clean document with no benchmark overlap present here"),
+      (3L, s"$eight and also alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val benchA = Seq((10L, s"$eight")).toDF("doc_id", "text")
+    val benchB = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val got = Corpus.contaminationReport(corpus,
+      Seq("A" -> benchA, "B" -> benchB), "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set((1L, "A"), (3L, "A"), (3L, "B")))
+    assert(got((1L, "A"))._1 == 1L && got((1L, "A"))._2 == 1L) // exactly the planted 8-gram
+    assert(got((3L, "B"))._1 == 1L)
+  }
+
+  test("vocab coverage: OOV is exactly the tokens outside the top-k vocabulary") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a a a b b c"), // a,b in top-2; c OOV
+      (2L, "a b rare")     // rare OOV
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(toy, "doc_id", "text", topK = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((6L, 1L)))
+    assert(got(2L) == ((3L, 1L)))
+    // k >= vocabulary size: nothing is OOV
+    val full = TextAnalysis.vocabCoverage(toy, "doc_id", "text", topK = 100)
+      .agg(sum("n_oov")).head().getLong(0)
+    assert(full == 0L)
+  }
+
   test("temperature mix keeps rare sources whole and flattens the share gap") {
     import spark.implicits._
     val skewed = docs.select(col("doc_id"),
