@@ -150,6 +150,30 @@ object CorpusProperties extends Properties("graft.llm.corpus") {
       bloom == exact
     }
 
+  property("split assignment: exhaustive, disjoint, scale-invariant in the weights") =
+    forAll(Gen.chooseNum(1, 20), Gen.chooseNum(1, 20), Gen.chooseNum(1, 20),
+        Gen.chooseNum(1.0, 100.0)) { (wa, wb, wc, scale) =>
+      val df = (0L until 150L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      def assign(s: Double) = Corpus.assignSplits(df, "doc_id",
+        Seq("train" -> wa * s, "val" -> wb * s, "test" -> wc * s))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val base = assign(1.0)
+      // every row exactly once (the map covers all ids — when-chain is total)
+      base.keySet == (0L until 150L).toSet &&
+        // scaling every weight equally moves nothing
+        assign(scale) == base
+    }
+
+  property("temperature mix: tau=1 keeps the natural mix intact") =
+    forAll(Gen.chooseNum(2, 5)) { nSources =>
+      val df = (0L until 300L)
+        .map(i => (i, s"s${(i % nSources.toLong)}")).toDF("doc_id", "source")
+      // at tau=1 target shares equal natural shares -> budget = total,
+      // every keep-fraction is 1: the mix must be the identity
+      Corpus.temperatureMix(df, "source", "doc_id", tau = 1.0).count() == 300L
+    }
+
   property("source mix: membership is a pure function of the id") =
     forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (fa, fb) =>
       val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
