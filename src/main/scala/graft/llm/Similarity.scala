@@ -221,23 +221,66 @@ object Similarity {
       qId: String, cId: String, qVec: String, cVec: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2, rerankFactor: Int = 4): DataFrame = {
+    val (quantizer, postings) =
+      buildIvfIndex(corpus, cId, cVec, nCentroids, lloydIters)
+    ivfPqTopKAgainstIndex(queries, quantizer, postings,
+      corpus.select(col(cId), col(cVec)),
+      qId, cId, qVec, cVec, k, nProbe, rerankFactor)
+  }
+
+  /** The PERSISTABLE IVF-ADC index (the embedding sibling of
+    * [[graft.llm.TextDedup.buildNearDupIndex]] / l61): a
+    * `(cell, centroid)` quantizer table (nCentroids rows) and
+    * `(id, cell, code)` int8 postings — everything vector-derived,
+    * computed once. Both frames round-trip through parquet; every
+    * subsequent query batch runs [[ivfPqTopKAgainstIndex]] over the
+    * stored frames, so per-batch cost is O(queries × probed cells +
+    * shortlist) and the corpus vectors are touched only for the exact
+    * rerank fetch — at 100 TB of embeddings, the 4×-compacted postings
+    * scan is the working set, not the float corpus.
+    */
+  def buildIvfIndex(corpus: DataFrame, cId: String, cVec: String,
+      nCentroids: Int = 16, lloydIters: Int = 2): (DataFrame, DataFrame) = {
     import graft.functions.Ivf
     val centroids = trainIvfCentroids(corpus, cId, cVec, nCentroids, lloydIters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val quantizer = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
     val vd = transform(col(cVec), x => x.cast("double"))
     val scale = array_max(transform(vd, a => abs(a)))
     // the compact index: id, cell, int8 code — nothing else
-    val index = corpus
-      .withColumn("_pq_cell",
+    val postings = corpus
+      .withColumn("cell",
         element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
-      .withColumn("_pq_code", when(scale === 0.0,
+      .withColumn("code", when(scale === 0.0,
           transform(vd, _ => lit(0).cast("tinyint")))
         .otherwise(transform(vd,
           x => round(x * lit(127.0) / scale).cast("tinyint"))))
-      .select(col(cId), col("_pq_cell"), col("_pq_code"))
+      .select(col(cId), col("cell"), col("code"))
+    (quantizer, postings)
+  }
+
+  /** IVF + int8 scan + exact rerank over an ALREADY-BUILT index
+    * ([[buildIvfIndex]]'s output, typically read back from storage).
+    * The quantizer table collects to the driver — it IS the coarse
+    * quantizer (nCentroids rows, small by design); the postings and
+    * the full-precision `corpusVecs` frame never do.
+    */
+  def ivfPqTopKAgainstIndex(
+      queries: DataFrame, quantizer: DataFrame, postings: DataFrame,
+      corpusVecs: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String,
+      k: Int, nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    import graft.functions.Ivf
+    val centroids = quantizer.orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
     val probes = queries.withColumn("_pq_cell",
       explode(Ivf.nearestCells(col(qVec), centroids, nProbe)))
+    val idx = postings.select(col(cId), col("cell").as("_pq_cell"),
+      col("code").as("_pq_code"))
     val shortlist = {
-      val cand = probes.join(index, "_pq_cell")
+      val cand = probes.join(idx, "_pq_cell")
         .filter(col(qId) =!= col(cId))
         .withColumn("acos",
           cosine(col(qVec), col("_pq_code").cast("array<double>")))
@@ -250,7 +293,7 @@ object Similarity {
     }
     // exact rerank: only the shortlist fetches full-precision vectors
     val rer = shortlist
-      .join(corpus.select(col(cId), col(cVec)), cId)
+      .join(corpusVecs, cId)
       .withColumn("cos", cosine(col(qVec), col(cVec)))
       .filter(!isnan(col("cos")))
     val w = Window.partitionBy(col(qId))

@@ -926,6 +926,33 @@ object Llm {
         "q_id", "c_id", "q_vec", "c_vec", k = 5)
     },
 
+    // L3h — the PERSISTED IVF-ADC index (l61's embedding sibling):
+    // quantizer + int8 postings built once, written to parquet, read
+    // back, and queried against — the index round-trip is the point.
+    // Rows-only (ANN); the equals-inline-path property is spec'd in
+    // LlmSpec.
+    QuerySpec.unchecked("l72_ivf_index") { (s, d) =>
+      val emb = Fixtures.table(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"))
+      val base = ivfIndexDirs.computeIfAbsent(d, _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-ivfidx-").toString
+        val (quantizer, postings) =
+          Similarity.buildIvfIndex(corpus, "c_id", "c_vec")
+        quantizer.write.mode("overwrite").parquet(s"$out/quantizer.parquet")
+        postings.repartition(s.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$out/postings.parquet")
+        out
+      })
+      Similarity.ivfPqTopKAgainstIndex(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        s.read.parquet(s"$base/quantizer.parquet"),
+        s.read.parquet(s"$base/postings.parquet"),
+        corpus, "q_id", "c_id", "q_vec", "c_vec", k = 5)
+    },
+
     // L4g — mean unigram log-probability under the corpus's own unigram
     // model (the cheap LM-perplexity proxy for fluency/outlier scoring)
     QuerySpec.df("l36_unigram_logprob",
@@ -1842,6 +1869,9 @@ object Llm {
     * measure the ingest only.
     */
   private val nearDupIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Media-payload fixture, materialized to a temp parquet once per

@@ -201,6 +201,29 @@ class LlmSpec extends SparkSpec {
     assert(top.collect().map(_.toString).sorted.sameElements(again))
   }
 
+  test("persisted IVF index: parquet round-trip answers exactly like the inline path") {
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val inline = Similarity.ivfPqTopK(queries, corpus,
+      "q_id", "c_id", "q_vec", "c_vec", k = 5)
+      .collect().map(_.toString).sorted
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-spec-").toString
+    val (quantizer, postings) = Similarity.buildIvfIndex(corpus, "c_id", "c_vec")
+    quantizer.write.parquet(s"$dir/q.parquet")
+    postings.write.parquet(s"$dir/p.parquet")
+    val stored = Similarity.ivfPqTopKAgainstIndex(queries,
+      spark.read.parquet(s"$dir/q.parquet"),
+      spark.read.parquet(s"$dir/p.parquet"),
+      corpus, "q_id", "c_id", "q_vec", "c_vec", k = 5)
+      .collect().map(_.toString).sorted
+    assert(stored.sameElements(inline))
+    assert(stored.nonEmpty)
+    // the stored postings are the compact form: id, cell, int8 code
+    val sch = spark.read.parquet(s"$dir/p.parquet").schema
+    assert(sch.fieldNames.toSet == Set("c_id", "cell", "code"))
+  }
+
   test("ngram census counts occurrences and doc frequency with a total rank order") {
     import spark.implicits._
     val corpus = Seq(
