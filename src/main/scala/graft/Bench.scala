@@ -117,14 +117,19 @@ object Bench {
 
     val results = stats.toSeq.map { case (n, (med, _, _)) => n -> med }
     val divergent = stats.collect { case (n, (_, _, true)) => n }.toSeq
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale —
+    // a comma decimal separator would make the JSON line unparseable
+    def num(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f",
+        Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
     val qsMin = stats.toSeq
-      .map { case (k, (_, mn, _)) => "\"" + k + "\":" + f"$mn%.4f" }
+      .map { case (k, (_, mn, _)) => "\"" + k + "\":" + num(mn, 4) }
       .mkString("{", ",", "}")
     val div = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val totalS = f"$total%.3f"
+    val totalS = num(total, 3)
     // The JSON line must be the LAST thing on stdout AND fit the
     // driver's 2000-char tail capture: the r7 and r8 artifacts both
     // arrived with a truncated head (`parsed: null`) because ~96
@@ -139,7 +144,7 @@ object Bench {
     val collided = ids.groupBy(_._2).filter(_._2.size > 1).keySet
     val qsShort = results.map { case (k, v) =>
       val id = if (collided(ids(k))) k else ids(k)
-      "\"" + id + "\":" + f"$v%.3f"
+      "\"" + id + "\":" + num(v, 3)
     }.mkString("{", ",", "}")
     val idMap = results.map { case (k, _) =>
       "\"" + (if (collided(ids(k))) k else ids(k)) + "\":\"" + k + "\""

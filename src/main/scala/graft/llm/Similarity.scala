@@ -273,8 +273,13 @@ object Similarity {
       qId: String, cId: String, qVec: String, cVec: String,
       k: Int, nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
     import graft.functions.Ivf
-    val centroids = quantizer.orderBy("cell").select("centroid").collect()
-      .map(_.getSeq[Double](0).toArray)
+    val qrows = quantizer.orderBy("cell").select("cell", "centroid").collect()
+    // nearestCells emits POSITIONAL ids that the postings join matches
+    // against stored cell VALUES — a gappy quantizer (filtered/partial
+    // write) would silently probe the wrong cells, so fail loudly
+    require(qrows.iterator.map(_.getInt(0)).sameElements(qrows.indices.iterator),
+      s"quantizer cells must be contiguous 0..${qrows.length - 1}")
+    val centroids = qrows.map(_.getSeq[Double](1).toArray)
     val probes = queries.withColumn("_pq_cell",
       explode(Ivf.nearestCells(col(qVec), centroids, nProbe)))
     val idx = postings.select(col(cId), col("cell").as("_pq_cell"),

@@ -261,13 +261,34 @@ object TextDedup {
       numHashes: Int = 16,
       bands: Int = 8,
       shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    // localCheckpoint: the index feeds two plan subtrees (band keys +
+    // verify shingles) — without materialization Catalyst re-shingles
+    // and re-signs the corpus once per consumer
+    crossCorpusMatchesAgainstIndex(batch,
+      buildNearDupIndex(corpus, idCol, textCol, numHashes, shingleK)
+        .localCheckpoint(),
+      idCol, textCol, numHashes, bands, shingleK, threshold)
+
+  /** [[crossCorpusMatches]] over an already-built (typically
+    * parquet-persisted) [[buildNearDupIndex]] frame — the corpus side
+    * derives band keys arithmetically from the stored signatures, so
+    * corpus text is never re-shingled.
+    */
+  def crossCorpusMatchesAgainstIndex(
+      batch: DataFrame,
+      idx: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val shB = withShingles(
       batch.select(col(idCol).as("batch_id"), col(textCol)),
       textCol, "sh", shingleK)
       .select(col("batch_id"), col("sh"))
-    val idx = buildNearDupIndex(corpus, idCol, textCol, numHashes, shingleK)
     val shC = idx.select(col(idCol).as("corpus_id"), col("sh"))
     val bandsB = shB
       .select(col("batch_id"),

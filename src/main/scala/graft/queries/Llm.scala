@@ -1911,7 +1911,7 @@ object Llm {
     * persist is swapped for the memo's localCheckpoint.
     */
   private def sharedClusters(s: org.apache.spark.sql.SparkSession,
-      key: String, pairs: => org.apache.spark.sql.DataFrame) =
+      key: String, pairs: org.apache.spark.sql.DataFrame) =
     sharedFrames.computeIfAbsent(s"${System.identityHashCode(s)}|$key", _ => {
       val cc = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
       val cp = cc.localCheckpoint()
@@ -1919,11 +1919,19 @@ object Llm {
       cp
     })
 
-  private def ndClusters(s: org.apache.spark.sql.SparkSession, d: String) =
-    sharedClusters(s, s"ndclusters|$d", ndPairs(s, d))
+  // NOTE: the inner memo (the edge list) is evaluated BEFORE entering
+  // sharedClusters' computeIfAbsent — nesting computeIfAbsent calls on
+  // the same ConcurrentHashMap is forbidden (JDK 'Recursive update' /
+  // live-lock when the two keys share a bin)
+  private def ndClusters(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pairs = ndPairs(s, d)
+    sharedClusters(s, s"ndclusters|$d", pairs)
+  }
 
-  private def embClusters(s: org.apache.spark.sql.SparkSession, d: String) =
-    sharedClusters(s, s"embclusters|$d", embPairs(s, d))
+  private def embClusters(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pairs = embPairs(s, d)
+    sharedClusters(s, s"embclusters|$d", pairs)
+  }
 
   /** The verified sign-LSH embedding near-dup edge list over the
     * planted corpus — shared by l12b (pairs), l30 (clusters), l31
@@ -1937,10 +1945,13 @@ object Llm {
   /** The verified banded-Hamming near-dup pair list over the decoded
     * dHash codes — shared by l47 (the pairs ARE its output) and l62
     * (clusters over them). */
-  private def imgPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def imgPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // evaluate the codes memo BEFORE sharedFrame's computeIfAbsent —
+    // nested computeIfAbsent on one ConcurrentHashMap is forbidden
+    val codes = imageCodes(s, d)
     sharedFrame(s, s"imgpairs|$d")(
-      TextDedup.hammingPairs(imageCodes(s, d), "doc_id", "dhash",
-        maxHamming = 2))
+      TextDedup.hammingPairs(codes, "doc_id", "dhash", maxHamming = 2))
+  }
 
   /** Decoded 64-bit dHash code table of the grouped-PNG fixture —
     * decode once, shared by l47 (pairs) and l62 (clusters). */

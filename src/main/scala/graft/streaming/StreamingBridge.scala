@@ -181,6 +181,16 @@ object StreamingBridge {
     * re-shingled, so per-batch cost is O(batch + band collisions)
     * regardless of corpus size; the index grows by exactly the
     * surviving documents.
+    *
+    * Failure semantics: the corpus and index are two tables with no
+    * cross-table transaction, so each batch (a) SELF-HEALS the index
+    * first — corpus rows with no stored signature (a pre-existing
+    * corpus, or a crash between the two flushes) are indexed before
+    * any dedup decision — and (b) finishes with an exact-fingerprint
+    * anti-join against the corpus, which makes a checkpoint-replayed
+    * (byte-identical) batch a no-op. Crash at any point either loses
+    * nothing (checkpoint uncommitted → replay is filtered) or leaves a
+    * gap the next drain's heal step closes.
     */
   def nearDupedIngest(spark: SparkSession, catalog: Catalog, staging: String,
       corpus: TableHandle, idCol: String, textCol: String,
@@ -194,16 +204,45 @@ object StreamingBridge {
         s"$checkpointRoot/_checkpoints/ndingest_${corpus.name}")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // 1. self-heal the index: corpus rows with no signature yet —
+        //    a corpus populated by another path before the first
+        //    drain, or the crash window between the two flushes below
+        //    — get indexed NOW, so the dedup check never silently
+        //    skips existing documents. First call on a pre-existing
+        //    corpus is the one-time full index build.
+        if (corpus.exists) {
+          val have =
+            if (index.exists) index.read.select(idCol)
+            else corpus.read.select(idCol).limit(0)
+          val missing = corpus.read.join(have, Seq(idCol), "left_anti")
+          if (!missing.isEmpty) {
+            index.append(graft.llm.TextDedup.buildNearDupIndex(
+              missing, idCol, textCol))
+            index.flush()
+          }
+        }
+        // 2. collapse near-dups WITHIN the batch (min-id survivor)
         val inBatch = graft.operators.ConnectedComponents.collapse(
           batch,
           graft.llm.TextDedup.minhashLshPairs(batch, idCol, textCol,
             threshold = threshold),
           "id_a", "id_b", idCol)
-        val fresh =
+        // 3. near-dup check against the (now complete) stored index
+        val nd =
           if (index.exists)
             graft.llm.TextDedup.nearDupAgainstIndex(inBatch, index.read,
               idCol, textCol, threshold = threshold)
           else inBatch
+        // 4. retry idempotence: a replayed batch (crash after the
+        //    corpus flush, before the checkpoint commit) is
+        //    byte-identical, so an exact-fingerprint anti-join against
+        //    the corpus drops it — the near-dup check alone consults
+        //    only the index, which lags the corpus inside that window
+        val fresh =
+          if (corpus.exists)
+            graft.llm.Corpus.dedupAgainstCorpus(nd, corpus.read, textCol)
+              .drop("fp")
+          else nd
         // localCheckpoint: `fresh` is consumed twice (corpus append +
         // index build) and its lineage crosses the batch's LSH joins
         val settled = fresh.localCheckpoint()

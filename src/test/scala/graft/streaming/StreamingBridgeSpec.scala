@@ -242,4 +242,32 @@ class StreamingBridgeSpec extends SparkSpec {
       "doc_id", "text", root)
     assert(corpus.read.count() == 3 && index.read.count() == 3)
   }
+
+  test("near-duped ingest self-heals: pre-existing corpus without an index is indexed before dedup") {
+    import spark.implicits._
+    val root = tmpDir("neardup-heal")
+    val cat = new Catalog(root)
+    val staging = new TableHandle(spark, cat, "staging")
+    val corpus = new TableHandle(spark, cat, "corpus")
+    // corpus populated by ANOTHER path: no corpus_ndindex exists
+    corpus.append(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text about database systems entirely")
+    ).toDF("doc_id", "text"))
+    corpus.flush()
+    // first drain: a fuzzy re-crawl of doc 1 plus a novel doc
+    staging.append(Seq(
+      (7L, "oh the quick brown fox jumps over the lazy dog tonight"),
+      (8L, "genuinely novel content that matches nothing ingested before")
+    ).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.nearDupedIngest(spark, cat, "staging", corpus,
+      "doc_id", "text", root)
+    val ids = corpus.read.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 8L)) // re-crawl dropped against the HEALED index
+    val index = new TableHandle(spark, cat, "corpus_ndindex")
+    // index covers the pre-existing corpus AND the new survivor
+    assert(index.read.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 8L))
+  }
 }
