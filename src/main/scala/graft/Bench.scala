@@ -30,7 +30,7 @@ object Bench {
     "l05b_cosine_ann", "l10b_multimodal_features", "l03_simhash",
     "l15_ivf_ann", "l22_pack_sequences", "l35_ivfpq_ann", "l72_ivf_index",
     "l38_compress_ratio", "l48_semdedup", "l49_bpe_train", "l50_bpe_encode",
-    "l56_ngram_topk_approx")
+    "l56_ngram_topk_approx", "l73_tone_detect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

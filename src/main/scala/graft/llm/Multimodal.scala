@@ -107,6 +107,116 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Deterministic mono 16-bit sine-tone WAV (sample i =
+    * round(A·sin(2π·f·i/sr))) — the planted fixture for
+    * [[audioBandEnergy]]'s decode-verified tone detection.
+    */
+  def toneWavBytes(sampleRate: Int, nSamples: Int, freqHz: Double,
+      amplitude: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(math.round(
+        amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a mono sine-tone payload per row, tone frequency
+    * `400·(id%8+1)` Hz at 8 kHz (all under Nyquist) — downstream band
+    * detection is verifiable against the plant.
+    */
+  def attachTonePayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("payload_meta", payloadMeta))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = toneWavBytes(8000, 2000, 400.0 * (id % 8 + 1), 12000)
+        Row.fromSeq(r.toSeq ++ Seq(bytes, Row("audio/wav", bytes.length, idCol)))
+      }
+    }(encoder)
+  }
+
+  /** Per-payload spectral band energy via the Goertzel algorithm (the
+    * single-bin DFT used when only a handful of frequencies matter —
+    * tone/DTMF detection, hum checks, bandwidth QC): for each target
+    * frequency, one O(N) recurrence over the decoded PCM samples; no
+    * FFT library, no copy of the sample array. Emits the per-band
+    * power (normalized so the strongest band is 1.0), the dominant
+    * band index, and its frequency; null row-stats on undecodable
+    * payloads (same liveness rules as [[audioStats]]).
+    *
+    * Scale shape: pure per-row CPU linear in media bytes × bands, no
+    * shuffle — embarrassingly parallel scan work like every decode op
+    * here. Detection results are spec-verified against planted tones
+    * (trig is not bit-portable across engines, so no SQL oracle — the
+    * argmax, unlike the raw powers, is stable).
+    */
+  def audioBandEnergy(df: DataFrame, payloadCol: String,
+      bandsHz: Array[Double]): DataFrame = {
+    require(bandsHz.nonEmpty, "at least one target band required")
+    val schema = df.schema
+      .add(StructField("band_power", ArrayType(DoubleType)))
+      .add(StructField("dominant_band", IntegerType))
+      .add(StructField("dominant_freq", DoubleType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val m = wavMeta(bytes)
+        val dc = if (m == null || m._3 != 16) null else wavDataChunk(bytes)
+        val extra: Seq[Any] =
+          if (dc == null || dc(1) < 2) Seq(null, null, null)
+          else {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val (dataOff, dataSize) = (dc(0), dc(1))
+            val channels = m._2
+            val sr = m._1.toDouble
+            val nFrames = dataSize / 2 / channels
+            val powers = bandsHz.map { f =>
+              val coeff = 2.0 * math.cos(2.0 * math.Pi * f / sr)
+              var (s1, s2) = (0.0, 0.0)
+              var i = 0
+              while (i < nFrames) {
+                // mono-fold: average channels at frame i
+                var acc = 0.0
+                var c = 0
+                while (c < channels) {
+                  acc += bb.getShort(dataOff + (i * channels + c) * 2)
+                  c += 1
+                }
+                val s0 = acc / channels + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                i += 1
+              }
+              s1 * s1 + s2 * s2 - coeff * s1 * s2
+            }
+            val maxP = powers.max
+            val dom = powers.indexOf(maxP)
+            val norm =
+              if (maxP > 0) powers.map(_ / maxP).toSeq else powers.toSeq
+            Seq(norm, dom, bandsHz(dom))
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(encoder)
+  }
+
   /** RIFF/WAVE chunk walk: (sampleRate, channels, bitsPerSample,
     * nSamples) from the fmt and data chunk headers — no sample data is
     * touched. Null for anything that isn't a WAV.

@@ -1331,6 +1331,19 @@ object Llm {
           .select("doc_id", "frame_idx", "frame_w", "frame_h", "gray_bucket")
     },
 
+    // L5j — Goertzel band-energy tone detection over REAL decoded PCM
+    // (single-bin DFT — tone/DTMF/hum QC): payloads are planted sine
+    // tones at 400·(doc_id%8+1) Hz; the per-band powers aren't
+    // bit-portable (trig), so rows-only — the 100% dominant-band
+    // detection property is spec'd in MediaSpec.
+    QuerySpec.unchecked("l73_tone_detect") { (s, d) =>
+      Multimodal.audioBandEnergy(
+        mediaPayloads(s, d, "tone",
+          Multimodal.attachTonePayload(_, "doc_id")),
+        "payload", bandsHz = (1 to 8).map(_ * 400.0).toArray)
+        .select("doc_id", "dominant_band", "dominant_freq")
+    },
+
     // L2g — SemDeDup (cluster-then-prune semantic dedup): k-means cells
     // confine the quadratic cosine pass; within-cell components at
     // cos >= 0.99 keep their min-id survivor. Rows-only by design

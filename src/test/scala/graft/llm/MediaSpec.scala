@@ -297,6 +297,29 @@ class MediaSpec extends SparkSpec {
       samples.count(v => math.abs(v) < 512).toDouble / nVals)
   }
 
+  test("Goertzel band energy detects every planted tone; corrupt payload yields nulls") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val bands = (1 to 8).map(_ * 400.0).toArray
+    val got = Multimodal.audioBandEnergy(
+      Multimodal.attachTonePayload(docs, "doc_id"), "payload", bands)
+    val rows = got.select("doc_id", "dominant_band", "dominant_freq", "band_power")
+      .collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(2) == 400.0 * (id % 8 + 1),
+        s"doc $id detected ${r.getDouble(2)} Hz, planted ${400.0 * (id % 8 + 1)}")
+      val powers = r.getSeq[Double](3)
+      assert(powers(r.getInt(1)) == 1.0) // normalized: dominant is 1.0
+      // the tone bin dwarfs every other bin (clean sine, exact bin freq)
+      assert(powers.zipWithIndex.filter(_._2 != r.getInt(1)).forall(_._1 < 0.05))
+    }
+    // undecodable payload: null detection columns, row survives
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val j = Multimodal.audioBandEnergy(junk, "payload", bands).collect()(0)
+    assert(j.isNullAt(j.fieldIndex("dominant_band")))
+  }
+
   test("imageDHash: identical bytes hash identically; small edits stay near") {
     val base = Multimodal.noisePngBytes(36, 32, seed = 11L)
     val again = Multimodal.noisePngBytes(36, 32, seed = 11L)
