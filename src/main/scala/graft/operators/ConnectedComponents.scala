@@ -180,6 +180,41 @@ object ConnectedComponents {
       idCol: String, score: Column): DataFrame =
     df.join(bestLosers(df, clusters, idCol, score), Seq(idCol), "left_anti")
 
+  /** Per-stratum dedup AUDIT over a component labeling ([[run]]'s
+    * output): documents in, documents/characters the min-id collapse
+    * drops, clusters owned (attributed to the survivor's stratum), and
+    * the dedup rate — the dataset-card numbers published after a
+    * near-dup pass ("web: 12% near-dup, books: 0.4%").
+    *
+    * Scale shape: the labeling (near-dup members only — small) joins
+    * the corpus once on the id; text lengths reduce at the scan, so
+    * text never shuffles; three map-side-combined grouped aggregates
+    * over stratum cardinality.
+    */
+  def collapseReport(df: DataFrame, clusters: DataFrame, idCol: String,
+      strataCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strataCol),
+      length(col(textCol)).cast("long").as("_dr_nc"))
+    val aggIn = base.groupBy(strataCol)
+      .agg(count(lit(1)).as("docs_in"), sum("_dr_nc").as("chars_in"))
+    val aggDrop = base
+      .join(clusters.filter(col("id") =!= col("component")).select("id"), "id")
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("docs_dropped"),
+        sum("_dr_nc").as("chars_dropped"))
+    val aggCl = base
+      .join(clusters.filter(col("id") === col("component")).select("id"), "id")
+      .groupBy(strataCol).agg(count(lit(1)).as("n_clusters"))
+    aggIn.join(aggDrop, Seq(strataCol), "left")
+      .join(aggCl, Seq(strataCol), "left")
+      .select(col(strataCol), col("docs_in"), col("chars_in"),
+        coalesce(col("docs_dropped"), lit(0L)).as("docs_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        round(coalesce(col("docs_dropped"), lit(0L)) / col("docs_in"), 6)
+          .as("dedup_rate"))
+  }
+
   private def bestLosers(df: DataFrame, clusters: DataFrame,
       idCol: String, score: Column): DataFrame = {
     val members = df

@@ -1830,6 +1830,54 @@ object Llm {
           .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
     },
 
+    // L2j — per-source dedup audit (the dataset-card numbers after a
+    // near-dup pass): docs in, docs/chars dropped by the min-id
+    // collapse, clusters owned by each source, dedup rate. Shares the
+    // memoized component labeling with l13/l14/l66.
+    QuerySpec.df("l74_dedup_report",
+      s"""with recursive sh as (
+         |  select doc_id, $duckShingles as sg
+         |  from (select doc_id, text, string_split(text, ' ') as words from documents)
+         |),
+         |pairs as (
+         |  select a.doc_id as id_a, b.doc_id as id_b
+         |  from sh a join sh b on b.doc_id > a.doc_id
+         |  where len(list_intersect(a.sg, b.sg)) * 1.0 /
+         |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8
+         |),
+         |edges as (select id_a as src, id_b as dst from pairs
+         |          union select id_b as src, id_a as dst from pairs),
+         |reach(v, r) as (
+         |  select src, src from edges
+         |  union
+         |  select e.src, reach.r from edges e join reach on reach.v = e.dst
+         |),
+         |memb as (select v, min(r) as cluster from reach group by v),
+         |base as (select doc_id, source, length(text) as nc from documents),
+         |agg_in as (select source, count(*) as docs_in,
+         |             cast(sum(nc) as bigint) as chars_in
+         |           from base group by source),
+         |agg_drop as (select source, count(*) as docs_dropped,
+         |               cast(sum(nc) as bigint) as chars_dropped
+         |             from base join memb on memb.v = base.doc_id
+         |             where memb.v <> memb.cluster group by source),
+         |agg_cl as (select source, count(*) as n_clusters
+         |           from base join memb on memb.v = base.doc_id
+         |           where memb.v = memb.cluster group by source)
+         |select i.source, docs_in, chars_in,
+         |  coalesce(docs_dropped, 0) as docs_dropped,
+         |  coalesce(chars_dropped, 0) as chars_dropped,
+         |  coalesce(n_clusters, 0) as n_clusters,
+         |  round(coalesce(docs_dropped, 0) * 1.0 / docs_in, 6) as dedup_rate
+         |from agg_in i
+         |left join agg_drop d using (source)
+         |left join agg_cl c using (source)""".stripMargin) {
+      (s, d) =>
+        graft.operators.ConnectedComponents.collapseReport(
+          Fixtures.table(s, d, "documents"), ndClusters(s, d),
+          "doc_id", "source", "text")
+    },
+
     // L2i — cross-corpus near-dup match PROVENANCE: for each batch doc
     // every corpus doc it near-duplicates, with the exact shingle
     // Jaccard — the attribution behind l37's drop decision ("which

@@ -42,6 +42,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("collapseReport attributes drops and clusters to the right stratum") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "web", "aaaa"), (2L, "web", "bb"), (3L, "books", "cccccc"),
+      (7L, "web", "dd"), (9L, "books", "e")).toDF("id", "src", "text")
+    // cluster {1,2,3}: survivor 1 (web); losers 2 (web, 2 chars), 3 (books, 6)
+    val clusters = ConnectedComponents.run(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    val got = ConnectedComponents.collapseReport(df, clusters, "id", "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got("web") == ((3L, 8L, 1L, 2L, 1L, 0.333333)))
+    assert(got("books") == ((2L, 7L, 1L, 6L, 0L, 0.5)))
+    clusters.unpersist()
+  }
+
   test("collapseBest keeps the top-scoring member per cluster, ties to min id") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
