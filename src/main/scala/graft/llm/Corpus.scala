@@ -363,6 +363,61 @@ object Corpus {
       .drop("_tm_frac")
   }
 
+  /** Training-shard assignment: give every document a shard number
+    * such that shards, read in order, stream the corpus in a
+    * deterministic globally-shuffled order with ~`tokensPerShard`
+    * tokens per shard — the layout step before writing training data
+    * as fixed-size shard files. The order is the multiplicative id
+    * hash (ties to the id), the same engine-portable shuffle contract
+    * as [[assignSplits]]/[[sourceMix]]; a document's shard is a pure
+    * function of the corpus content, reproducible across runs and
+    * partitionings. `shard = floor(exclusivePrefixTokens / budget)`,
+    * so a document begins in the shard where its first token lands.
+    *
+    * Scale shape: the naive formulation is a cumulative sum over ONE
+    * global ordering — a single-partition window that serializes the
+    * whole corpus through one task. This implementation is the classic
+    * two-pass distributed prefix sum: the hash keyspace splits into
+    * `orderBuckets` contiguous ranges (so bucket order IS global
+    * order), pass 1 computes per-bucket token totals (a B-row
+    * aggregate) and turns them into bucket offsets with a window over
+    * B rows, pass 2 cumsums WITHIN each bucket in parallel and adds
+    * the broadcast offset. Per-task work is corpus/B; nothing global
+    * ever sits in one task. At 100 TB: B = O(executors × 4) keeps the
+    * offset table trivially broadcastable while every cumsum window
+    * fits an executor.
+    */
+  def assignShards(docs: DataFrame, idCol: String, weight: Column,
+      tokensPerShard: Long, orderBuckets: Int = 256): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    require(orderBuckets > 0 && 1048576 % orderBuckets == 0,
+      "orderBuckets must divide the 2^20 hash keyspace")
+    import org.apache.spark.sql.expressions.Window
+    val width = 1048576L / orderBuckets
+    val base = docs.select(col(idCol),
+        weight.cast("long").as("n_tokens"),
+        pmod(col(idCol) * lit(2654435761L), lit(1048576L)).as("_sh_hk"))
+      .withColumn("_sh_bkt", floor(col("_sh_hk") / lit(width.toDouble)))
+    // pass 1: per-bucket totals -> exclusive bucket offsets. The
+    // unpartitioned window is over at most `orderBuckets` rows.
+    val offsets = base.groupBy("_sh_bkt")
+      .agg(sum("n_tokens").as("_sh_bwt"))
+      .withColumn("_sh_off",
+        coalesce(sum(col("_sh_bwt")).over(
+          Window.orderBy("_sh_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_sh_bwt")
+    // pass 2: within-bucket exclusive cumsum (parallel across buckets)
+    val w = Window.partitionBy("_sh_bkt").orderBy(col("_sh_hk"), col(idCol))
+    base.join(broadcast(offsets), "_sh_bkt")
+      .withColumn("_sh_pre",
+        col("_sh_off") + coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard",
+        floor(col("_sh_pre") / lit(tokensPerShard.toDouble)).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("shard"))
+  }
+
   /** Sequence packing: assign documents to context-window bins of at
     * most `budget` tokens (greedy next-fit in id order), the step that
     * turns a cleaned corpus into fixed-length training sequences.

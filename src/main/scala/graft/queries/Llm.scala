@@ -1922,6 +1922,99 @@ object Llm {
               .otherwise(col("text")).as("text"))
         TextDedup.crossCorpusMatches(batch, corpus, "doc_id", "text")
     },
+
+    // L4w — BM25 keyword retrieval: top-10 documents per query term
+    // (Robertson/Spärck Jones probabilistic idf, k1=1.2 b=0.75) — the
+    // lexical half of a RAG retrieval stack and the keyword-audit tool
+    // for corpus curation. The Spark side filters to the query terms
+    // BEFORE the tf shuffle, so only |terms| postings move; the oracle
+    // computes the identical fixed-order formula.
+    QuerySpec.df("l75_bm25_search",
+      """with toks as (
+        |  select doc_id, w from (
+        |    select doc_id,
+        |           unnest(string_split_regex(trim(text), '\s+')) as w
+        |    from documents)
+        |  where length(w) > 0),
+        |dl as (select doc_id, count(*) as dl from toks group by doc_id),
+        |stats as (select avg(dl) as avgdl, count(*) as n from dl),
+        |tf as (select doc_id, w as term, count(*) as tf from toks
+        |       where w in ('vector', 'hash', 'stream') group by doc_id, w),
+        |dfreq as (select term, count(*) as dfreq from tf group by term),
+        |scored as (
+        |  select t.term, t.doc_id,
+        |    round(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)), 6)
+        |      as score
+        |  from tf t join dl d using (doc_id)
+        |  join dfreq using (term) cross join stats s)
+        |select term, doc_id, score, cast(rank as bigint) as rank from (
+        |  select *, row_number() over (
+        |    partition by term order by score desc, doc_id) as rank
+        |  from scored) where rank <= 10""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.bm25(Fixtures.table(s, d, "documents"),
+          "doc_id", "text", terms = Seq("vector", "hash", "stream"), k = 10)
+    },
+
+    // L4x — linear quality-classifier scoring (the fastText-style
+    // model shape behind CCNet/LLaMA corpus filters): fixed-order
+    // sigmoid dot product over the standard quality signals, decided
+    // at 0.5. Whole classifier is codegen'd column expressions over
+    // the scan — zero shuffles.
+    QuerySpec.df("l76_quality_classifier",
+      """with sig as (
+        |  select doc_id,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |      / greatest(length(text), 1) as alpha,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> w in ('the','a','of','and','to','in','is','it'))) * 1.0
+        |      / greatest(case when length(trim(text)) = 0 then 0
+        |                 else len(string_split_regex(trim(text), '\s+')) end,
+        |                 1) as stop,
+        |    length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0
+        |      / greatest(length(text), 1) as punct,
+        |    case when length(trim(text)) = 0 then 0
+        |         else len(string_split_regex(trim(text), '\s+')) end as n
+        |  from documents)
+        |select doc_id, score, score >= 0.5 as keep from (
+        |  select doc_id,
+        |    round(1.0 / (1.0 + exp(-(-2.5 + 3.0 * alpha + 5.0 * stop
+        |      - 8.0 * punct + 0.35 * ln(n + 1.0)))), 6) as score
+        |  from sig)""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.qualityClassifier(
+          Fixtures.table(s, d, "documents"), "doc_id", "text")
+    },
+
+    // L6r — training-shard assignment: deterministic global-shuffle
+    // order (multiplicative id hash), ~4096 tokens per shard, shard =
+    // floor(exclusive prefix / budget). The oracle states the naive
+    // single-window global cumsum; the Spark side computes the same
+    // numbers with a two-pass distributed prefix sum (per-bucket
+    // offsets broadcast, within-bucket windows in parallel).
+    QuerySpec.df("l77_shard_assign",
+      """with w as (
+        |  select doc_id,
+        |    cast(case when length(trim(text)) = 0 then 0
+        |         else len(string_split_regex(trim(text), '\s+')) end
+        |      as bigint) as n_tokens,
+        |    (doc_id * 2654435761) % 1048576 as hk
+        |  from documents),
+        |p as (select doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) over (order by hk, doc_id
+        |          rows between unbounded preceding and 1 preceding), 0)
+        |          as pre
+        |      from w)
+        |select doc_id, n_tokens,
+        |       cast(floor(pre / 4096.0) as bigint) as shard
+        |from p""".stripMargin) {
+      (s, d) =>
+        Corpus.assignShards(Fixtures.table(s, d, "documents"),
+          "doc_id", TextAnalysis.tokenCount(col("text")),
+          tokensPerShard = 4096L)
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

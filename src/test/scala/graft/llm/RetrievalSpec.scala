@@ -1,0 +1,98 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval, linear quality-classifier scoring, and training-
+  * shard assignment (l75/l76/l77).
+  */
+class RetrievalSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.Fixtures.table(spark, sf, "documents")
+
+  test("bm25 matches the hand-computed formula on a three-doc corpus") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "cat sat mat"),
+      (2L, "cat cat dog runs fast here"),
+      (3L, "dog runs")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(tiny, "doc_id", "text", Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+      .sortBy(_._1)
+
+    // n=3 docs, avgdl = 11/3, dfreq(cat)=2
+    val avgdl = 11.0 / 3.0
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def score(tf: Long, dl: Long): Double =
+      math.rint(idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) / 1e6
+    assert(got.map(_._1) == List(1L, 2L))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(1L)._2 == score(1, 3))
+    assert(byId(2L)._2 == score(2, 6))
+    // the tf=2 doc outscores the tf=1 doc and takes rank 1
+    assert(byId(2L)._2 > byId(1L)._2)
+    assert(byId(2L)._3 == 1L && byId(1L)._3 == 2L)
+  }
+
+  test("bm25 rank is dense per term, capped at k, ordered by score") {
+    val out = TextAnalysis.bm25(docs, "doc_id", "text",
+      Seq("vector", "hash"), k = 5).collect()
+    val byTerm = out.groupBy(_.getString(0))
+    assert(byTerm.keySet == Set("vector", "hash"))
+    byTerm.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toList == (1L to sorted.length).toList)
+      assert(sorted.length <= 5)
+      // scores non-increasing down the ranking
+      val scores = sorted.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("quality classifier keeps fluent stopword-bearing text, drops punctuation noise") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, "the cat is on the mat and it is a good day in the sun"),
+      (2L, "!!! ??? ,,, ;;; ((( )))"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(frame, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2, s"fluent text should pass, got ${out(1L)._1}")
+    assert(!out(2L)._2, s"punctuation noise should fail, got ${out(2L)._1}")
+    assert(!out(3L)._2, "empty text should fail")
+    out.values.foreach { case (s, _) => assert(s >= 0.0 && s <= 1.0) }
+  }
+
+  test("shard assignment equals the naive global-window prefix sum") {
+    val budget = 64L
+    val got = Corpus.assignShards(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget, orderBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // driver-side oracle: one global ordering, exclusive prefix sum
+    val naive = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1048576L)).as("hk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var pre = 0L
+    val expected = naive.map { case (id, n, _) =>
+      val shard = math.floor(pre / budget.toDouble).toLong
+      pre += n
+      (id, n, shard)
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.map(_._3).distinct.length > 1, "fixture should span shards")
+  }
+
+  test("shard assignment is invariant to input partitioning") {
+    val a = Corpus.assignShards(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), 64L, orderBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = Corpus.assignShards(docs.repartition(7), "doc_id",
+      TextAnalysis.tokenCount(col("text")), 64L, orderBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}
