@@ -418,6 +418,23 @@ object Corpus {
       .select(col(idCol), col("n_tokens"), col("shard"))
   }
 
+  /** Unicode-normalization report: per document, the NFC-normalized
+    * fingerprint plus before/after code-point counts and a changed
+    * flag — the canonicalization pass that runs before exact dedup so
+    * composed/decomposed twins ("café" as U+00E9 vs e+U+0301) hash to
+    * the same fingerprint. Scan-shaped (the codegen'd
+    * [[graft.functions.UnicodeNorm]] kernel with an allocation-free
+    * already-normalized fast path), zero shuffle.
+    */
+  def normalizeReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = graft.functions.UnicodeNorm.nfc(col(textCol))
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      length(n).cast("long").as("n_chars_nfc"),
+      (n =!= col(textCol)).as("changed"),
+      md5(n).as("fp"))
+  }
+
   /** Sequence packing: assign documents to context-window bins of at
     * most `budget` tokens (greedy next-fit in id order), the step that
     * turns a cleaned corpus into fixed-length training sequences.

@@ -2015,6 +2015,35 @@ object Llm {
           "doc_id", TextAnalysis.tokenCount(col("text")),
           tokensPerShard = 4096L)
     },
+
+    // L6s — Unicode NFC canonicalization report: the fixture corpus is
+    // ASCII, so denormalized text is PLANTED (combining acute after
+    // 'cafe' on doc_id%3==0, combining ring after ' A' on doc_id%5==0)
+    // — NFC composes both; the md5 fingerprints then agree between
+    // engines only if the normalization semantics match code point for
+    // code point.
+    QuerySpec.df("l78_nfc_normalize",
+      """with c as (
+        |  select doc_id,
+        |    text ||
+        |    case when doc_id % 3 = 0 then ' cafe' || chr(769) else '' end ||
+        |    case when doc_id % 5 = 0
+        |         then ' A' || chr(778) || 'ngstrom' else '' end as text
+        |  from documents)
+        |select doc_id,
+        |  cast(length(text) as bigint) as n_chars_raw,
+        |  cast(length(nfc_normalize(text)) as bigint) as n_chars_nfc,
+        |  (nfc_normalize(text) <> text) as changed,
+        |  md5(nfc_normalize(text)) as fp
+        |from c""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, " café").otherwise(""),
+            when(col("doc_id") % 5 === 0, " Ångstrom").otherwise(""))
+            .as("text"))
+        Corpus.normalizeReport(planted, "doc_id", "text")
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,
