@@ -2044,6 +2044,20 @@ object Llm {
             .as("text"))
         Corpus.normalizeReport(planted, "doc_id", "text")
     },
+
+    // L5i — energy-threshold voice-activity segmentation over real
+    // decoded PCM (speech-like fixture: id%3+1 sine bursts separated
+    // by silence). No SQL oracle — DuckDB can't decode WAV — so
+    // rows-only here; MediaSpec verifies 100% planted-burst recall
+    // with exact frame-aligned boundaries.
+    QuerySpec.unchecked("l79_vad_segments") { (s, d) =>
+      Multimodal.vadSegments(
+        mediaPayloads(s, d, "speech",
+          Multimodal.attachSpeechPayload(_, "doc_id")),
+        "payload")
+        .select("doc_id", "n_frames", "n_active", "active_frac",
+          "n_segments", "segments")
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

@@ -360,6 +360,36 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("VAD recovers every planted speech burst with frame-aligned boundaries") {
+    val docs = Seq(0L, 1L, 2L, 5L).toDF("doc_id")
+    val out = Multimodal.vadSegments(
+        Multimodal.attachSpeechPayload(docs, "doc_id"), "payload")
+      .select("doc_id", "n_segments", "segments").collect()
+      .map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => (s.getLong(0), s.getLong(1))).toList)
+      }.toMap
+    out.foreach { case (id, (n, segs)) =>
+      val expected = (0 until (id % 3 + 1).toInt)
+        .map(i => (200L + i * 500, 500L + i * 500)).toList
+      assert(n == expected.length, s"doc $id: $n segments, want ${expected.length}")
+      assert(segs == expected, s"doc $id: $segs != $expected")
+    }
+  }
+
+  test("VAD: silence-only audio yields zero segments; corrupt payload yields nulls") {
+    val silent = Multimodal.toneWavBytes(8000, 800, 440.0, 0) // amplitude 0
+    val junk = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, silent), (2L, junk)).toDF("doc_id", "payload")
+    val rows = Multimodal.vadSegments(df, "payload")
+      .select("doc_id", "n_frames", "n_segments", "active_frac")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) > 0 && rows(1L).getLong(2) == 0L)
+    assert(rows(1L).getDouble(3) == 0.0)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2) && rows(2L).isNullAt(3))
+  }
+
   test("extractFeatures decodes wav payloads for real (audio branch)") {
     val docs = Seq(1L, 2L).toDF("doc_id")
     val withAudio = Multimodal.attachAudioPayload(docs, "doc_id")
