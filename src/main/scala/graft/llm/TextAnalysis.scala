@@ -840,7 +840,6 @@ object TextAnalysis {
   def bm25(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -849,6 +848,18 @@ object TextAnalysis {
     val tf = toks.filter(col("w").isin(terms: _*))
       .groupBy(col(idCol), col("w").as("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, stats, idCol, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: per-term document frequencies from
+    * the (already term-filtered) tf frame, idf with the +1 floor, the
+    * Okapi score, per-term top-k. Same arithmetic order everywhere so
+    * inline and index paths are bit-identical.
+    */
+  private def bm25Score(tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame, stats: org.apache.spark.sql.DataFrame,
+      idCol: String, k: Int, k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val idf = log((col("n") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)) + lit(1.0))
     val scored = tf
@@ -864,6 +875,50 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("term"), col(idCol), col("score"), col("rank"))
   }
+
+  /** The PERSISTABLE BM25 inverted index (the lexical-retrieval
+    * sibling of [[graft.llm.Similarity.buildIvfIndex]] / l72 and
+    * [[graft.llm.TextDedup.buildNearDupIndex]] / l61): `postings`
+    * (term, doc id, tf) hash-partitioned and sorted by term — so a
+    * parquet round-trip gets row-group min/max term stats and a query
+    * for |terms| words reads only the matching groups — plus `doclens`
+    * (doc id, dl) and the 1-row `stats` (N, avgdl). Build cost is one
+    * tokenize+aggregate pass, paid once; every subsequent query batch
+    * runs [[bm25AgainstIndex]] over the stored frames without
+    * re-tokenizing the corpus. At 100 TB the postings table is the
+    * working set (≈ tokens × a few bytes, zipf-compacted by the tf
+    * aggregation) and the raw text is never touched again.
+    */
+  def buildBm25Index(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val toks = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val doclens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = doclens.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val postings = toks
+      .groupBy(col("w").as("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term")).sortWithinPartitions("term")
+    (postings, doclens, stats)
+  }
+
+  /** BM25 top-k served from a persisted [[buildBm25Index]]: identical
+    * output to [[bm25]] on the same corpus (index ≡ inline is the l80
+    * oracle claim). The term filter lands on the postings scan —
+    * pushed to parquet row-group stats when the index was written
+    * term-sorted — so per-query cost is O(matching postings), not
+    * O(corpus).
+    */
+  def bm25AgainstIndex(postings: org.apache.spark.sql.DataFrame,
+      doclens: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      idCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    bm25Score(postings.filter(col("term").isin(terms: _*)),
+      doclens, stats, idCol, k, k1, b)
 
   /** Linear document-quality classifier (the fastText-style linear
     * model shape used for pretraining-corpus filtering, e.g. the

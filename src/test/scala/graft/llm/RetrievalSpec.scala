@@ -64,6 +64,26 @@ class RetrievalSpec extends SparkSpec {
     out.values.foreach { case (s, _) => assert(s >= 0.0 && s <= 1.0) }
   }
 
+  test("bm25 served from a parquet round-tripped index equals the inline path") {
+    val dir = tmpDir("bm25idx")
+    val (postings, doclens, stats) =
+      TextAnalysis.buildBm25Index(docs, "doc_id", "text")
+    postings.write.parquet(s"$dir/postings.parquet")
+    doclens.write.parquet(s"$dir/doclens.parquet")
+    stats.write.parquet(s"$dir/stats.parquet")
+    val terms = Seq("vector", "hash", "stream")
+    val inline = TextAnalysis.bm25(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val served = TextAnalysis.bm25AgainstIndex(
+        spark.read.parquet(s"$dir/postings.parquet"),
+        spark.read.parquet(s"$dir/doclens.parquet"),
+        spark.read.parquet(s"$dir/stats.parquet"),
+        "doc_id", terms, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served == inline)
+    assert(inline.nonEmpty)
+  }
+
   test("shard assignment equals the naive global-window prefix sum") {
     val budget = 64L
     val got = Corpus.assignShards(docs, "doc_id",
