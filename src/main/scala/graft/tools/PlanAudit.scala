@@ -121,7 +121,16 @@ object PlanDigest {
     // removal must keep its (gram)/(id)-keyed shuffles with no
     // cartesian term
     "l65_split_assign", "l67_match_provenance",
-    "l68_dup_span_removal") ++ builders.keys.toSeq.sorted
+    "l68_dup_span_removal",
+    // round-9 wave 2: BM25 must keep its broadcast idf/stats joins
+    // (inline AND index-served — the postings filter regressing to an
+    // unpruned scan or the stats broadcast becoming a shuffle would
+    // ship silently); the shard assignment must keep exactly its
+    // two-pass shape (one B-row offset window + per-bucket windows,
+    // broadcast offset join, no extra global sort); NFC normalization
+    // must stay one codegen'd zero-shuffle scan
+    "l75_bm25_search", "l77_shard_assign", "l78_nfc_normalize",
+    "l80_bm25_index") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
