@@ -418,6 +418,44 @@ object Corpus {
       .select(col(idCol), col("n_tokens"), col("shard"))
   }
 
+  /** Content-defined chunk table: one row per (document, chunk) with
+    * byte offset/length and the 64-bit chunk fingerprint, from the
+    * codegen'd gear-hash CDC kernel ([[graft.functions.CdcChunks]]).
+    * Boundaries are content-local, so re-crawled/shifted documents
+    * share fingerprints for every unchanged span — the
+    * storage/transfer-dedup primitive fixed-size chunking can't
+    * provide. Scan + generate, no shuffle.
+    */
+  def cdcChunkTable(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, maxLen: Int = 256, maskBits: Int = 6): DataFrame =
+    docs.select(col(idCol),
+        posexplode(graft.functions.CdcChunks.chunks(
+          col(textCol), minLen, maxLen, maskBits)).as(Seq("chunk_idx", "_ch")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_ch.offset").as("offset"), col("_ch.len").as("len"),
+        col("_ch.fp").as("fp"))
+
+  /** Corpus-level CDC dedup report: how many bytes the corpus shares
+    * at chunk granularity — total vs distinct chunks, total vs unique
+    * bytes, and the dedup ratio (the snapshot-storage win a
+    * content-addressed store would realize). One hash aggregation on
+    * the chunk fingerprint (state bounded by distinct content, not
+    * corpus size) and a 1-row fold.
+    */
+  def cdcDedupReport(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, maxLen: Int = 256, maskBits: Int = 6): DataFrame = {
+    val perFp = cdcChunkTable(docs, idCol, textCol, minLen, maxLen, maskBits)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col("len")).as("chunk_bytes"))
+    perFp.agg(
+      sum(col("n_copies")).as("total_chunks"),
+      count(lit(1)).as("distinct_chunks"),
+      sum(col("n_copies") * col("chunk_bytes")).as("total_bytes"),
+      sum(col("chunk_bytes")).as("unique_bytes"),
+      round(lit(1.0) - sum(col("chunk_bytes")) * lit(1.0) /
+        sum(col("n_copies") * col("chunk_bytes")), 6).as("dedup_ratio"))
+  }
+
   /** Unicode-normalization report: per document, the NFC-normalized
     * fingerprint plus before/after code-point counts and a changed
     * flag — the canonicalization pass that runs before exact dedup so

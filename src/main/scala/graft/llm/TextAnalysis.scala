@@ -920,6 +920,105 @@ object TextAnalysis {
     bm25Score(postings.filter(col("term").isin(terms: _*)),
       doclens, stats, idCol, k, k1, b)
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
+    * every document under a PER-LANGUAGE unigram LM (mean log2
+    * probability — the [[unigramLogProb]] metric, language-local), then
+    * split each language into head/middle/tail terciles by LM score —
+    * head = most-fluent third, the slice CCNet keeps for pretraining.
+    * Tercile membership is ntile(3) over (language, score desc, id):
+    * fully ordered, so bucket assignment is engine-portable.
+    *
+    * Scale shape: the LM is a (lang, token) hash aggregation; per-lang
+    * totals broadcast; the per-doc fold is the unigramLogProb join
+    * shape. The EXACT tercile needs a per-language sort of per-doc
+    * scores (doc-count-sized, not token-sized); at 100 TB swap the
+    * ntile for approx-quantile cut thresholds (two scans, no global
+    * sort) — the operator's contract (3 buckets per lang) is unchanged.
+    */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, langCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), col(langCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val m = toks.groupBy(col(langCol), col("w")).agg(count(lit(1)).as("c"))
+    val n = toks.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
+    val scored = toks.join(m, Seq(langCol, "w"))
+      .join(broadcast(n), Seq(langCol))
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log2(col("c") * lit(1.0) / col("n"))), 6).as("mean_logp"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("mean_logp").desc, col(idCol))
+    scored.withColumn("_pb_t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("_pb_t") === 1, "head")
+          .when(col("_pb_t") === 2, "middle").otherwise("tail"))
+      .drop("_pb_t")
+  }
+
+  /** TRAINED multinomial Naive Bayes document classifier (add-1
+    * smoothing) — the count-based trainable sibling of the fixed-weight
+    * [[qualityClassifier]], and the standard shape of a corpus
+    * quality/domain filter trained from labeled seeds (CCNet's
+    * "Wikipedia-reference" discriminator): training IS two counting
+    * aggregations, so the entire train+score pipeline is declarative
+    * and oracle-checkable. Emits one row per (document, class):
+    * `log P(c) + Σ_tokens log P(w|c)` (6 dp) and a `pred` flag on the
+    * argmax (ties to the lexically-first label).
+    *
+    * Unseen-token handling: a token absent from class c's training
+    * counts contributes the smoothed floor ln(1/(n_c + V)) — the
+    * coalesce default, so scoring a NEW corpus against a trained model
+    * needs no vocabulary alignment.
+    *
+    * Scale shape: training = two map-side-combined hash aggregations
+    * over exploded tokens (model state bounded by vocabulary ×
+    * classes); class priors/defaults ride a broadcast classes-row
+    * frame; scoring joins tokens to the model on (label, w) — the
+    * [[unigramLogProb]] join shape — then folds per (doc, class).
+    * Nothing driver-side; the model itself is a DataFrame, so it
+    * persists/broadcasts like any other artifact.
+    */
+  def nbClassifier(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, labelCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), col(labelCol).as("_nb_lab"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val ct = toks.groupBy(col("_nb_lab").as("label"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = toks.groupBy(col("_nb_lab").as("label"))
+      .agg(count(lit(1)).as("n_lab"))
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs_lab"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("label"),
+        log(col("n_docs_lab") * lit(1.0) / col("n_docs")).as("prior"))
+    val defaults = tot.crossJoin(broadcast(vocab))
+      .select(col("label"),
+        log(lit(1.0) / (col("n_lab") + col("v"))).as("lp0"))
+    val model = ct.join(tot, "label").crossJoin(broadcast(vocab))
+      .select(col("label"), col("w"),
+        log((col("c") + lit(1.0)) / (col("n_lab") + col("v"))).as("lp"))
+    val classes = priors.join(defaults, "label")
+    val scored = toks.select(col(idCol), col("w"))
+      .crossJoin(broadcast(classes))
+      .join(model, Seq("label", "w"), "left")
+      .groupBy(col(idCol), col("label"), col("prior"), col("lp0"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lp"), col("lp0"))).as("_nb_s"))
+      .select(col(idCol), col("label"), col("n_tokens"),
+        round(col("prior") + col("_nb_s"), 6).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label"))
+    scored.withColumn("pred", row_number().over(w) === 1)
+  }
+
   /** Linear document-quality classifier (the fastText-style linear
     * model shape used for pretraining-corpus filtering, e.g. the
     * CCNet/LLaMA "Wikipedia-reference" filter): a fixed weight vector

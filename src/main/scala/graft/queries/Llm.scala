@@ -2105,6 +2105,101 @@ object Llm {
           s.read.parquet(s"$dir/stats.parquet"),
           "doc_id", terms = Seq("vector", "hash", "stream"), k = 10)
     },
+
+    // L4y — TRAINED multinomial Naive Bayes classifier, add-1
+    // smoothing: training is two counting aggregations, so the whole
+    // train+score pipeline is oracle-checkable — the trainable sibling
+    // of l76's fixed-weight model. Labels derive deterministically
+    // from the source column; one row per (doc, class) with the joint
+    // log-likelihood and the argmax flag.
+    QuerySpec.df("l81_nb_classifier",
+      """with tok as (
+        |  select doc_id, w from (
+        |    select doc_id,
+        |           unnest(string_split_regex(trim(text), '\s+')) as w
+        |    from documents) where length(w) > 0),
+        |lab as (select doc_id,
+        |          case when source in ('src0', 'src1') then 'pos'
+        |               else 'neg' end as label
+        |        from documents),
+        |ltok as (select t.doc_id, t.w, l.label
+        |         from tok t join lab l using (doc_id)),
+        |ct  as (select label, w, count(*) as c from ltok group by 1, 2),
+        |tot as (select label, count(*) as n_lab from ltok group by 1),
+        |v   as (select count(distinct w) as v from tok),
+        |nd  as (select count(*) as n_docs from lab),
+        |cls as (select label, ln(count(*) * 1.0 / n_docs) as prior
+        |        from lab cross join nd group by label, n_docs),
+        |dft as (select label, ln(1.0 / (n_lab + v)) as lp0
+        |        from tot cross join v),
+        |cls2 as (select c.label, c.prior, d.lp0
+        |         from cls c join dft d using (label)),
+        |model as (select label, w, ln((c + 1.0) / (n_lab + v)) as lp
+        |          from ct join tot using (label) cross join v),
+        |sc as (
+        |  select t.doc_id, c2.label,
+        |         cast(count(*) as bigint) as n_tokens,
+        |         round(c2.prior + sum(coalesce(m.lp, c2.lp0)), 6) as score
+        |  from tok t
+        |  cross join cls2 c2
+        |  left join model m on m.label = c2.label and m.w = t.w
+        |  group by t.doc_id, c2.label, c2.prior, c2.lp0)
+        |select doc_id, label, n_tokens, score,
+        |  (row_number() over (
+        |     partition by doc_id order by score desc, label) = 1) as pred
+        |from sc""".stripMargin) {
+      (s, d) =>
+        val labeled = Fixtures.table(s, d, "documents")
+          .withColumn("label",
+            when(col("source").isin("src0", "src1"), "pos").otherwise("neg"))
+        TextAnalysis.nbClassifier(labeled, "doc_id", "text", "label")
+    },
+
+    // L4z — CCNet perplexity bucketing: per-language unigram LM score,
+    // head/middle/tail terciles within each language (ntile over a
+    // total order, engine-portable).
+    QuerySpec.df("l82_perplexity_buckets",
+      """with tok as (
+        |  select doc_id, lang, w from (
+        |    select doc_id, lang,
+        |           unnest(string_split_regex(trim(text), '\s+')) as w
+        |    from documents) where length(w) > 0),
+        |m as (select lang, w, count(*) as c from tok group by 1, 2),
+        |n as (select lang, count(*) as n from tok group by 1),
+        |sc as (select t.doc_id, t.lang,
+        |         cast(count(*) as bigint) as n_tokens,
+        |         round(avg(log2(c * 1.0 / n)), 6) as mean_logp
+        |       from tok t join m using (lang, w) join n using (lang)
+        |       group by t.doc_id, t.lang)
+        |select doc_id, lang, n_tokens, mean_logp,
+        |  case ntile(3) over (
+        |         partition by lang order by mean_logp desc, doc_id)
+        |    when 1 then 'head' when 2 then 'middle'
+        |    else 'tail' end as bucket
+        |from sc""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.perplexityBuckets(
+          Fixtures.table(s, d, "documents"), "doc_id", "text", "lang")
+    },
+
+    // L6t — content-defined chunking (gear-hash CDC): the chunk table
+    // over the corpus. Rows-only (the rolling-hash boundary scan has
+    // no SQL form); CdcSpec pins reassembly, determinism, and the
+    // shift-resynchronization property that distinguishes CDC from
+    // fixed chunking.
+    QuerySpec.unchecked("l83_cdc_chunks") { (s, d) =>
+      Corpus.cdcChunkTable(Fixtures.table(s, d, "documents"),
+        "doc_id", "text")
+    },
+
+    // L6u — corpus CDC dedup report: the 1-row storage-dedup summary
+    // (total/distinct chunks, total/unique bytes, dedup ratio) a
+    // content-addressed snapshot store would realize. Rows-only;
+    // CdcSpec pins a planted-duplication case.
+    QuerySpec.unchecked("l84_cdc_dedup") { (s, d) =>
+      Corpus.cdcDedupReport(Fixtures.table(s, d, "documents"),
+        "doc_id", "text")
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

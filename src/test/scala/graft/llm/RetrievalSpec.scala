@@ -84,6 +84,45 @@ class RetrievalSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("trained NB classifier separates planted classes and handles unseen tokens") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, "buy cheap pills now buy now", "spam"),
+      (2L, "cheap pills cheap offer now", "spam"),
+      (3L, "the meeting notes from tuesday", "ham"),
+      (4L, "notes about the tuesday meeting agenda", "ham"),
+      // held-back style doc with one UNSEEN token — classified by the
+      // seen tokens, unseen one falls to the smoothed floor
+      (5L, "cheap pills zzzunseen", "spam")).toDF("doc_id", "text", "label")
+    val out = TextAnalysis.nbClassifier(labeled, "doc_id", "text", "label")
+      .filter(col("pred")).select("doc_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "spam", 2L -> "spam", 3L -> "ham",
+      4L -> "ham", 5L -> "spam"))
+    // exactly one pred per doc, scores finite
+    val all = TextAnalysis.nbClassifier(labeled, "doc_id", "text", "label")
+      .collect()
+    assert(all.count(_.getBoolean(4)) == 5)
+    assert(all.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+
+  test("perplexity buckets: terciles balanced per lang, repetitive text lands in head") {
+    import spark.implicits._
+    // 9 docs in one lang: three made of the corpus's most common
+    // tokens (high logp -> head), three mixed, three of hapax tokens
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "aa bb aa bb aa bb", "xx")) ++
+      (4 to 6).map(i => (i.toLong, s"aa bb mid$i mid$i", "xx")) ++
+      (7 to 9).map(i => (i.toLong, s"rare${i}a rare${i}b rare${i}c rare${i}d", "xx"))
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert((1 to 3).forall(i => out(i.toLong) == "head"), s"$out")
+    assert((7 to 9).forall(i => out(i.toLong) == "tail"), s"$out")
+    assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+  }
+
   test("shard assignment equals the naive global-window prefix sum") {
     val budget = 64L
     val got = Corpus.assignShards(docs, "doc_id",
