@@ -2200,6 +2200,23 @@ object Llm {
       Corpus.cdcDedupReport(Fixtures.table(s, d, "documents"),
         "doc_id", "text")
     },
+
+    // L6v — WARC crawl-shard ingest: parse the real container format
+    // web crawls arrive in (hardened record walk), keep response
+    // records, and hand bodies to the HTML→text chain — the true first
+    // step ahead of l51. Rows-only (binary container parse has no SQL
+    // form); WarcSpec pins the record walk, type filter, and
+    // corrupt-shard liveness.
+    QuerySpec.unchecked("l85_warc_records") { (s, d) =>
+      graft.llm.Warc.warcRecords(
+        mediaPayloads(s, d, "warc",
+          graft.llm.Warc.attachWarcPayload(_, "doc_id")),
+        "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"), col("rec_idx"), col("target_uri"),
+          col("content_length"),
+          Corpus.htmlToText(col("body")).as("text"))
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,
