@@ -513,6 +513,30 @@ object Corpus {
     }(enc).withColumnRenamed("id", idCol)
   }
 
+  /** Deterministic exact-k-per-stratum sample: the first `k` rows of
+    * each stratum in multiplicative-id-hash order (ties to the id) —
+    * the eval-set/spot-check constructor where a FIXED count per group
+    * matters (fraction-based [[stratifiedSample]] drifts with stratum
+    * size). Membership is a pure function of the ids present, so the
+    * same corpus always yields the same sample.
+    *
+    * Scale shape: one shuffle on the stratum key + a per-stratum
+    * window. k is small by construction; a skewed giant stratum still
+    * sorts only its own partition (and a TakeOrdered-per-group rewrite
+    * is the escape hatch if one stratum outgrows an executor).
+    */
+  def stratifiedTopK(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(1048576L)), col(idCol))
+    df.withColumn("_sk_rn", row_number().over(w))
+      .filter(col("_sk_rn") <= k)
+      .withColumn("sample_rank", col("_sk_rn").cast("long"))
+      .drop("_sk_rn")
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the "C4" rules):
     * keep only lines that end in a terminal punctuation mark, contain
     * at least `minLineWords` words, and do not mention "javascript";

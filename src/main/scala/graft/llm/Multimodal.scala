@@ -536,6 +536,84 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Linear-interpolation PCM resample → a re-encoded WAV payload at
+    * `targetRate` (mono-folded: channels average into one output
+    * channel, the normalization audio-training pipelines apply before
+    * feature extraction — one canonical rate, one channel). Output
+    * sample j reads source position j·srcRate/targetRate and
+    * interpolates the two neighboring frames; 16-bit PCM in, 16-bit
+    * PCM out, exact same RIFF/WAVE layout the fixtures use, so every
+    * downstream operator here (audioStats, Goertzel bands, VAD) runs
+    * unchanged on the resampled payload. Null columns on undecodable
+    * payloads (audioStats liveness rules).
+    *
+    * Scale shape: per-row O(samples) CPU inside `mapPartitions`, no
+    * shuffle — scan work like every decode op here. Linear
+    * interpolation is the deliberate baseline (deterministic, zero
+    * dependencies); a windowed-sinc upgrade swaps the kernel, not the
+    * plumbing.
+    */
+  def resampleAudio(df: DataFrame, payloadCol: String,
+      targetRate: Int): DataFrame = {
+    require(targetRate > 0, "targetRate must be positive")
+    val schema = df.schema
+      .add(StructField("src_rate", IntegerType))
+      .add(StructField("n_in", LongType))
+      .add(StructField("n_out", LongType))
+      .add(StructField("resampled", BinaryType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val m = wavMeta(bytes)
+        val dc = if (m == null || m._3 != 16) null else wavDataChunk(bytes)
+        val extra: Seq[Any] = if (dc == null)
+          Seq(null, null, null, null)
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val (dataOff, dataSize) = (dc(0), dc(1))
+          val channels = m._2
+          val srcRate = m._1
+          val nIn = dataSize / 2 / channels
+          val nOut =
+            if (nIn == 0) 0
+            else math.max((nIn.toLong * targetRate / srcRate).toInt, 1)
+          @inline def monoAt(i: Int): Double = {
+            var acc = 0.0
+            var c = 0
+            while (c < channels) {
+              acc += bb.getShort(dataOff + (i * channels + c) * 2); c += 1
+            }
+            acc / channels
+          }
+          val out = java.nio.ByteBuffer.allocate(44 + nOut * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nOut * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+          out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)
+            .putInt(targetRate).putInt(targetRate * 2)
+            .putShort(2).putShort(16)
+          out.put("data".getBytes("US-ASCII")).putInt(nOut * 2)
+          var j = 0
+          while (j < nOut) {
+            val p = j.toDouble * srcRate / targetRate
+            val i0 = math.min(p.toInt, nIn - 1)
+            val i1 = math.min(i0 + 1, nIn - 1)
+            val frac = p - i0
+            val v = monoAt(i0) * (1.0 - frac) + monoAt(i1) * frac
+            out.putShort(math.max(math.min(math.rint(v), 32767.0), -32768.0).toShort)
+            j += 1
+          }
+          Seq[Any](srcRate, nIn.toLong, nOut.toLong, out.array())
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(encoder)
+  }
+
   /** Deterministic minimal MP4 — a real ISO-BMFF box layout (`ftyp` +
     * `moov`>`mvhd` v0) with planted timescale/duration, enough for any
     * box-walking parser to read movie timing.
@@ -971,6 +1049,108 @@ object Multimodal {
                 cx += 1
               }
               cy += 1
+            }
+            code
+          }
+        }
+        Row.fromSeq(r.toSeq :+ extra)
+      }
+    }(encoder)
+  }
+
+  /** Perceptual 64-bit DCT hash (pHash) from REAL decoded pixels:
+    * grayscale block-average onto a 32×32 grid, 2-D DCT-II, keep the
+    * 8×8 low-frequency block minus the DC term, bit i = [coefficient i
+    * above the median of the 63]. Median thresholding makes the code
+    * invariant to global brightness/contrast shifts — the failure mode
+    * of [[imageDHash]]'s gradient code under uniform re-exposure — at
+    * the cost of the DCT. The two hashes are complementary, exactly as
+    * in production near-dup stacks (pHash recall, dHash speed).
+    * Undecodable or too-small payloads hash to null.
+    *
+    * Scale shape: per-row decode + a fixed 32³-mult DCT, no shuffle;
+    * pair generation is the same banded Hamming join as dHash
+    * ([[graft.llm.TextDedup.hammingPairs]]).
+    */
+  def imagePHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema.add(StructField("phash", LongType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // DCT basis is fixed 32-point: precompute once per executor
+    val N = 32
+    df.mapPartitions { rows =>
+      val cos = Array.tabulate(N, N)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val extra: Any = if (img == null) null else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w < N || h < N) null else {
+            val sums = Array.ofDim[Long](N, N)
+            val counts = Array.ofDim[Long](N, N)
+            var y = 0
+            while (y < h) {
+              val cy = y * N / h
+              var x = 0
+              while (x < w) {
+                val cx = x * N / w
+                val p = img.getRGB(x, y)
+                sums(cy)(cx) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                counts(cy)(cx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val g = Array.ofDim[Double](N, N)
+            var i = 0
+            while (i < N) {
+              var j = 0
+              while (j < N) {
+                g(i)(j) = sums(i)(j).toDouble / (3.0 * counts(i)(j)); j += 1
+              }
+              i += 1
+            }
+            // separable DCT-II: rows then columns (unnormalized — the
+            // median threshold is scale-invariant)
+            val t1 = Array.ofDim[Double](N, N)
+            var yy = 0
+            while (yy < N) {
+              var u = 0
+              while (u < N) {
+                var acc = 0.0
+                var x = 0
+                while (x < N) { acc += g(yy)(x) * cos(u)(x); x += 1 }
+                t1(yy)(u) = acc
+                u += 1
+              }
+              yy += 1
+            }
+            val coeffs = new Array[Double](63)
+            var k = 0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                if (!(u == 0 && v == 0)) {
+                  var acc = 0.0
+                  var y2 = 0
+                  while (y2 < N) { acc += t1(y2)(u) * cos(v)(y2); y2 += 1 }
+                  coeffs(k) = acc
+                  k += 1
+                }
+                u += 1
+              }
+              v += 1
+            }
+            val sorted = coeffs.clone(); java.util.Arrays.sort(sorted)
+            val median = sorted(31) // lower median of 63
+            var code = 0L
+            var b = 0
+            while (b < 63) {
+              if (coeffs(b) > median) code |= 1L << b
+              b += 1
             }
             code
           }

@@ -2217,6 +2217,91 @@ object Llm {
           col("content_length"),
           Corpus.htmlToText(col("body")).as("text"))
     },
+
+    // L6w — deterministic exact-k-per-stratum sample (first 5 of each
+    // source in id-hash order): the eval-set constructor where a FIXED
+    // count per group matters; membership is a pure function of the
+    // ids present.
+    QuerySpec.df("l86_stratified_topk",
+      """select doc_id, source, sample_rank from (
+        |  select doc_id, source,
+        |    cast(row_number() over (partition by source
+        |      order by (doc_id * 2654435761) % 1048576, doc_id) as bigint)
+        |      as sample_rank
+        |  from documents) where sample_rank <= 5""".stripMargin) {
+      (s, d) =>
+        Corpus.stratifiedTopK(
+          Fixtures.table(s, d, "documents").select("doc_id", "source"),
+          "source", "doc_id", k = 5)
+    },
+
+    // L2k — winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): distinct window-of-4 minima over md5'd 3-gram
+    // hashes. Any shared run of >= 6 words between two documents
+    // yields a common fingerprint, so an equi-join on fp finds every
+    // sufficiently long overlap — the guarantee-backed sibling of
+    // MinHash sampling. md5 exists in both engines, so the whole
+    // fingerprint selection is oracle-checked.
+    QuerySpec.df("l87_winnowing",
+      """with g as (
+        |  select doc_id,
+        |    case when len(ws) < 3 then []
+        |         else [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |               for i in range(1, len(ws) - 1)] end as grams
+        |  from (select doc_id, text, string_split(text, ' ') as ws
+        |        from documents)),
+        |h as (select doc_id, list_transform(grams, x -> md5(x)) as hs
+        |      from g),
+        |f as (select doc_id,
+        |        case when len(hs) = 0 then []
+        |             when len(hs) < 4 then [list_min(hs)]
+        |             else list_distinct([list_min(hs[i:i+3])
+        |                    for i in range(1, len(hs) - 2)]) end as fps
+        |      from h)
+        |select doc_id, unnest(fps) as fp from f""".stripMargin) {
+      (s, d) =>
+        Fixtures.table(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextShingles.grams(col("text"), 3).as("g"))
+          .select(col("doc_id"),
+            explode(graft.functions.Winnow.fingerprints(col("g"), 4)).as("fp"))
+    },
+
+    // L5j — PCM resample to one canonical rate (the mono/16k-style
+    // normalization audio pipelines apply before features): linear
+    // interpolation over the real decoded samples, re-encoded as WAV
+    // so the whole audio operator family runs downstream unchanged.
+    // Rows-only; MediaSpec proves the planted tone survives the rate
+    // change via Goertzel band detection.
+    QuerySpec.unchecked("l88_audio_resample") { (s, d) =>
+      Multimodal.resampleAudio(
+        mediaPayloads(s, d, "tone",
+          Multimodal.attachTonePayload(_, "doc_id")),
+        "payload", targetRate = 16000)
+        .select(col("doc_id"), col("src_rate"), col("n_in"), col("n_out"),
+          octet_length(col("resampled")).as("n_bytes"))
+    },
+
+    // L5k — DCT perceptual hash (pHash), decode-verified AND
+    // hash-checked: the planted 37-group PNG fixture must collapse to
+    // exactly ONE distinct pHash code per group — real pixel decode,
+    // real 32×32 DCT, median threshold. Complements l47's dHash
+    // (median thresholding survives global brightness shifts that
+    // break gradient codes; MediaSpec proves that contrast).
+    QuerySpec.df("l89_image_phash",
+      """select cast(doc_id % 37 as bigint) as grp,
+        |  cast(count(*) as bigint) as n_docs,
+        |  cast(1 as bigint) as n_distinct_codes
+        |from documents group by 1""".stripMargin) {
+      (s, d) =>
+        Multimodal.imagePHash(
+          mediaPayloads(s, d, "imggroup",
+            Multimodal.attachGroupedImagePayload(_, "doc_id", groups = 37)),
+          "payload")
+          .groupBy((col("doc_id") % 37).as("grp"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("phash")).as("n_distinct_codes"))
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

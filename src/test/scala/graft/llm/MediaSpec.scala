@@ -390,6 +390,64 @@ class MediaSpec extends SparkSpec {
     assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2) && rows(2L).isNullAt(3))
   }
 
+  test("pHash: identical bytes hash identically; brightness shift stays near; groups differ") {
+    def brighten(png: Array[Byte], delta: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        def c(v: Int) = math.min(v + delta, 255)
+        out.setRGB(x, y,
+          (c((p >> 16) & 0xff) << 16) | (c((p >> 8) & 0xff) << 8) | c(p & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    val a = Multimodal.noisePngBytes(36, 32, seed = 7)
+    val b = Multimodal.noisePngBytes(36, 32, seed = 8)
+    val rows = Seq((1L, a), (2L, a.clone()), (3L, b), (4L, brighten(a, 40)),
+      (5L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val codes = Multimodal.imagePHash(rows, "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(codes(1L) == codes(2L) && codes(1L).isDefined)
+    assert(codes(5L).isEmpty)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val interGroup = ham(codes(1L).get, codes(3L).get)
+    val brightShift = ham(codes(1L).get, codes(4L).get)
+    assert(interGroup > 12, s"different noise groups too close: $interGroup")
+    assert(brightShift <= 6,
+      s"median-threshold pHash should survive brightness shift: $brightShift")
+  }
+
+  test("resample preserves the planted tone's dominant band and scales duration") {
+    val docs = Seq(1L, 2L, 5L).toDF("doc_id")
+    val toned = Multimodal.attachTonePayload(docs, "doc_id") // 8 kHz, 400*(id%8+1) Hz
+    val res = Multimodal.resampleAudio(toned, "payload", targetRate = 16000)
+    val meta = res.select("doc_id", "src_rate", "n_in", "n_out").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    meta.foreach { case (id, (sr, nIn, nOut)) =>
+      assert(sr == 8000 && nIn == 2000 && nOut == 4000, s"doc $id: $sr $nIn $nOut")
+    }
+    // Goertzel on the RESAMPLED payload still finds the planted tone
+    val dom = Multimodal.audioBandEnergy(
+        res.select(col("doc_id"), col("resampled").as("payload")),
+        "payload", bandsHz = (1 to 8).map(_ * 400.0).toArray)
+      .select("doc_id", "dominant_freq").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(1L, 2L, 5L).foreach { id =>
+      assert(dom(id) == 400.0 * (id % 8 + 1),
+        s"doc $id: dominant ${dom(id)} after resample")
+    }
+    // corrupt payload -> null columns
+    val junk = Seq((9L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val row = Multimodal.resampleAudio(junk, "payload", 16000).head()
+    assert(row.isNullAt(2) && row.isNullAt(4))
+  }
+
   test("extractFeatures decodes wav payloads for real (audio branch)") {
     val docs = Seq(1L, 2L).toDF("doc_id")
     val withAudio = Multimodal.attachAudioPayload(docs, "doc_id")

@@ -145,6 +145,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > 1, "fixture should span shards")
   }
 
+  test("stratified top-k: exactly k per stratum, stable under repartitioning") {
+    val base = docs.select(col("doc_id"), col("source"))
+    val a = Corpus.stratifiedTopK(base, "source", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val perSource = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val sizes = base.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0) == math.min(5L, n).toInt, s"source $src")
+    }
+    a.foreach { case (_, _, rank) => assert(rank >= 1 && rank <= 5) }
+    val b = Corpus.stratifiedTopK(base.repartition(13), "source", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("shard assignment is invariant to input partitioning") {
     val a = Corpus.assignShards(docs, "doc_id",
       TextAnalysis.tokenCount(col("text")), 64L, orderBuckets = 16)
