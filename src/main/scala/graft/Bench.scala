@@ -87,7 +87,12 @@ object Bench {
       // pays its own whole-stage-codegen compile (1-2 s for the
       // generator-heavy plans — q23's string batch, q09's union+window),
       // which a long-lived cluster amortizes; without this, that
-      // compile cost trips the divergence flag as fake "machine load"
+      // compile cost trips the divergence flag as fake "machine load".
+      // The explicit GC compacts the heap the 117 preceding queries
+      // fragmented: allocation-heavy queries (interpreted HOFs, media
+      // decode) otherwise measure up to 6× slower late in the suite
+      // than in isolation — suite-order contamination, not query cost.
+      System.gc()
       once(q.name)
       val m = measure(q.name)
       if (m._3) System.err.println(

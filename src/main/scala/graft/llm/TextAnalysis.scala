@@ -29,10 +29,15 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Stopword hits for one language's list. */
+  /** Stopword hits for one language's list (distinct list words
+    * present). Codegen'd kernel — the HOF formulation
+    * (`array_intersect(array_distinct(split(...)), ...)`) is
+    * CodegenFallback and allocation-heavy, measured 6× slower again
+    * under late-suite heap pressure (see
+    * [[graft.functions.StopwordOps]]).
+    */
   def stopwordHits(text: Column, lang: String): Column =
-    size(array_intersect(array_distinct(words(text)),
-      array(stopwords(lang).map(lit): _*)))
+    graft.functions.StopwordCount.distinctHits(text, stopwords(lang))
 
   /** Heuristic language id: argmax of stopword hits, 'und' when no list
     * scores at least one hit. Ties break in fixed lang order.
@@ -68,8 +73,8 @@ object TextAnalysis {
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
   def stopwordRatio(text: Column): Column =
-    size(filter(words(text), w =>
-      array_contains(array(stopwords("en").map(lit): _*), w))).cast("double") /
+    graft.functions.StopwordCount.occurrences(text, stopwords("en"))
+      .cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
 
   /** Composite quality score in [0,1]: rewards mid-length docs with
@@ -238,8 +243,8 @@ object TextAnalysis {
     val ellipsisRatio =
       perWord(size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))))
     val alphaWordRatio = perWord(size(filter(ws, w => w.rlike("[A-Za-z]"))))
-    val stopHits = size(array_intersect(array_distinct(ws),
-      array(gopherStopwords.map(lit): _*)))
+    val stopHits =
+      graft.functions.StopwordCount.distinctHits(text, gopherStopwords)
     docs.select(col(idCol),
       nW.as("n_words"), meanLen.as("mean_word_len"),
       hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
