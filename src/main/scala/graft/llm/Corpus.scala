@@ -418,6 +418,29 @@ object Corpus {
       .select(col(idCol), col("n_tokens"), col("shard"))
   }
 
+  /** Per-source dataset-card composition report: the table a dataset
+    * card publishes next to [[graft.operators.ConnectedComponents
+    * .collapseReport]]'s dedup numbers — documents, token/char volume,
+    * language spread, mean quality signals, and the fraction passing
+    * the linear quality classifier, per source. One map-side-combined
+    * aggregation over the scan (all signals are codegen'd column
+    * expressions), so the report costs one pass at any corpus size.
+    */
+  def datasetCard(docs: DataFrame, sourceCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(t).cast("long")).as("n_tokens"),
+      sum(length(t).cast("long")).as("n_chars"),
+      countDistinct(col(langCol)).as("n_langs"),
+      round(avg(TextAnalysis.alphaRatio(t)), 6).as("mean_alpha_ratio"),
+      round(avg(TextAnalysis.punctRatio(t)), 6).as("mean_punct_ratio"),
+      round(avg(TextAnalysis.avgWordLen(t)), 6).as("mean_word_len"),
+      round(sum(when(TextAnalysis.classifierScore(t) >= 0.5, 1)
+        .otherwise(0)) * lit(1.0) / count(lit(1)), 6).as("keep_frac"))
+  }
+
   /** Content-defined chunk table: one row per (document, chunk) with
     * byte offset/length and the 64-bit chunk fingerprint, from the
     * codegen'd gear-hash CDC kernel ([[graft.functions.CdcChunks]]).

@@ -1041,15 +1041,21 @@ object TextAnalysis {
     * bit-identical on any IEEE-754 engine (the determinism contract of
     * QuerySpec).
     */
+  /** The 6dp-rounded sigmoid score of [[qualityClassifier]] as a bare
+    * column (for report aggregations like `Corpus.datasetCard`).
+    */
+  def classifierScore(text: Column): Column = {
+    val z = lit(-2.5) +
+      lit(3.0) * alphaRatio(text) +
+      lit(5.0) * stopwordRatio(text) -
+      lit(8.0) * punctRatio(text) +
+      lit(0.35) * log(tokenCount(text) + lit(1.0))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   def qualityClassifier(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = col(textCol)
-    val z = lit(-2.5) +
-      lit(3.0) * alphaRatio(t) +
-      lit(5.0) * stopwordRatio(t) -
-      lit(8.0) * punctRatio(t) +
-      lit(0.35) * log(tokenCount(t) + lit(1.0))
-    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    val score = classifierScore(col(textCol))
     docs.select(col(idCol), score.as("score"),
       (score >= 0.5).as("keep"))
   }

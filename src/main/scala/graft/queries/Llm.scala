@@ -2302,6 +2302,45 @@ object Llm {
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("phash")).as("n_distinct_codes"))
     },
+
+    // L6x — per-source dataset-card composition report: the numbers a
+    // dataset card publishes next to l74's dedup table — volume,
+    // language spread, mean quality signals, classifier keep rate.
+    QuerySpec.df("l90_dataset_card",
+      """with sig as (
+        |  select source, lang, length(text) as nc,
+        |    case when length(trim(text)) = 0 then 0
+        |         else len(string_split_regex(trim(text), '\s+')) end as n,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |      / greatest(length(text), 1) as alpha,
+        |    length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0
+        |      / greatest(length(text), 1) as punct,
+        |    length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |      / greatest(case when length(trim(text)) = 0 then 0
+        |                 else len(string_split_regex(trim(text), '\s+')) end,
+        |                 1) as wlen,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> w in ('the','a','of','and','to','in','is','it'))) * 1.0
+        |      / greatest(case when length(trim(text)) = 0 then 0
+        |                 else len(string_split_regex(trim(text), '\s+')) end,
+        |                 1) as stop
+        |  from documents)
+        |select source,
+        |  cast(count(*) as bigint) as n_docs,
+        |  cast(sum(n) as bigint) as n_tokens,
+        |  cast(sum(nc) as bigint) as n_chars,
+        |  cast(count(distinct lang) as bigint) as n_langs,
+        |  round(avg(alpha), 6) as mean_alpha_ratio,
+        |  round(avg(punct), 6) as mean_punct_ratio,
+        |  round(avg(wlen), 6) as mean_word_len,
+        |  round(sum(case when round(1.0 / (1.0 + exp(-(-2.5 + 3.0 * alpha
+        |      + 5.0 * stop - 8.0 * punct + 0.35 * ln(n + 1.0)))), 6) >= 0.5
+        |      then 1 else 0 end) * 1.0 / count(*), 6) as keep_frac
+        |from sig group by source""".stripMargin) {
+      (s, d) =>
+        Corpus.datasetCard(Fixtures.table(s, d, "documents"),
+          "source", "lang", "text")
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

@@ -145,6 +145,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > 1, "fixture should span shards")
   }
 
+  test("dataset card aggregates volume, language spread, and keep rate per source") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, "the cat is on the mat and it is a fine day", "en", "web"),
+      (2L, "the dog is in the house and it is warm", "en", "web"),
+      (3L, "!!! ??? ,,, ;;;", "und", "web"),
+      (4L, "short doc", "de", "books")).toDF("doc_id", "text", "lang", "source")
+    val card = Corpus.datasetCard(frame, "source", "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = card("web")
+    assert(web.getLong(1) == 3 && card("books").getLong(1) == 1)
+    assert(web.getLong(2) == 12 + 10 + 4, "token volume")
+    assert(web.getLong(4) == 2, "en + und")
+    // two fluent docs keep, the punctuation doc drops
+    assert(web.getDouble(8) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(card("books").getLong(4) == 1)
+  }
+
   test("stratified top-k: exactly k per stratum, stable under repartitioning") {
     val base = docs.select(col("doc_id"), col("source"))
     val a = Corpus.stratifiedTopK(base, "source", "doc_id", 5)
