@@ -130,7 +130,14 @@ object PlanDigest {
     // broadcast offset join, no extra global sort); NFC normalization
     // must stay one codegen'd zero-shuffle scan
     "l75_bm25_search", "l77_shard_assign", "l78_nfc_normalize",
-    "l80_bm25_index") ++ builders.keys.toSeq.sorted
+    "l80_bm25_index",
+    // round-9 waves 3-4: NB scoring must keep its broadcast
+    // classes/model-side shapes; winnowing and the dataset card must
+    // stay single-scan (a lost map-side combine or a surprise shuffle
+    // would ship silently); the stratified sample must stay one
+    // stratum shuffle + window
+    "l81_nb_classifier", "l86_stratified_topk", "l87_winnowing",
+    "l90_dataset_card") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
