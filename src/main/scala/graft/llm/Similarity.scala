@@ -46,6 +46,30 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes for sign-LSH, seeded. */
+  /** Hard-negative mining for retriever/embedding training (the DPR /
+    * contrastive-learning data-prep step): for each query vector, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually move the loss, as opposed to random
+    * in-batch ones. Same exact-scoring shape as [[bruteForceTopK]]
+    * (broadcast queries over the corpus scan, per-query top-k window)
+    * plus the label-inequality filter; at ANN scale substitute the
+    * IVF/LSH candidate paths and keep the same filter+rank tail.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String,
+      qLabel: String, cLabel: String, k: Int): DataFrame = {
+    val pairs = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .filter(col(qLabel) =!= col(cLabel))
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .filter(!isnan(col("cos")))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(round(col("cos"), 6).desc, col(cId).asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+
   def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(n)(Array.fill(dim)(rng.nextGaussian()))

@@ -374,4 +374,67 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** COMPLETE banded edit-distance join: every (left, right) pair with
+    * `levenshtein ≤ maxDist` — record linkage / title matching /
+    * typo-tolerant entity resolution, with an exactness guarantee the
+    * LSH family deliberately trades away. Two candidate paths, both
+    * provably complete, unioned then verified:
+    *
+    *  - **q-gram path** (covers every pair whose longer string has ≥
+    *    (maxDist+1)·q chars): k edits change at most k·q gram VALUES
+    *    (an indel shifts later grams' positions but not their values),
+    *    so matching pairs share ≥ L−q+1−k·q ≥ 1 gram — an equi-join
+    *    on distinct q-grams finds them. Skew note: stop-grams ("the ")
+    *    fan out; the positional PassJoin segment scheme is the
+    *    documented upgrade if gram skew ever dominates.
+    *  - **short path** (both strings < (maxDist+1)·q): length bands of
+    *    width maxDist+1, each side probing its own and the previous
+    *    band, so any pair with |len diff| ≤ maxDist co-buckets. Cost
+    *    is bounded by the distinct-short-string population (vocabulary
+    *    -bounded in practice), not the corpus.
+    *
+    * The final filter also enforces `|len diff| ≤ maxDist` before
+    * paying levenshtein. Output: (id_l, id_r, dist).
+    */
+  def editDistancePairs(left: DataFrame, right: DataFrame,
+      lId: String, lStr: String, rId: String, rStr: String,
+      maxDist: Int, q: Int = 4): DataFrame = {
+    require(maxDist >= 1 && q >= 2, s"maxDist=$maxDist, q=$q")
+    val thresh = (maxDist + 1) * q
+    val l = left.select(col(lId).as("id_l"), col(lStr).as("_ed_ls"))
+      .withColumn("_ed_ll", length(col("_ed_ls")))
+    val r = right.select(col(rId).as("id_r"), col(rStr).as("_ed_rs"))
+      .withColumn("_ed_rl", length(col("_ed_rs")))
+    // q-gram path
+    val lg = l.select(col("id_l"), col("_ed_ls"), col("_ed_ll"),
+      explode(array_distinct(
+        graft.functions.TextShingles.charGrams(col("_ed_ls"), q))).as("_ed_g"))
+    val rg = r.select(col("id_r"), col("_ed_rs"), col("_ed_rl"),
+      explode(array_distinct(
+        graft.functions.TextShingles.charGrams(col("_ed_rs"), q))).as("_ed_g"))
+    val gramCands = lg.join(rg, "_ed_g")
+      .select("id_l", "_ed_ls", "_ed_ll", "id_r", "_ed_rs", "_ed_rl")
+    // short path: both sides under the q-gram guarantee threshold
+    val band = (c: Column) => floor(c / lit(maxDist + 1))
+    // probe own band and BOTH neighbors: lengths within maxDist can
+    // land in the band above or below (width k+1 bands only bound the
+    // spread to one band either way)
+    val ls = l.filter(col("_ed_ll") < thresh)
+      .select(col("id_l"), col("_ed_ls"), col("_ed_ll"),
+        explode(array(band(col("_ed_ll")) - 1, band(col("_ed_ll")),
+          band(col("_ed_ll")) + 1)).as("_ed_b"))
+    val rs = r.filter(col("_ed_rl") < thresh)
+      .select(col("id_r"), col("_ed_rs"), col("_ed_rl"),
+        band(col("_ed_rl")).as("_ed_b"))
+    val shortCands = ls.join(rs, "_ed_b")
+      .select("id_l", "_ed_ls", "_ed_ll", "id_r", "_ed_rs", "_ed_rl")
+    gramCands.unionByName(shortCands)
+      .filter(abs(col("_ed_ll") - col("_ed_rl")) <= maxDist)
+      .distinct()
+      .withColumn("dist", levenshtein(col("_ed_ls"), col("_ed_rs")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_l"), col("id_r"), col("dist"))
+      .distinct()
+  }
 }

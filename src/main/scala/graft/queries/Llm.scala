@@ -2341,6 +2341,66 @@ object Llm {
         Corpus.datasetCard(Fixtures.table(s, d, "documents"),
           "source", "lang", "text")
     },
+
+    // L2l — COMPLETE banded edit-distance join (record linkage /
+    // typo-tolerant title matching): the q-gram value bound (k edits
+    // change ≤ k·q gram values) makes the banded equi-join provably
+    // complete, so the Spark side must reproduce the brute-force
+    // all-pairs oracle EXACTLY — exactness is the operator's claim.
+    // Fixture: 5-word titles; batch plants a dropped 3rd character on
+    // every doc_id % 3 == 0 title.
+    QuerySpec.df("l91_fuzzy_join",
+      """with titles as (
+        |  select doc_id,
+        |    array_to_string((string_split(text, ' '))[1:5], ' ') as title
+        |  from documents),
+        |batch as (
+        |  select doc_id + 100000 as doc_id,
+        |    substr(title, 1, 2) || substr(title, 4) as title
+        |  from titles where doc_id % 3 = 0)
+        |select t.doc_id as id_l, b.doc_id as id_r,
+        |  cast(levenshtein(t.title, b.title) as int) as dist
+        |from titles t cross join batch b
+        |where levenshtein(t.title, b.title) <= 2""".stripMargin) {
+      (s, d) =>
+        val titles = Fixtures.table(s, d, "documents")
+          .select(col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"))
+        val batch = titles.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(substring(col("title"), 1, 2),
+              expr("substring(title, 4)")).as("title"))
+        TextDedup.editDistancePairs(titles, batch,
+          "doc_id", "title", "doc_id", "title", maxDist = 2)
+    },
+
+    // L3g — hard-negative mining (contrastive retriever training prep):
+    // per query, the top-5 most-similar vectors with a DIFFERENT
+    // label. Exact-scoring oracle, l05's conventions.
+    QuerySpec.df("l92_hard_negatives",
+      s"""select q_id, c_id, round(cos, 4) as cos, rk from (
+         |  select q_id, c_id, cos,
+         |    row_number() over (partition by q_id
+         |                       order by round(cos, 6) desc, c_id) as rk
+         |  from (
+         |    select q.vec_id as q_id, c.vec_id as c_id,
+         |      ${duckDot.format("q.embedding", "c.embedding")} /
+         |      (${duckNorm("q.embedding")} * ${duckNorm("c.embedding")}) as cos
+         |    from embeddings q join embeddings c
+         |      on q.vec_id <> c.vec_id and q.label <> c.label
+         |    where q.vec_id < 20
+         |  )
+         |) where rk <= 5""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("label").as("q_label")),
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+            col("label").as("c_label")),
+          "q_id", "c_id", "q_vec", "c_vec", "q_label", "c_label", k = 5)
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,
