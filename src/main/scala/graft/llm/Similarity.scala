@@ -285,6 +285,37 @@ object Similarity {
     (quantizer, postings)
   }
 
+  /** Incremental IVF index UPDATE (the FAISS `add` path): encode a new
+    * vector batch against the FROZEN quantizer — nearest stored
+    * centroid, per-vector int8 code, exactly [[buildIvfIndex]]'s
+    * posting formula — and return the posting rows to append to the
+    * stored index (e.g. `write.mode("append")`). No retraining, no
+    * touch of existing postings: per-ingest cost is O(batch ×
+    * nCentroids), which is what makes a 100 TB embedding store
+    * maintainable between periodic re-trains (the documented drift
+    * caveat: a quantizer frozen long enough stops matching the data
+    * distribution — rebuild cadence is an operational knob, not an
+    * engine one).
+    */
+  def appendToIvfIndex(batch: DataFrame, quantizer: DataFrame,
+      cId: String, cVec: String): DataFrame = {
+    import graft.functions.Ivf
+    val qrows = quantizer.orderBy("cell").select("cell", "centroid").collect()
+    require(qrows.iterator.map(_.getInt(0)).sameElements(qrows.indices.iterator),
+      s"quantizer cells must be contiguous 0..${qrows.length - 1}")
+    val centroids = qrows.map(_.getSeq[Double](1).toArray)
+    val vd = transform(col(cVec), x => x.cast("double"))
+    val scale = array_max(transform(vd, a => abs(a)))
+    batch
+      .withColumn("cell",
+        element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
+      .withColumn("code", when(scale === 0.0,
+          transform(vd, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(vd,
+          x => round(x * lit(127.0) / scale).cast("tinyint"))))
+      .select(col(cId), col("cell"), col("code"))
+  }
+
   /** IVF + int8 scan + exact rerank over an ALREADY-BUILT index
     * ([[buildIvfIndex]]'s output, typically read back from storage).
     * The quantizer table collects to the driver — it IS the coarse

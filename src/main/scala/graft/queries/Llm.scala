@@ -2401,6 +2401,40 @@ object Llm {
             col("label").as("c_label")),
           "q_id", "c_id", "q_vec", "c_vec", "q_label", "c_label", k = 5)
     },
+
+    // L3h — incremental IVF index ingest (the FAISS `add` path): the
+    // timed query encodes a NEW batch against the frozen persisted
+    // quantizer and searches the grown index — no retrain, no
+    // re-encode of the existing postings. Rows-only; LlmSpec proves
+    // append ≡ one-pass encode and planted-neighbor recall through
+    // the appended index.
+    QuerySpec.unchecked("l93_ivf_append") { (s, d) =>
+      val emb = Fixtures.table(s, d, "embeddings")
+      val corpusA = emb.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val batchB = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val base = ivfAppendDirs.computeIfAbsent(d, _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-ivfapp-").toString
+        val (quantizer, postings) =
+          Similarity.buildIvfIndex(corpusA, "c_id", "c_vec")
+        quantizer.write.mode("overwrite").parquet(s"$out/quantizer.parquet")
+        postings.repartition(s.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$out/postings.parquet")
+        out
+      })
+      val quantizer = s.read.parquet(s"$base/quantizer.parquet")
+      val grown = s.read.parquet(s"$base/postings.parquet")
+        .unionByName(Similarity.appendToIvfIndex(
+          batchB, quantizer, "c_id", "c_vec"))
+      Similarity.ivfPqTopKAgainstIndex(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        quantizer, grown,
+        corpusA.unionByName(batchB),
+        "q_id", "c_id", "q_vec", "c_vec", k = 5)
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,
@@ -2415,6 +2449,9 @@ object Llm {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val bm25IndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val ivfAppendDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Media-payload fixture, materialized to a temp parquet once per

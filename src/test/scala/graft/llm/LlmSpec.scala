@@ -663,6 +663,39 @@ class LlmSpec extends SparkSpec {
     assert(red.contains("nothing here"))
   }
 
+  test("IVF append: frozen-quantizer encode equals the build formula; appended neighbors are found") {
+    val corpusA = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val (quantizer, postingsA) = Similarity.buildIvfIndex(corpusA, "c_id", "c_vec")
+    // batch B: near-copies of the first 10 vectors (ids +100000)
+    val batchB = graft.queries.Llm.plantedCorpus(emb)
+      .filter(col("vec_id") >= 100000L && col("vec_id") < 100010L)
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<float>").as("c_vec"))
+    val appended = Similarity.appendToIvfIndex(batchB, quantizer, "c_id", "c_vec")
+    // append postings use the same formula as build: every appended
+    // cell is a valid quantizer cell, codes are int8
+    val cells = quantizer.select("cell").collect().map(_.getInt(0)).toSet
+    appended.collect().foreach { r =>
+      assert(cells(r.getInt(1)), s"cell ${r.getInt(1)} not in quantizer")
+      assert(r.getSeq[Byte](2).nonEmpty)
+    }
+    // searching the grown index finds each planted near-copy at rank 1
+    val grown = postingsA.unionByName(appended)
+    val allVecs = corpusA.unionByName(
+      batchB.select(col("c_id"), col("c_vec")))
+    val hits = Similarity.ivfPqTopKAgainstIndex(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        quantizer, grown, allVecs,
+        "q_id", "c_id", "q_vec", "c_vec", k = 3)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { q =>
+      assert(hits(q) == q + 100000L,
+        s"query $q: rank-1 is ${hits(q)}, want the appended near-copy")
+    }
+  }
+
   test("quality/token/langid expressions handle edge cases") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "   "), (3L, "the of and a is"), (4L, "der und ist das nicht"))
