@@ -285,6 +285,87 @@ object Similarity {
     (quantizer, postings)
   }
 
+  /** Per-subspace k-means codebooks for product quantization (Jégou
+    * et al. 2011 §II): the vector splits into `m` contiguous
+    * subvectors; each subspace trains its own `ksub`-centroid L2
+    * k-means (deterministic lowest-hash seeds, means rounded to 1e-9
+    * — the [[trainIvfCentroids]] conventions, minus the normalize:
+    * PQ codebooks are plain means, not directions). Driver holds only
+    * the m×ksub×(d/m) centroid table.
+    */
+  def trainPqCodebooks(corpus: DataFrame, cId: String, cVec: String,
+      m: Int, ksub: Int, lloydIters: Int): Array[Array[Array[Double]]] = {
+    import graft.functions.Pq
+    val dim = corpus.select(size(col(cVec))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(cId).as("_pq_id"),
+        slice(col(cVec), j * dsub + 1, dsub).as("_pq_sub"))
+      var cents = sub.orderBy(xxhash64(col("_pq_id")), col("_pq_id"))
+        .limit(ksub).select("_pq_sub").collect()
+        .map(_.getSeq[Any](0).toArray.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        })
+      (1 to lloydIters).foreach { _ =>
+        val byCell = sub
+          .withColumn("_pq_c",
+            element_at(Pq.encode(col("_pq_sub"), Array(cents)), 1).cast("int"))
+          .groupBy("_pq_c")
+          .agg(graft.functions.VectorAvg.vectorAvg(col("_pq_sub")).as("_pq_mean"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            r.getSeq[Double](1).toArray.map(x => math.rint(x * 1e9) / 1e9)).toMap
+        cents = cents.indices.map(i => byCell.getOrElse(i, cents(i))).toArray
+      }
+      cents
+    }.toArray
+  }
+
+  /** Product-quantization top-k (compressed exhaustive ADC scan +
+    * exact rerank): corpus vectors live as m-byte codes (32×
+    * compression at d=64, m=8 vs float32), each query builds one
+    * m×ksub dot table, and every code scores with m table lookups —
+    * the approximate cosine ranks a k·rerankFactor shortlist that
+    * alone fetches full-precision vectors for the exact final
+    * ranking. THE memory-bound ANN workhorse: at 100 TB of float
+    * embeddings the code table is ~3 TB and the scan is
+    * bandwidth-limited, not FLOP-limited; compose with the IVF cell
+    * filter ([[ivfPqTopKAgainstIndex]]'s probe join) to cut the scan
+    * to probed cells — this operator is the quantization half of that
+    * composition, isolated and recall-testable.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String,
+      k: Int, m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
+      rerankFactor: Int = 4): DataFrame = {
+    import graft.functions.Pq
+    val cb = trainPqCodebooks(corpus, cId, cVec, m, ksub, lloydIters)
+    val codes = corpus.select(col(cId),
+      Pq.encode(col(cVec), cb).as("_pq_code"))
+    val qt = queries.select(col(qId), col(qVec),
+      Pq.adcTable(col(qVec), cb).as("_pq_tbl"))
+    val cand = codes.crossJoin(broadcast(qt))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("acos",
+        Pq.score(col("_pq_tbl"), col("_pq_code"), cb) / norm(col(qVec)))
+      .filter(!isnan(col("acos")))
+    val ws = Window.partitionBy(col(qId))
+      .orderBy(round(col("acos"), 6).desc, col(cId).asc)
+    val shortlist = cand.withColumn("_pq_rk", row_number().over(ws))
+      .filter(col("_pq_rk") <= k * rerankFactor)
+      .select(col(qId), col(cId), col(qVec))
+    val rer = shortlist.join(corpus.select(col(cId), col(cVec)), cId)
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .filter(!isnan(col("cos")))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(round(col("cos"), 6).desc, col(cId).asc)
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+
   /** Incremental IVF index UPDATE (the FAISS `add` path): encode a new
     * vector batch against the FROZEN quantizer — nearest stored
     * centroid, per-vector int8 code, exactly [[buildIvfIndex]]'s

@@ -2435,6 +2435,21 @@ object Llm {
         corpusA.unionByName(batchB),
         "q_id", "c_id", "q_vec", "c_vec", k = 5)
     },
+
+    // L3i — true product quantization (Jégou et al. 2011): m=8
+    // subspace codebooks, 8-byte codes (32× compression), per-query
+    // ADC dot table, exact rerank of the shortlist — the
+    // memory-bandwidth ANN workhorse, isolated from the IVF cell
+    // filter it composes with. Approximate by design → rows-only;
+    // LlmSpec measures planted-near-dup recall.
+    QuerySpec.unchecked("l94_pq_ann") { (s, d) =>
+      val emb = Fixtures.table(s, d, "embeddings")
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "q_id", "c_id", "q_vec", "c_vec", k = 5)
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

@@ -696,6 +696,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("PQ: 8-byte codes, planted near-copies recalled at rank 1") {
+    val planted = graft.queries.Llm.plantedCorpus(emb)
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<float>").as("c_vec"))
+    // codes really are m bytes
+    val cb = Similarity.trainPqCodebooks(planted, "c_id", "c_vec",
+      m = 8, ksub = 16, lloydIters = 2)
+    assert(cb.length == 8 && cb.forall(_.length == 16))
+    val code = planted.select(
+      graft.functions.Pq.encode(col("c_vec"), cb)).head().getSeq[Byte](0)
+    assert(code.length == 8)
+    // recall: each of the first 20 queries must surface its planted
+    // +100000 near-copy at rank 1 (ADC shortlist + exact rerank)
+    val hits = Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        planted, "q_id", "c_id", "q_vec", "c_vec", k = 3)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recalled = (0L until 20L).count(q => hits.get(q).contains(q + 100000L))
+    assert(recalled >= 18, s"planted recall $recalled/20")
+  }
+
   test("quality/token/langid expressions handle edge cases") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "   "), (3L, "the of and a is"), (4L, "der und ist das nicht"))
