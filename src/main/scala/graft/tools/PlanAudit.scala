@@ -137,7 +137,13 @@ object PlanDigest {
     // would ship silently); the stratified sample must stay one
     // stratum shuffle + window
     "l81_nb_classifier", "l86_stratified_topk", "l87_winnowing",
-    "l90_dataset_card") ++ builders.keys.toSeq.sorted
+    "l90_dataset_card",
+    // round-9 wave 5: the fuzzy join must stay a PassJoin segment
+    // equi-join (a regression to nested-loop/cartesian — or the first
+    // formulation's skew-prone bare-gram join shape changing the scan
+    // count — would ship silently); PQ must keep its broadcast ADC
+    // table side
+    "l91_fuzzy_join", "l94_pq_ann") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
