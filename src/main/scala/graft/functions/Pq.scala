@@ -30,8 +30,19 @@ object PqOps {
   /** m byte codes: per subspace, the L2-nearest codebook centroid
     * (ties to the lower index). Codebooks index as cb(j)(c)(dim).
     */
+  /** Total dimensionality the codebooks expect. */
+  private def totalDim(cb: Array[Array[Array[Double]]]): Int = {
+    var d = 0
+    var j = 0
+    while (j < cb.length) { d += cb(j)(0).length; j += 1 }
+    d
+  }
+
   def encode(vec: ArrayData, isFloat: Boolean,
       cb: Array[Array[Array[Double]]]): ArrayData = {
+    // a vector shorter than the trained dimensionality cannot encode —
+    // null, not an out-of-bounds read on a ragged corpus
+    if (vec.numElements() < totalDim(cb)) return null
     val m = cb.length
     val out = new Array[Byte](m)
     var j = 0
@@ -66,6 +77,7 @@ object PqOps {
     */
   def adcTable(vec: ArrayData, isFloat: Boolean,
       cb: Array[Array[Array[Double]]]): ArrayData = {
+    if (vec.numElements() < totalDim(cb)) return null
     val m = cb.length
     val ksub = cb(0).length
     val out = new Array[Double](m * ksub)
@@ -98,12 +110,17 @@ object PqOps {
     */
   def score(tbl: ArrayData, code: ArrayData, normsSq: Array[Double],
       ksub: Int): Double = {
-    val m = code.numElements()
+    // codes may come from PERSISTED postings — treat them as untrusted:
+    // a code outside the trained book or a code/table length mismatch
+    // yields NaN (callers filter !isnan), never an out-of-bounds read
+    val m = math.min(code.numElements(), tbl.numElements() / ksub)
+    if (m < code.numElements()) return Double.NaN
     var dot = 0.0
     var n2 = 0.0
     var j = 0
     while (j < m) {
       val c = code.getByte(j) & 0xff
+      if (c >= ksub) return Double.NaN
       dot += tbl.getDouble(j * ksub + c)
       n2 += normsSq(j * ksub + c)
       j += 1
@@ -129,10 +146,16 @@ case class PqEncode(child: Expression, cb: Array[Array[Array[Double]]])
   }
   override def nullSafeEval(t: Any): Any =
     PqOps.encode(t.asInstanceOf[ArrayData], isFloat, cb)
+  // nullSafeCodeGen, not defineCodeGen: the kernel returns null for
+  // vectors shorter than the trained dimensionality, and the simple
+  // variant's generated assignment assumes non-null results
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodebooks", cb, "double[][][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PqOps.encode($c, $isFloat, $ref)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.PqOps.encode($c, $isFloat, $ref);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
@@ -155,8 +178,11 @@ case class PqAdcTable(child: Expression, cb: Array[Array[Array[Double]]])
     PqOps.adcTable(t.asInstanceOf[ArrayData], isFloat, cb)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodebooks", cb, "double[][][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PqOps.adcTable($c, $isFloat, $ref)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.PqOps.adcTable($c, $isFloat, $ref);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
     copy(child = newChild)

@@ -394,8 +394,11 @@ object Corpus {
       "orderBuckets must divide the 2^20 hash keyspace")
     import org.apache.spark.sql.expressions.Window
     val width = 1048576L / orderBuckets
+    // null weights (null text → null token count) count as 0 tokens:
+    // the document still gets a shard instead of a null cascade
+    // through the prefix sums
     val base = docs.select(col(idCol),
-        weight.cast("long").as("n_tokens"),
+        coalesce(weight.cast("long"), lit(0L)).as("n_tokens"),
         pmod(col(idCol) * lit(2654435761L), lit(1048576L)).as("_sh_hk"))
       .withColumn("_sh_bkt", floor(col("_sh_hk") / lit(width.toDouble)))
     // pass 1: per-bucket totals -> exclusive bucket offsets. The

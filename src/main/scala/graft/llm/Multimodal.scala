@@ -251,7 +251,10 @@ object Multimodal {
         dataSize = math.min(size.toLong, n - i - 8)
       i += 8L + size + (size & 1) // chunks are word-aligned
     }
-    if (sr < 0 || ch <= 0 || bits <= 0 || dataSize < 0) return null
+    // sr == 0 is as corrupt as a negative size: downstream consumers
+    // divide by it (resample's frame math) or seed trig with ∞
+    // (Goertzel's 2πf/sr → NaN powers → argmax -1)
+    if (sr <= 0 || ch <= 0 || bits <= 0 || dataSize < 0) return null
     val bytesPerFrame = ch.toLong * bits / 8
     if (bytesPerFrame <= 0) null
     else (sr, ch, bits, dataSize / bytesPerFrame)
@@ -555,7 +558,11 @@ object Multimodal {
     */
   def resampleAudio(df: DataFrame, payloadCol: String,
       targetRate: Int): DataFrame = {
-    require(targetRate > 0, "targetRate must be positive")
+    // upper bound keeps nOut = nIn·target/src inside Int for any
+    // payload-bounded nIn (no NegativeArraySizeException on a crafted
+    // tiny srcRate + huge targetRate combination)
+    require(targetRate > 0 && targetRate <= 1000000,
+      s"targetRate out of range: $targetRate")
     val schema = df.schema
       .add(StructField("src_rate", IntegerType))
       .add(StructField("n_in", LongType))

@@ -616,5 +616,56 @@ object Relational {
         |  cast('123.5' as double) as lit_d,
         |  cast(cast(o_orderdate as date) as string) as date_str
         |from orders where o_orderkey % 50 = 0""".stripMargin),
+
+    // Q36 (beyond the reference surface) — time-series gap fill: per
+    // user, resample onto an hourly grid between the first and last
+    // observed hour, forward-filling the last observation (the metric
+    // downsampling/reporting primitive). Per-hour observation = the
+    // latest event in that hour (ts desc, event_id desc — total
+    // order). Scale shape: per-user windows (no global sort), grid
+    // explode bounded by the time span, one shuffle on user_id.
+    QuerySpec.sql("q36_gap_fill",
+      """with obs as (
+        |  select user_id, h, value from (
+        |    select user_id, date_trunc('HOUR', ts) as h, value,
+        |      row_number() over (
+        |        partition by user_id, date_trunc('HOUR', ts)
+        |        order by ts desc, event_id desc) as rn
+        |    from events) where rn = 1),
+        |bounds as (select user_id, min(h) as h0, max(h) as h1
+        |           from obs group by user_id),
+        |grid as (select user_id,
+        |           explode(sequence(h0, h1, interval 1 hour)) as h
+        |         from bounds),
+        |j as (select g.user_id, g.h, o.value
+        |      from grid g left join obs o on g.user_id = o.user_id
+        |                                 and g.h = o.h)
+        |select user_id, h as hour,
+        |  last_value(value) ignore nulls over (
+        |    partition by user_id order by h
+        |    rows between unbounded preceding and current row) as value,
+        |  (value is not null) as observed
+        |from j""".stripMargin,
+      """with obs as (
+        |  select user_id, h, value from (
+        |    select user_id, date_trunc('hour', ts) as h, value,
+        |      row_number() over (
+        |        partition by user_id, date_trunc('hour', ts)
+        |        order by ts desc, event_id desc) as rn
+        |    from events) where rn = 1),
+        |bounds as (select user_id, min(h) as h0, max(h) as h1
+        |           from obs group by user_id),
+        |grid as (select user_id,
+        |           unnest(generate_series(h0, h1, interval 1 hour)) as h
+        |         from bounds),
+        |j as (select g.user_id, g.h, o.value
+        |      from grid g left join obs o on g.user_id = o.user_id
+        |                                 and g.h = o.h)
+        |select user_id, h as hour,
+        |  last_value(value ignore nulls) over (
+        |    partition by user_id order by h
+        |    rows between unbounded preceding and current row) as value,
+        |  (value is not null) as observed
+        |from j""".stripMargin),
   )
 }

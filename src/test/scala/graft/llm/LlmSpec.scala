@@ -717,6 +717,21 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recalled = (0L until 20L).count(q => hits.get(q).contains(q + 100000L))
     assert(recalled >= 18, s"planted recall $recalled/20")
+    // ragged corpus: a vector shorter than the trained dimensionality
+    // encodes to null, and a corrupt stored code scores NaN — neither
+    // crashes the scan
+    import spark.implicits._
+    val short = Seq((1L, Array(1.0f, 2.0f))).toDF("c_id", "c_vec")
+    assert(short.select(graft.functions.Pq.encode(col("c_vec"), cb))
+      .head().isNullAt(0))
+    val table = planted.limit(1).select(
+      graft.functions.Pq.adcTable(col("c_vec"), cb).as("t"))
+    val badCode = table.withColumn("c",
+      array(lit(127.toByte), lit(0.toByte), lit(0.toByte), lit(0.toByte),
+        lit(0.toByte), lit(0.toByte), lit(0.toByte), lit(0.toByte)))
+    val s0 = badCode.select(
+      graft.functions.Pq.score(col("t"), col("c"), cb)).head().getDouble(0)
+    assert(s0.isNaN, "out-of-book code must score NaN")
   }
 
   test("quality/token/langid expressions handle edge cases") {

@@ -446,6 +446,15 @@ class MediaSpec extends SparkSpec {
     val junk = Seq((9L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
     val row = Multimodal.resampleAudio(junk, "payload", 16000).head()
     assert(row.isNullAt(2) && row.isNullAt(4))
+    // a crafted WAV declaring sample_rate = 0 is corrupt, not a
+    // division-by-zero (or a NaN-power argmax in Goertzel)
+    val zeroRate = Multimodal.toneWavBytes(8000, 100, 440.0, 1000)
+    java.util.Arrays.fill(zeroRate, 24, 28, 0.toByte)
+    val zr = Seq((10L, zeroRate)).toDF("doc_id", "payload")
+    assert(Multimodal.resampleAudio(zr, "payload", 16000).head().isNullAt(2))
+    assert(Multimodal.vadSegments(zr, "payload").head().isNullAt(2))
+    assert(Multimodal.audioBandEnergy(zr, "payload", Array(440.0))
+      .head().isNullAt(2))
   }
 
   test("extractFeatures decodes wav payloads for real (audio branch)") {
