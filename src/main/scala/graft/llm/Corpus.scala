@@ -499,6 +499,34 @@ object Corpus {
       md5(n).as("fp"))
   }
 
+  /** Materialize the corpus as training shards on disk: one parquet
+    * directory per [[assignShards]] shard (`shard=N/` partition dirs,
+    * one file each), rows within a shard sorted by the global shuffle
+    * order (id hash, id) — so shards read in directory order stream
+    * the corpus in the exact deterministic order the assignment
+    * defined, ~`tokensPerShard` tokens per file. Returns the per-shard
+    * summary READ BACK from the written files (shard, n_docs,
+    * shard_tokens) — the returned frame proves the round trip, not
+    * just the plan.
+    *
+    * Scale shape: the assignment's two-pass prefix sum, one
+    * repartition on the shard id (each shard lands in one task → one
+    * file per partition dir), and a write. No driver state.
+    */
+  def writeShards(docs: DataFrame, idCol: String, weight: Column,
+      tokensPerShard: Long, dir: String, orderBuckets: Int = 256): DataFrame = {
+    val assigned = assignShards(docs, idCol, weight, tokensPerShard, orderBuckets)
+    docs.join(assigned.select(col(idCol), col("n_tokens"), col("shard")), Seq(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(
+        pmod(col(idCol) * lit(2654435761L), lit(1048576L)), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    docs.sparkSession.read.parquet(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"))
+  }
+
   /** Sequence packing: assign documents to context-window bins of at
     * most `budget` tokens (greedy next-fit in id order), the step that
     * turns a cleaned corpus into fixed-length training sequences.

@@ -2450,6 +2450,37 @@ object Llm {
         emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         "q_id", "c_id", "q_vec", "c_vec", k = 5)
     },
+
+    // L6y — the training-shard WRITER (l77's layout materialized):
+    // shard=N parquet dirs, deterministic within-shard order, and the
+    // returned summary is read back FROM THE WRITTEN FILES — so the
+    // oracle (the naive global-window assignment, grouped by shard)
+    // hash-checks the full write→read round trip, not just a plan.
+    QuerySpec.df("l95_write_shards",
+      """with w as (
+        |  select doc_id,
+        |    cast(case when length(trim(text)) = 0 then 0
+        |         else len(string_split_regex(trim(text), '\s+')) end
+        |      as bigint) as n_tokens,
+        |    (doc_id * 2654435761) % 1048576 as hk
+        |  from documents),
+        |p as (select doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) over (order by hk, doc_id
+        |          rows between unbounded preceding and 1 preceding), 0)
+        |          as pre
+        |      from w),
+        |a as (select doc_id, n_tokens,
+        |        cast(floor(pre / 4096.0) as bigint) as shard from p)
+        |select shard, cast(count(*) as bigint) as n_docs,
+        |       cast(sum(n_tokens) as bigint) as shard_tokens
+        |from a group by shard""".stripMargin) {
+      (s, d) =>
+        val out = shardDirs.computeIfAbsent(d, _ =>
+          java.nio.file.Files.createTempDirectory("graft-shards-").toString)
+        Corpus.writeShards(Fixtures.table(s, d, "documents"),
+          "doc_id", TextAnalysis.tokenCount(col("text")),
+          tokensPerShard = 4096L, dir = s"$out/shards")
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,
@@ -2467,6 +2498,9 @@ object Llm {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val ivfAppendDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val shardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Media-payload fixture, materialized to a temp parquet once per

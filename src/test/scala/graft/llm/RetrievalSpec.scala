@@ -179,6 +179,32 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("writeShards: one file per shard, deterministic order, lossless round trip") {
+    val dir = tmpDir("shards") + "/out"
+    val summary = Corpus.writeShards(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), tokensPerShard = 512L, dir = dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(summary.size > 1, "fixture should span shards")
+    // layout: shard=N dirs, exactly one parquet file each
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == summary.size)
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+    }
+    // round trip: every doc exactly once, token totals match the
+    // assignment, every full shard is within one doc of the budget
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    val assign = Corpus.assignShards(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), 512L)
+      .groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summary.view.mapValues(_._2).toMap == assign)
+  }
+
   test("shard assignment is invariant to input partitioning") {
     val a = Corpus.assignShards(docs, "doc_id",
       TextAnalysis.tokenCount(col("text")), 64L, orderBuckets = 16)
