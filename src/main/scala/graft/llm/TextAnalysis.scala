@@ -215,6 +215,56 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** PMI collocations (Church & Hanks 1990): the top-k unordered word
+    * pairs co-occurring within a ±2 window, ranked by pointwise mutual
+    * information `ln( (c_ab/P) / ((c_a/T)(c_b/T)) )` with a minimum
+    * pair count — the collocation/multi-word-expression miner
+    * (tokenizer-vocabulary candidates, template detection) that a raw
+    * frequency census ([[ngramTopK]]) can't provide: PMI surfaces
+    * "strongly attached" pairs, not merely common ones.
+    *
+    * Window pairs derive from the codegen'd gram kernels (adjacent =
+    * the 2-gram itself; distance-2 = first+last word of each 3-gram —
+    * `substring_index`, no HOF), canonicalized to (least, greatest).
+    * Counts are map-side-combined hash aggs; T and P ride broadcast
+    * 1-row frames; the unigram joins are vocabulary-keyed shuffles
+    * (the [[unigramLogProb]] shape); top-k is TakeOrdered, never a
+    * global window sort.
+    */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 20,
+      minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val base = docs.filter(length(trim(col(textCol))) > 0)
+    val toks = base.select(
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totalT = uni.agg(sum("c_w").as("t"))
+    def pairsFrom(n: Int) = base.select(
+        explode(graft.functions.TextShingles.grams(norm, n)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("wa"),
+        substring_index(col("g"), " ", -1).as("wb"))
+    val pairs = pairsFrom(2).unionByName(pairsFrom(3))
+      .select(least(col("wa"), col("wb")).as("a"),
+        greatest(col("wa"), col("wb")).as("b"))
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val totalP = pc.agg(sum("c_ab").as("p"))
+    val scored = pc.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
+      .crossJoin(broadcast(totalT)).crossJoin(broadcast(totalP))
+      .withColumn("pmi",
+        round(log((col("c_ab") * lit(1.0) / col("p")) /
+          ((col("c_a") * lit(1.0) / col("t")) *
+           (col("c_b") * lit(1.0) / col("t")))), 6))
+    val top = scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(k)
+    val w = Window.orderBy(col("pmi").desc, col("a"), col("b"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"), col("rank"))
+  }
+
   /** Gopher-rule quality filter (Rae et al. 2021, §A1.1): the published
     * heuristic gates for pretraining text, each surfaced as a signal
     * plus the composite `keep` verdict —

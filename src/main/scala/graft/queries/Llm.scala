@@ -2481,6 +2481,46 @@ object Llm {
           "doc_id", TextAnalysis.tokenCount(col("text")),
           tokensPerShard = 4096L, dir = s"$out/shards")
     },
+
+    // L4aa — PMI collocations (Church & Hanks 1990): top-20 unordered
+    // ±2-window pairs by pointwise mutual information (min pair count
+    // 5) — the attachment miner a raw frequency census can't provide.
+    QuerySpec.df("l96_pmi_collocations",
+      """with base as (
+        |  select regexp_replace(trim(text), '\s+', ' ', 'g') as t
+        |  from documents where length(trim(text)) > 0),
+        |wst as (select string_split(t, ' ') as ws from base),
+        |toks as (select unnest(ws) as w from wst),
+        |uni as (select w, count(*) as c_w from toks group by w),
+        |tt as (select sum(c_w) as t from uni),
+        |pr as (
+        |  select unnest([[ws[i], ws[i+1]] for i in range(1, len(ws))])
+        |    as pr
+        |  from wst where len(ws) >= 2
+        |  union all
+        |  select unnest([[ws[i], ws[i+2]] for i in range(1, len(ws) - 1)])
+        |    as pr
+        |  from wst where len(ws) >= 3),
+        |pairs as (select least(pr[1], pr[2]) as a,
+        |                 greatest(pr[1], pr[2]) as b from pr),
+        |pc as (select a, b, count(*) as c_ab from pairs group by a, b),
+        |tp as (select sum(c_ab) as p from pc),
+        |sc as (select a, b, c_ab,
+        |         round(ln((c_ab * 1.0 / p) /
+        |           ((ua.c_w * 1.0 / t) * (ub.c_w * 1.0 / t))), 6) as pmi
+        |       from pc
+        |       join uni ua on ua.w = pc.a
+        |       join uni ub on ub.w = pc.b
+        |       cross join tt cross join tp
+        |       where c_ab >= 5)
+        |select a, b, c_ab, pmi, rank from (
+        |  select *, row_number() over (order by pmi desc, a, b) as rank
+        |  from sc) where rank <= 20""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.pmiCollocations(
+          Fixtures.table(s, d, "documents"), "doc_id", "text",
+          k = 20, minCount = 5L)
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

@@ -145,6 +145,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > 1, "fixture should span shards")
   }
 
+  test("PMI ranks an always-attached pair above frequent-but-independent words") {
+    import spark.implicits._
+    // 'san francisco' always adjacent; 'the'/'cat' frequent but mixed
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"the cat w$i san francisco the dog w${i + 100} cat the")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      k = 10, minCount = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3), r.getLong(4)))
+    val byPair = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair.contains(("francisco", "san")))
+    // the planted collocation outranks the independent frequent pair
+    val sanPmi = byPair(("francisco", "san"))
+    byPair.get(("cat", "the")).foreach(p => assert(sanPmi > p))
+    assert(out.head._4 == 1L)
+  }
+
   test("dataset card aggregates volume, language spread, and keep rate per source") {
     import spark.implicits._
     val frame = Seq(
