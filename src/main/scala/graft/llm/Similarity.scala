@@ -285,6 +285,36 @@ object Similarity {
     (quantizer, postings)
   }
 
+  /** Embedding drift between two corpus versions, per label: the
+    * cosine between each label's OLD and NEW mean vector, with member
+    * counts — the embedding-space sibling of
+    * [[graft.llm.TextAnalysis.vocabDrift]] (an encoder re-run or a
+    * data-mix change shows up as per-label centroid rotation long
+    * before downstream metrics move). Means are element-wise
+    * aggregations (posexplode → per-(label, dim) avg — map-side
+    * combined, state = labels × dims); the cosine folds the per-dim
+    * means, so nothing vector-sized leaves the executors.
+    */
+  def embeddingDrift(oldV: DataFrame, newV: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    def dims(df: DataFrame, as: String) =
+      df.select(col(labelCol), posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("d", "x")))
+        .groupBy(col(labelCol), col("d"))
+        .agg(avg(col("x")).as(as), count(lit(1)).as(s"_n_$as"))
+    val o = dims(oldV, "mo")
+    val n = dims(newV, "mn")
+    o.join(n, Seq(labelCol, "d"))
+      .groupBy(col(labelCol))
+      .agg(
+        max(col("_n_mo")).as("n_old"),
+        max(col("_n_mn")).as("n_new"),
+        round(
+          sum(col("mo") * col("mn")) /
+            (sqrt(sum(col("mo") * col("mo"))) *
+             sqrt(sum(col("mn") * col("mn")))), 6).as("drift_cos"))
+  }
+
   /** Per-subspace k-means codebooks for product quantization (Jégou
     * et al. 2011 §II): the vector splits into `m` contiguous
     * subvectors; each subspace trains its own `ksub`-centroid L2

@@ -2521,6 +2521,47 @@ object Llm {
           Fixtures.table(s, d, "documents"), "doc_id", "text",
           k = 20, minCount = 5L)
     },
+
+    // L3j — per-label embedding drift between corpus versions (the
+    // embedding-space sibling of l60's vocab drift): cosine between
+    // each label's old and new mean vector. The new version plants a
+    // label-scaled bump on every 5th dimension, so the expected drift
+    // is label-dependent and both engines derive it from the same
+    // integer formula.
+    QuerySpec.df("l97_embedding_drift",
+      """with o as (
+        |  select label, pr.d as d, pr.x as x from (
+        |    select label,
+        |      unnest([{'d': i, 'x': cast(embedding[i] as double)}
+        |              for i in range(1, len(embedding) + 1)]) as pr
+        |    from embeddings)),
+        |nv as (
+        |  select label, pr.d as d, pr.x as x from (
+        |    select label,
+        |      unnest([{'d': i,
+        |               'x': cast(embedding[i] as double) * 1.01
+        |                 + 0.02 * ((label % 3) + 1)
+        |                 * (case when (i - 1) % 5 = 0 then 1
+        |                    else 0 end)}
+        |              for i in range(1, len(embedding) + 1)]) as pr
+        |    from embeddings)),
+        |om as (select label, d, avg(x) as mo, count(*) as no
+        |       from o group by 1, 2),
+        |nm as (select label, d, avg(x) as mn, count(*) as nn
+        |       from nv group by 1, 2)
+        |select label, max(no) as n_old, max(nn) as n_new,
+        |  round(sum(mo * mn) /
+        |    (sqrt(sum(mo * mo)) * sqrt(sum(mn * mn))), 6) as drift_cos
+        |from om join nm using (label, d)
+        |group by label""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        val newV = emb.select(col("vec_id"), col("label"),
+          transform(col("embedding").cast("array<double>"), (x, i) =>
+            x * lit(1.01) + lit(0.02) * ((col("label") % 3) + 1) *
+              when(i % 5 === 0, 1).otherwise(0)).as("embedding"))
+        Similarity.embeddingDrift(emb, newV, "vec_id", "embedding", "label")
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

@@ -667,5 +667,23 @@ object Relational {
         |    rows between unbounded preceding and current row) as value,
         |  (value is not null) as observed
         |from j""".stripMargin),
+
+    // Q37 (beyond the reference surface) — trailing time-window
+    // aggregates via a RANGE interval frame (Q17 covers ROWS frames;
+    // interval RANGE frames are the time-series variant): per event,
+    // the 24-hour trailing sum/count of `value` for its user. The sum
+    // runs in DECIMAL (double partial-sum association differs between
+    // engines' window implementations — Spark's running accumulation
+    // vs a segment tree) then rounds out to double, per the money
+    // determinism rule.
+    QuerySpec.shared("q37_rolling_window",
+      """select event_id, user_id, ts,
+        |  cast(sum(cast(value as decimal(12,2))) over w as double)
+        |    as roll_sum,
+        |  count(*) over w as roll_n
+        |from events
+        |window w as (partition by user_id order by ts
+        |             range between interval 24 hours preceding
+        |               and current row)""".stripMargin),
   )
 }

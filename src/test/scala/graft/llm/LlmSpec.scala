@@ -734,6 +734,29 @@ class LlmSpec extends SparkSpec {
     assert(s0.isNaN, "out-of-book code must score NaN")
   }
 
+  test("embedding drift: identical versions score 1.0, planted rotation lowers it") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val same = Similarity.embeddingDrift(base, base,
+        "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    same.foreach { case (_, nOld, nNew, cosD) =>
+      assert(nOld == nNew)
+      assert(cosD == 1.0, s"self-drift must be exactly 1 after rounding, got $cosD")
+    }
+    // a strong planted bump on one label must drift that label more
+    val rotated = base.select(col("vec_id"), col("label"),
+      transform(col("embedding"), (x, i) =>
+        x + when(col("label") === 0 && i < 8, lit(5.0)).otherwise(lit(0.0)))
+        .as("embedding"))
+    val drift = Similarity.embeddingDrift(base, rotated,
+        "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(drift(0) < 0.99, s"bumped label should drift: ${drift(0)}")
+    drift.filter(_._1 != 0).values.foreach(c => assert(c == 1.0))
+  }
+
   test("quality/token/langid expressions handle edge cases") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "   "), (3L, "the of and a is"), (4L, "der und ist das nicht"))
