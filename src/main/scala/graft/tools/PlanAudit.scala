@@ -143,7 +143,12 @@ object PlanDigest {
     // formulation's skew-prone bare-gram join shape changing the scan
     // count — would ship silently); PQ must keep its broadcast ADC
     // table side
-    "l91_fuzzy_join", "l94_pq_ann") ++ builders.keys.toSeq.sorted
+    "l91_fuzzy_join", "l94_pq_ann",
+    // round-9 wave 6: the prefix-sum writer must keep its two-pass
+    // shape; PMI must keep broadcast totals + TakeOrdered (a global
+    // window sort over the pair vocabulary would ship silently); the
+    // gap fill must keep per-user windows (no global sort)
+    "q36_gap_fill", "l96_pmi_collocations") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
