@@ -165,6 +165,65 @@ object StreamingBridge {
     q.awaitTermination()
   }
 
+  /** Streaming CURATED ingest: the full cleaning gauntlet per
+    * AvailableNow micro-batch — C4 line/page rules
+    * ([[graft.llm.Corpus.c4Clean]]) rewrite each page to its kept
+    * lines, the linear quality classifier
+    * ([[graft.llm.TextAnalysis.qualityClassifier]]) gates what
+    * survives, and the [[dedupedIngest]] fingerprint logic (in-batch
+    * collapse + corpus anti-join) keeps the growing corpus
+    * duplicate-free. The corpus receives the CLEANED text (id, text,
+    * quality score) — this is the streaming form of the batch
+    * ingest→clean→gate→dedup chain, with the same exactly-once
+    * checkpoint semantics as the other ingest operators, and a
+    * replayed batch is a no-op by the same fingerprint anti-join
+    * argument.
+    *
+    * Scale: every stage before the dedup anti-join is scan-shaped
+    * column work; the anti-join reduces the corpus side to distinct
+    * fingerprints. Per-batch cost is O(batch + matches).
+    */
+  def curatedIngest(spark: SparkSession, catalog: Catalog, staging: String,
+      corpus: TableHandle, idCol: String, textCol: String,
+      checkpointRoot: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      minLineWords: Int = 3, minLines: Int = 1): Unit = {
+    val stream = readStream(spark, catalog, staging, maxFilesPerTrigger)
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        s"$checkpointRoot/_checkpoints/curated_${corpus.name}")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // 1. clean: C4 rules rewrite pages to their kept lines
+        val cleaned = graft.llm.Corpus.c4Clean(batch, idCol, textCol,
+            minLineWords = minLineWords, minLines = minLines)
+          .select(col(idCol), col("cleaned_text").as(textCol))
+        // 2. gate: the linear quality classifier
+        val gated = graft.llm.TextAnalysis
+          .qualityClassifier(cleaned, idCol, textCol)
+          .filter(col("keep"))
+          .join(cleaned, idCol)
+          .select(col(idCol), col(textCol), col("score"))
+        // 3. dedup within the batch, then against the corpus
+        val fp = graft.llm.TextAnalysis.fingerprint(col(textCol))
+        val inBatch = gated.withColumn("fp", fp)
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")
+              .orderBy(col(idCol))))
+          .filter(col("_rn") === 1).drop("_rn", "fp")
+        val fresh =
+          if (corpus.exists)
+            graft.llm.Corpus.dedupAgainstCorpus(inBatch, corpus.read, textCol)
+              .drop("fp")
+          else inBatch
+        corpus.append(fresh)
+        corpus.flush()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming NEAR-duplicate ingest: the fuzzy counterpart of
     * [[dedupedIngest]] for the re-crawl regime where duplicates arrive
     * reformatted rather than byte-identical. Per AvailableNow batch:

@@ -270,4 +270,45 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(index.read.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 8L))
   }
+
+  test("curated streaming ingest: clean -> quality gate -> dedup, exactly once") {
+    import spark.implicits._
+    val root = tmpDir("curated-ingest")
+    val cat = new Catalog(root)
+    val staging = new TableHandle(spark, cat, "staging")
+    val corpus = new TableHandle(spark, cat, "corpus")
+    val fluent =
+      "the cat is on the mat and it is a good day today.\n" +
+        "we walk in the sun and the dog is happy here."
+    staging.append(Seq(
+      // passes C4 (terminal punctuation, enough words) and the gate
+      (1L, fluent),
+      // C4 page kill: contains a curly brace
+      (2L, "the dog barks { and the code is here."),
+      // C4 line kill: no terminal punctuation on any line -> page dies
+      (3L, "no punctuation at all on this line"),
+      // classifier kill: survives C4 but is punctuation noise
+      (4L, "a! b? c! d? e! f? g! h? i! j? k! l? m! n? o! p?")
+    ).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.curatedIngest(spark, cat, "staging", corpus,
+      "doc_id", "text", root)
+    val rows = corpus.read.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L),
+      s"only the fluent doc survives: ${rows.map(_.getLong(0)).mkString(",")}")
+    assert(corpus.read.columns.toSet == Set("doc_id", "text", "score"))
+    // the stored text is the CLEANED text (both lines kept here)
+    assert(rows.head.getString(1) == fluent)
+    // second drain: an exact dup of the stored CLEAN text is dropped,
+    // a fresh fluent doc lands, batch-1 files are not reprocessed
+    staging.append(Seq(
+      (5L, fluent),
+      (6L, "the sun is warm and the grass is green today.")
+    ).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.curatedIngest(spark, cat, "staging", corpus,
+      "doc_id", "text", root)
+    assert(corpus.read.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 6L))
+  }
 }
