@@ -70,6 +70,80 @@ object Similarity {
       .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rk"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus miner): for each source-language
+    * vector, the best target-language vector by RATIO MARGIN
+    *   margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2),
+    * where avgK(s) is the mean cosine of s to its k nearest neighbors
+    * on the OTHER side — the normalization that suppresses hub vectors
+    * (high raw cosine to everything) which plain threshold mining
+    * mis-pairs. Pairs below `minMargin` are dropped.
+    *
+    * Exact formulation (the oracle-checkable baseline): both
+    * directions' neighbor averages come from the same broadcast-
+    * queries-over-corpus-scan pair frame, reused for (a) per-source
+    * avgK, (b) per-target avgK against the mined source set, and
+    * (c) the final margin rank — one pair materialization, three
+    * window/agg passes. Cosines round to 6 dp before every average
+    * and rank so both engines agree bit-for-bit. At ANN scale the pair
+    * frame comes from the IVF/LSH candidate paths instead and the
+    * margin tail is unchanged.
+    */
+  def marginMining(src: DataFrame, tgt: DataFrame,
+      sId: String, tId: String, sVec: String, tVec: String,
+      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    val pairs = tgt.crossJoin(broadcast(src))
+      .withColumn("cos", round(cosine(col(sVec), col(tVec)), 6))
+      .filter(!isnan(col("cos")))
+      .select(col(sId), col(tId), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def avgTopK(keyCol: String, otherCol: String, as: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("cos").desc, col(otherCol).asc)
+      pairs.withColumn("nn", row_number().over(w)).filter(col("nn") <= k)
+        .groupBy(keyCol).agg(round(avg("cos"), 6).as(as))
+    }
+    val aks = avgTopK(sId, tId, "ak_s")
+    val akt = avgTopK(tId, sId, "ak_t")
+    val w = Window.partitionBy(col(sId))
+      .orderBy(col("margin").desc, col(tId).asc)
+    pairs
+      .join(aks, sId).join(akt, tId)
+      .withColumn("margin",
+        round(col("cos") / ((col("ak_s") + col("ak_t")) / 2.0), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("margin") >= minMargin)
+      .select(col(sId), col(tId), col("cos"), col("margin"))
+  }
+
+  /** Cluster-balanced (diversity) sampling — the D4/SemDeDup-family
+    * curation step that samples uniformly across SEMANTIC clusters
+    * instead of uniformly across documents, so dominant topics stop
+    * drowning the tail: k-means cells from the deterministic IVF
+    * quantizer, then an exact per-cell quota taken in seeded-hash
+    * order (the engine-portable "random" that is stable across runs
+    * and partitionings — same device as [[graft.llm.Corpus.stratifiedSample]],
+    * with learned cells for strata).
+    *
+    * Scale shape: quantizer trains on a bounded seed sample (driver
+    * holds only centroids), assignment is one codegen'd map pass, the
+    * quota is a per-cell window over hash order — one shuffle on the
+    * cell key. Output: (id, cell, pick ∈ [1, perCell]).
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, perCell: Int = 5, lloydIters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.Ivf
+    val centroids = trainIvfCentroids(emb, idCol, vecCol, nCells, lloydIters)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(lit(seed), col(idCol)).asc, col(idCol).asc)
+    emb.withColumn("cell",
+        element_at(Ivf.nearestCells(col(vecCol), centroids, 1), 1))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perCell)
+      .select(col(idCol), col("cell"), col("pick"))
+  }
+
   def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(n)(Array.fill(dim)(rng.nextGaussian()))

@@ -2562,6 +2562,176 @@ object Llm {
               when(i % 5 === 0, 1).otherwise(0)).as("embedding"))
         Similarity.embeddingDrift(emb, newV, "vec_id", "embedding", "label")
     },
+
+    // L9a — PageRank link centrality (the crawl-prioritization /
+    // source-quality prior; operators/PageRank.scala). Planted link
+    // graph over doc_ids: a ring (connectivity), a quadratic map
+    // (irregular in-degree), and 25 hub targets (skew) — node 20 ends
+    // up with ~5% of all mass, so the ranking is meaningfully skewed.
+    // The oracle unrolls the same 4 power iterations as CTEs; both
+    // engines round each iteration to 12 dp (cross-engine sum-order
+    // stability) and the output to 6 dp.
+    QuerySpec.df("l98_pagerank",
+      """with nn as (select count(*) as n from documents),
+        |edges as (select distinct src, dst from (
+        |    select doc_id as src, (doc_id + 1) % (select n from nn) as dst from documents
+        |    union all
+        |    select doc_id, (doc_id * doc_id + 1) % (select n from nn) from documents
+        |    union all
+        |    select doc_id, (doc_id % 25) * 20 from documents)),
+        |deg as (select src, count(*) as outdeg from edges group by 1),
+        |r0 as (select doc_id as id,
+        |         round(cast(1.0 as double) / (select n from nn), 12) as pr
+        |       from documents),
+        |it1 as (select r.id, round(cast(0.15 as double) / (select n from nn)
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from r0 r left join (
+        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          from edges e join r0 r2 on e.src = r2.id
+        |          join deg d on e.src = d.src group by 1) s on r.id = s.dst),
+        |it2 as (select r.id, round(cast(0.15 as double) / (select n from nn)
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from it1 r left join (
+        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          from edges e join it1 r2 on e.src = r2.id
+        |          join deg d on e.src = d.src group by 1) s on r.id = s.dst),
+        |it3 as (select r.id, round(cast(0.15 as double) / (select n from nn)
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from it2 r left join (
+        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          from edges e join it2 r2 on e.src = r2.id
+        |          join deg d on e.src = d.src group by 1) s on r.id = s.dst),
+        |it4 as (select r.id, round(cast(0.15 as double) / (select n from nn)
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from it3 r left join (
+        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          from edges e join it3 r2 on e.src = r2.id
+        |          join deg d on e.src = d.src group by 1) s on r.id = s.dst)
+        |select id, round(pr, 6) as pr from it4""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val n = docs.count() // fixture planting needs the modulus; bounded scalar
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionAll(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") + 1) % n).as("dst")))
+          .unionAll(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") % 25) * 20).as("dst")))
+        graft.operators.PageRank.run(edges, "src", "dst",
+            iterations = 4, damping = 0.85)
+          .select(col("id"), round(col("pr"), 6).as("pr"))
+    },
+
+    // L9b — conversation (SFT/chat) structural stats: the planted
+    // transcripts wrap each document's words into the standard
+    // [{"role","content"}] JSON shape (4 turns: 3/3/2/rest words —
+    // min doc length is 10 words, so every turn is non-empty); the
+    // operator parses with from_json and aggregates with array HOFs,
+    // the oracle with DuckDB's json_extract — two independent JSON
+    // parsers agreeing on every count.
+    QuerySpec.df("l99_chat_stats",
+      """with ws as (select doc_id, string_split_regex(trim(text), '\s+') as ws
+        |            from documents),
+        |conv as (select doc_id,
+        |  '[{"role":"user","content":"' || array_to_string(ws[1:3], ' ') ||
+        |  '"},{"role":"assistant","content":"' || array_to_string(ws[4:6], ' ') ||
+        |  '"},{"role":"user","content":"' || array_to_string(ws[7:8], ' ') ||
+        |  '"},{"role":"assistant","content":"' || array_to_string(ws[9:len(ws)], ' ')
+        |  || '"}]' as conv
+        |  from ws),
+        |t as (select doc_id,
+        |        cast(json_array_length(conv) as bigint) as nt,
+        |        [json_extract_string(conv, '$[' || i || '].role')
+        |         for i in range(0, cast(json_array_length(conv) as bigint))] as roles,
+        |        [json_extract_string(conv, '$[' || i || '].content')
+        |         for i in range(0, cast(json_array_length(conv) as bigint))] as contents
+        |      from conv),
+        |agg as (select doc_id, nt,
+        |  cast(len(list_filter(roles, r -> r = 'user')) as bigint) as n_user,
+        |  cast(len(list_filter(roles, r -> r = 'assistant')) as bigint) as n_assistant,
+        |  cast(list_sum(list_transform(list_zip(roles, contents),
+        |    p -> case when p[1] = 'user' then length(p[2]) else 0 end)) as bigint)
+        |    as user_chars,
+        |  cast(list_sum(list_transform(list_zip(roles, contents),
+        |    p -> case when p[1] = 'assistant' then length(p[2]) else 0 end)) as bigint)
+        |    as assistant_chars,
+        |  len(list_filter(range(0, nt), i ->
+        |    roles[i + 1] = case when i % 2 = 0 then 'user' else 'assistant' end)) = nt
+        |    as alternation_ok,
+        |  roles[nt] = 'assistant' as ends_assistant
+        |  from t)
+        |select doc_id, nt as n_turns, n_user, n_assistant, user_chars,
+        |  assistant_chars,
+        |  round(cast(user_chars as double) /
+        |    greatest(user_chars + assistant_chars, 1), 6) as user_share,
+        |  alternation_ok, ends_assistant, true as valid_json
+        |from agg""".stripMargin) {
+      (s, d) =>
+        val ws = split(trim(col("text")), "\\s+")
+        val planted = Fixtures.table(s, d, "documents").select(
+          col("doc_id"),
+          concat(
+            lit("""[{"role":"user","content":""""),
+            array_join(slice(ws, 1, 3), " "),
+            lit(""""},{"role":"assistant","content":""""),
+            array_join(slice(ws, 4, 3), " "),
+            lit(""""},{"role":"user","content":""""),
+            array_join(slice(ws, 7, 2), " "),
+            lit(""""},{"role":"assistant","content":""""),
+            array_join(slice(ws, lit(9), greatest(size(ws) - 8, lit(1))), " "),
+            lit(""""}]""")).as("conv"))
+        graft.llm.Chat.conversationStats(planted, "doc_id", "conv")
+    },
+
+    // L9c — cluster-balanced (diversity) sampling: exact per-cell
+    // quota over learned k-means cells (the D4-style topic-balanced
+    // curation sample). The quantizer is deterministic but not
+    // SQL-expressible → rows-only here; ChatGraphSpec proves the
+    // per-cell exact-k quota, full coverage, and partitioning
+    // invariance.
+    QuerySpec.unchecked("l100_cluster_sample") { (s, d) =>
+      Similarity.clusterBalancedSample(
+        Fixtures.table(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16, perCell = 5)
+    },
+
+    // L9d — margin-based bitext mining (Artetxe & Schwenk): source
+    // side = labels 0-4 (vec_id < 40 keeps the oracle's pair frame
+    // small), target side = labels 5-9; best target per source by
+    // ratio margin over top-4 neighbor averages, hubs suppressed.
+    QuerySpec.df("l101_bitext_margin",
+      s"""with s as (select vec_id as s_id, embedding as sv from embeddings
+         |           where label < 5 and vec_id < 40),
+         |t as (select vec_id as t_id, embedding as tv from embeddings
+         |      where label >= 5),
+         |pairs as (select s_id, t_id,
+         |    round(${duckDot.format("sv", "tv")} /
+         |      (${duckNorm("sv")} * ${duckNorm("tv")}), 6) as cos
+         |  from s cross join t),
+         |aks as (select s_id, round(avg(cos), 6) as ak_s from (
+         |    select s_id, cos, row_number() over (
+         |      partition by s_id order by cos desc, t_id) as nn from pairs)
+         |  where nn <= 4 group by 1),
+         |akt as (select t_id, round(avg(cos), 6) as ak_t from (
+         |    select t_id, cos, row_number() over (
+         |      partition by t_id order by cos desc, s_id) as nn from pairs)
+         |  where nn <= 4 group by 1),
+         |m as (select p.s_id, p.t_id, p.cos,
+         |        round(p.cos / ((ak_s + ak_t) / 2), 6) as margin
+         |      from pairs p join aks using (s_id) join akt using (t_id))
+         |select s_id, t_id, cos, margin from (
+         |  select *, row_number() over (
+         |    partition by s_id order by margin desc, t_id) as rk from m)
+         |where rk = 1 and margin >= 1.0""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        Similarity.marginMining(
+          emb.filter(col("label") < 5 && col("vec_id") < 40)
+            .select(col("vec_id").as("s_id"), col("embedding").as("sv")),
+          emb.filter(col("label") >= 5)
+            .select(col("vec_id").as("t_id"), col("embedding").as("tv")),
+          "s_id", "t_id", "sv", "tv", k = 4, minMargin = 1.0)
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

@@ -685,5 +685,88 @@ object Relational {
         |window w as (partition by user_id order by ts
         |             range between interval 24 hours preceding
         |               and current row)""".stripMargin),
+
+    // Q38 (beyond the reference surface) — recursive hierarchy closure:
+    // the ANSI `WITH RECURSIVE` walk Spark SQL lacks, answered by the
+    // pointer-doubling operator (O(log depth) shuffle rounds; see
+    // operators/Hierarchy.scala). Fixture forest planted over doc_ids:
+    // roots at multiples of 50, every other node parented 1-8 steps
+    // back (clamped at its block root) — max depth 8, 10+ trees.
+    QuerySpec.df("q38_hierarchy",
+      """with recursive nodes as (
+        |  select doc_id as id,
+        |         case when doc_id % 50 = 0 then null
+        |              else greatest(doc_id - 1 - (doc_id % 7), (doc_id // 50) * 50) end
+        |           as parent
+        |  from documents),
+        |walk as (
+        |  select id, id as root, cast(0 as bigint) as depth
+        |  from nodes where parent is null
+        |  union all
+        |  select n.id, w.root, w.depth + 1
+        |  from nodes n join walk w on n.parent = w.id)
+        |select id, root, depth from walk""".stripMargin) {
+      (s, d) =>
+        val nodes = Fixtures.table(s, d, "documents").select(
+          col("doc_id").as("id"),
+          when(col("doc_id") % 50 === 0, lit(null).cast("long"))
+            .otherwise(greatest(
+              col("doc_id") - 1 - (col("doc_id") % 7),
+              expr("(doc_id div 50) * 50"))).as("parent"))
+        graft.operators.Hierarchy.rootClosure(nodes, "id", "parent")
+    },
+
+    // Q39 (beyond the reference surface) — ordered conversion funnel
+    // over the event stream: users who viewed, then clicked AFTER the
+    // first view, then purchased AFTER that click (strict event-order
+    // semantics, not mere set membership). Three grouped mins chained
+    // by time predicates — each stage one shuffle on user_id; no
+    // windows, no self-join explosion.
+    QuerySpec.shared("q39_funnel",
+      """with v as (select user_id, min(ts) as t0 from events
+        |           where event_type = 'view' group by user_id),
+        |c as (select e.user_id, min(e.ts) as t1
+        |      from events e join v on e.user_id = v.user_id
+        |      where e.event_type = 'click' and e.ts > v.t0
+        |      group by e.user_id),
+        |p as (select e.user_id, min(e.ts) as t2
+        |      from events e join c on e.user_id = c.user_id
+        |      where e.event_type = 'purchase' and e.ts > c.t1
+        |      group by e.user_id)
+        |select 1 as stage, cast(count(*) as bigint) as users from v
+        |union all
+        |select 2 as stage, cast(count(*) as bigint) as users from c
+        |union all
+        |select 3 as stage, cast(count(*) as bigint) as users from p""".stripMargin),
+
+    // Q40 (beyond the reference surface) — weekly cohort retention:
+    // users bucketed by the week of their first event; for each
+    // (cohort, week offset) the distinct actives and the retention
+    // share of the cohort. date_trunc('week') is Monday-start in both
+    // engines; the offset divides a day diff by 7 because the engines'
+    // week-diff primitives disagree on boundary semantics.
+    QuerySpec.sql("q40_cohort_retention",
+      """with f as (select user_id, cast(date_trunc('week', min(ts)) as date) as cohort
+        |           from events group by user_id),
+        |sz as (select cohort, count(*) as n0 from f group by cohort),
+        |a as (select distinct e.user_id, f.cohort,
+        |        cast(date_trunc('week', e.ts) as date) as wk
+        |      from events e join f on e.user_id = f.user_id)
+        |select a.cohort, cast(datediff(a.wk, a.cohort) div 7 as int) as week_offset,
+        |       cast(count(*) as bigint) as users,
+        |       round(count(*) / cast(sz.n0 as double), 6) as retention
+        |from a join sz on a.cohort = sz.cohort
+        |group by a.cohort, week_offset, sz.n0""".stripMargin,
+      """with f as (select user_id, cast(date_trunc('week', min(ts)) as date) as cohort
+        |           from events group by user_id),
+        |sz as (select cohort, count(*) as n0 from f group by cohort),
+        |a as (select distinct e.user_id, f.cohort,
+        |        cast(date_trunc('week', e.ts) as date) as wk
+        |      from events e join f on e.user_id = f.user_id)
+        |select a.cohort, cast(date_diff('day', a.cohort, a.wk) // 7 as int) as week_offset,
+        |       cast(count(*) as bigint) as users,
+        |       round(count(*) / cast(sz.n0 as double), 6) as retention
+        |from a join sz on a.cohort = sz.cohort
+        |group by a.cohort, week_offset, sz.n0""".stripMargin),
   )
 }
