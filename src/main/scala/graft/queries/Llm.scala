@@ -2686,7 +2686,7 @@ object Llm {
     // L9c — cluster-balanced (diversity) sampling: exact per-cell
     // quota over learned k-means cells (the D4-style topic-balanced
     // curation sample). The quantizer is deterministic but not
-    // SQL-expressible → rows-only here; ChatGraphSpec proves the
+    // SQL-expressible → rows-only here; ChatSpec proves the
     // per-cell exact-k quota, full coverage, and partitioning
     // invariance.
     QuerySpec.unchecked("l100_cluster_sample") { (s, d) =>

@@ -148,7 +148,15 @@ object PlanDigest {
     // shape; PMI must keep broadcast totals + TakeOrdered (a global
     // window sort over the pair vocabulary would ship silently); the
     // gap fill must keep per-user windows (no global sort)
-    "q36_gap_fill", "l96_pmi_collocations") ++ builders.keys.toSeq.sorted
+    "q36_gap_fill", "l96_pmi_collocations",
+    // round-9 wave 7: chat stats must stay one zero-shuffle from_json
+    // scan; bitext margin must keep its broadcast-queries pair frame
+    // (the corpus side must never shuffle into a cartesian) + window
+    // tails; funnel/cohort keep user_id-keyed shuffle joins with no
+    // nested loop. q38/l98 are iterative (per-round actions, no single
+    // plan) — their shapes are spec'd in GraphOpsSpec instead.
+    "l99_chat_stats", "l101_bitext_margin", "q39_funnel",
+    "q40_cohort_retention") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
