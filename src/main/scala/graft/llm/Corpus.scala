@@ -268,6 +268,37 @@ object Corpus {
     * many-strata case (domain, source bucket) this rank form is exact
     * and single-pass.
     */
+  /** Weighted sampling without replacement, per group (Efraimidis &
+    * Spirakis 2006): each row draws priority u^(1/w) for a uniform u
+    * and the k highest priorities win — exactly the distribution of
+    * sequential weighted draws without replacement, but embarrassingly
+    * parallel (one per-group top-k window, no sequential state). The
+    * quality-weighted subsample step of corpus curation (longer /
+    * higher-scoring documents kept with proportionally higher odds)
+    * at any scale: one shuffle on the group key.
+    *
+    * Determinism: u comes from the engine-portable integer mix (the
+    * q34 device), and the rank key is ln(u)/w — the same ordering as
+    * u^(1/w) (monotone transform), but `ln` is the transcendental this
+    * project has already proven bit-stable across engines. Weights
+    * must be > 0; rows with null/≤0 weight are dropped (they carry no
+    * sampling mass).
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int, seed: Long = 42L): DataFrame = {
+    // u ∈ (0,1]: 20-bit integer mix, never exactly 0
+    val u = (pmod(col(idCol) * lit(2654435761L) + lit(seed), lit(1048576L)) + 1) /
+      lit(1048577.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_pri").desc, col(idCol))
+    df.filter(weight > 0)
+      .withColumn("_pri", round(log(u) / weight, 9))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .drop("_pri")
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

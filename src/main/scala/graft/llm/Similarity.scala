@@ -144,6 +144,40 @@ object Similarity {
       .select(col(idCol), col("cell"), col("pick"))
   }
 
+  /** Late-interaction multi-vector retrieval (ColBERT's MaxSim,
+    * Khattab & Zaharia 2020): query and document are BAGS of token
+    * vectors; score(q,d) = Σ_i max_j cos(q_i, d_j) — each query token
+    * finds its best-matching document token, so exact-term and
+    * semantic matches both contribute, which single-vector cosine
+    * blurs away. Token columns are `array<array<float>>`.
+    *
+    * Exact scoring shape: broadcast the (small) query set over the
+    * corpus scan and evaluate the whole MaxSim inside ONE codegen'd
+    * expression per (doc, query) row — `aggregate` over query tokens
+    * of `array_max` over doc tokens — so the token "join" never
+    * materializes rows (8×8 = 64 cosines collapse in-register per
+    * pair). Per-token maxes round to 6 dp before the sum (sum order
+    * is engine-defined), the score to 4. At ANN scale, shortlist with
+    * the single-vector IVF/LSH paths first and MaxSim-rerank the
+    * shortlist — the standard ColBERT serving topology.
+    */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qToks: String, cToks: String,
+      k: Int): DataFrame = {
+    val score = aggregate(
+      col(qToks), lit(0.0), (acc, qt) =>
+        acc + round(array_max(transform(col(cToks), dt => cosine(qt, dt))), 6))
+    val pairs = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", round(score, 4))
+      .filter(!isnan(col("score")))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("score").desc, col(cId).asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qId), col(cId), col("score"), col("rk"))
+  }
+
   def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(n)(Array.fill(dim)(rng.nextGaussian()))

@@ -2732,6 +2732,126 @@ object Llm {
             .select(col("vec_id").as("t_id"), col("embedding").as("tv")),
           "s_id", "t_id", "sv", "tv", k = 4, minMargin = 1.0)
     },
+
+    // L9e — weighted sampling without replacement (Efraimidis &
+    // Spirakis priorities), 3 per source weighted by n_chars: the
+    // quality-weighted subsample step. Rank key ln(u)/w with u from
+    // the engine-portable q34 integer mix — deterministic, partition-
+    // invariant, and identical in both engines.
+    QuerySpec.df("l102_weighted_sample",
+      """with pri as (
+        |  select source, doc_id,
+        |    round(ln(((doc_id * 2654435761 + 42) % 1048576 + 1)
+        |             / cast(1048577.0 as double)) / n_chars, 9) as p
+        |  from documents where n_chars > 0)
+        |select source, doc_id, pick from (
+        |  select source, doc_id, row_number() over (
+        |    partition by source order by p desc, doc_id) as pick from pri)
+        |where pick <= 3""".stripMargin) {
+      (s, d) =>
+        Corpus.weightedSample(
+          Fixtures.table(s, d, "documents"), "source", "doc_id",
+          col("n_chars"), k = 3)
+          .select("source", "doc_id", "pick")
+    },
+
+    // L9f — TrustRank (personalized PageRank from a vetted seed set;
+    // Gyöngyi et al. 2004): same planted link graph as l98, teleport
+    // concentrated on the doc_id % 50 = 0 seeds — the crawl spam
+    // demotion signal. Oracle unrolls the same 4 seeded iterations.
+    QuerySpec.df("l103_trustrank",
+      """with nn as (select count(*) as n from documents),
+        |edges as (select distinct src, dst from (
+        |    select doc_id as src, (doc_id + 1) % (select n from nn) as dst from documents
+        |    union all
+        |    select doc_id, (doc_id * doc_id + 1) % (select n from nn) from documents
+        |    union all
+        |    select doc_id, (doc_id % 25) * 20 from documents)),
+        |deg as (select src, count(*) as outdeg from edges group by 1),
+        |seeds as (select doc_id as id from documents where doc_id % 50 = 0),
+        |ns as (select count(*) as s from seeds),
+        |base as (select d.doc_id as id,
+        |           case when s.id is not null
+        |                then round(cast(1.0 as double) / (select s from ns), 12)
+        |                else cast(0 as double) end as t
+        |         from documents d left join seeds s on d.doc_id = s.id),
+        |r0 as (select id, t as pr from base),
+        |it1 as (select b.id, b.t, round(cast(0.15 as double) * b.t
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from base b left join (
+        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          from edges e join r0 r on e.src = r.id
+        |          join deg d on e.src = d.src group by 1) s on b.id = s.dst),
+        |it2 as (select b.id, b.t, round(cast(0.15 as double) * b.t
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from base b left join (
+        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          from edges e join it1 r on e.src = r.id
+        |          join deg d on e.src = d.src group by 1) s on b.id = s.dst),
+        |it3 as (select b.id, b.t, round(cast(0.15 as double) * b.t
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from base b left join (
+        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          from edges e join it2 r on e.src = r.id
+        |          join deg d on e.src = d.src group by 1) s on b.id = s.dst),
+        |it4 as (select b.id, b.t, round(cast(0.15 as double) * b.t
+        |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
+        |        from base b left join (
+        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          from edges e join it3 r on e.src = r.id
+        |          join deg d on e.src = d.src group by 1) s on b.id = s.dst)
+        |select id, round(pr, 6) as trust from it4""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionAll(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") + 1) % n).as("dst")))
+          .unionAll(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") % 25) * 20).as("dst")))
+        val seeds = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("id"))
+        graft.operators.PageRank.personalized(edges, seeds,
+            "src", "dst", "id", iterations = 4, damping = 0.85)
+          .select(col("id"), round(col("trust"), 6).as("trust"))
+    },
+
+    // L9g — late-interaction multi-vector retrieval (ColBERT MaxSim):
+    // each 64-dim fixture vector becomes 8 token vectors of 8 dims;
+    // score = per-query-token best-match sum, evaluated inside one
+    // codegen'd expression per (doc, query) row. Top-3 per query.
+    QuerySpec.df("l104_maxsim",
+      """with toks as (
+        |  select vec_id, i as ti, embedding[(i-1)*8+1 : (i-1)*8+8] as tv
+        |  from embeddings cross join range(1, 9) t(i)),
+        |q as (select vec_id as q_id, ti as qi, tv as qv from toks where vec_id < 5),
+        |c as (select vec_id as d_id, ti as di, tv as dv from toks),
+        |cells as (
+        |  select q_id, qi, d_id, max(round(
+        |    list_sum(list_transform(list_zip(qv, dv),
+        |      s -> cast(s[1] as double) * cast(s[2] as double))) /
+        |    (sqrt(list_sum(list_transform(qv, x -> cast(x as double) * cast(x as double)))) *
+        |     sqrt(list_sum(list_transform(dv, x -> cast(x as double) * cast(x as double))))),
+        |    6)) as m
+        |  from q join c on q_id <> d_id
+        |  group by 1, 2, 3),
+        |scores as (select q_id, d_id, round(sum(m), 4) as score
+        |           from cells group by 1, 2)
+        |select q_id, d_id, score, rk from (
+        |  select *, row_number() over (
+        |    partition by q_id order by score desc, d_id) as rk
+        |  from scores) where rk <= 3""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        def toks = transform(sequence(lit(0), lit(7)), i =>
+          slice(col("embedding"), i * 8 + 1, lit(8)))
+        Similarity.maxSimTopK(
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), toks.as("q_toks")),
+          emb.select(col("vec_id").as("d_id"), toks.as("d_toks")),
+          "q_id", "d_id", "q_toks", "d_toks", k = 3)
+    },
   )
 
   /** Near-dup index fixture (l61): the persisted corpus index,

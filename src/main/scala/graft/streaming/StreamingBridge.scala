@@ -316,6 +316,38 @@ object StreamingBridge {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join (SURVEY §2.2 beyond-reference T11):
+    * the enrichment pattern batch engines express as a range join —
+    * every right-side event within `within` AFTER its left-side
+    * key-mate (click within an hour of the view, payment within a day
+    * of the order), as two live streams. Both sides carry watermarks
+    * and the join condition carries the time range, which is exactly
+    * what lets Spark BOUND the buffered state: a left row can be
+    * dropped once the right watermark passes leftTs + within, a right
+    * row once the left watermark passes rightTs — without the range,
+    * stream-stream state grows forever. Inner join: every match emits
+    * exactly once (append-mode correct); matches are never suppressed
+    * by the watermark, only state is reclaimed.
+    *
+    * Scale shape: one shuffle per side on the key (co-partitioned
+    * stateful join); state per key = the events inside the active
+    * watermark horizon. Column names: left columns keep their names,
+    * right columns get `r_` prefixed to stay collision-free.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c") }
+    val r = r0.withWatermark(s"r_$rightTs", watermark)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$rightTs") >= col(leftTs) &&
+        col(s"r_$rightTs") <= col(leftTs) + expr(s"interval $within"))
+      .drop(s"r_$keyCol")
+  }
+
   /** Drain a streaming query into a new version of `outTable` using
     * AvailableNow (process-everything-then-stop — the streaming
     * equivalent of the reference's run-to-completion node execution).

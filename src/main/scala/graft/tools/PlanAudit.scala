@@ -156,7 +156,14 @@ object PlanDigest {
     // nested loop. q38/l98 are iterative (per-round actions, no single
     // plan) — their shapes are spec'd in GraphOpsSpec instead.
     "l99_chat_stats", "l101_bitext_margin", "q39_funnel",
-    "q40_cohort_retention") ++ builders.keys.toSeq.sorted
+    "q40_cohort_retention",
+    // round-9 wave 8: the weighted sample must stay one group-key
+    // shuffle + window (no global sort); MaxSim must keep its
+    // broadcast-queries nested loop with the token interaction inside
+    // ONE projection (a regression that explodes token rows through a
+    // shuffle would ship silently). l103 is iterative → spec'd in
+    // CurationOpsSpec.
+    "l102_weighted_sample", "l104_maxsim") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"

@@ -311,4 +311,40 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(corpus.read.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 6L))
   }
+
+  test("stream-stream interval join matches the batch range join exactly") {
+    import spark.implicits._
+    val root = tmpDir("stream-ssjoin")
+    val cat = new Catalog(root)
+    val events = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val vT = new TableHandle(spark, cat, "views"); vT.append(views); vT.flush()
+    val cT = new TableHandle(spark, cat, "clicks"); cT.append(clicks); cT.flush()
+
+    val joined = StreamingBridge.intervalJoin(
+      StreamingBridge.readStream(spark, cat, "views"),
+      StreamingBridge.readStream(spark, cat, "clicks"),
+      keyCol = "user_id", leftTs = "view_ts", rightTs = "click_ts",
+      within = "1 hour", watermark = "2 hours")
+    val n = StreamingBridge.drainTo(spark, cat, joined, "attributed", root)
+
+    // inner stream-stream joins never suppress matches (the watermark
+    // only reclaims state), so AvailableNow must emit the exact batch
+    // range-join answer
+    val batch = views.join(clicks.withColumnRenamed("user_id", "r_user_id"),
+      col("user_id") === col("r_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("interval 1 hour"))
+    assert(n == batch.count())
+    val got = new TableHandle(spark, cat, "attributed").read
+      .select("view_id", "r_click_id").as[(Long, Long)].collect().toSet
+    val want = batch.select(col("view_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(n > 0) // the fixture has same-hour view->click pairs
+  }
 }
