@@ -738,6 +738,30 @@ object Corpus {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** Markdown → plain text (the htmlToText sibling for the other big
+    * crawl format — README/doc/forum corpora arrive as Markdown):
+    * fenced code blocks drop ENTIRELY (the C4 rule — code is not
+    * prose; keep them upstream if training on code), inline code
+    * keeps its content, images reduce to their alt text, links to
+    * their anchor text, headers/emphasis/list-bullets/blockquotes
+    * shed their markers, thematic breaks vanish, blank runs collapse.
+    * RE2-compatible steps only (no lookarounds, `(?m)`/`(?s)` flags
+    * both engines support) — scan-time column expression, no shuffle.
+    */
+  def markdownToText(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+    val noImg = regexp_replace(noFence, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noCode = regexp_replace(noLink, "`([^`]*)`", "$1")
+    val noHead = regexp_replace(noCode, "(?m)^#{1,6}[ \\t]+", "")
+    val noBold = regexp_replace(noHead, "\\*\\*([^*]*)\\*\\*", "$1")
+    val noEm = regexp_replace(noBold, "\\*([^*]*)\\*", "$1")
+    val noQuote = regexp_replace(noEm, "(?m)^>[ \\t]?", "")
+    val noBullet = regexp_replace(noQuote, "(?m)^[ \\t]*([-*+]|[0-9]+\\.)[ \\t]+", "")
+    val noHr = regexp_replace(noBullet, "(?m)^[ \\t]*([-*_][ \\t]*){3,}$", "")
+    trim(regexp_replace(noHr, "\\s+", " "))
+  }
+
   /** Canonical URL for dedup keys (the CCNet/C4 URL-normalization
     * step): lowercase scheme+host, strip the fragment, drop tracking
     * parameters (`utm_*`, `fbclid`, `gclid`), tidy leftover `?`/`&`

@@ -2852,7 +2852,112 @@ object Llm {
           emb.select(col("vec_id").as("d_id"), toks.as("d_toks")),
           "q_id", "d_id", "q_toks", "d_toks", k = 3)
     },
+
+    // L9h — asymmetric containment pairs (quote/excerpt detection):
+    // every doc_id % 10 == 7 becomes the first 3·len/5 words of its
+    // predecessor, so containment 1.0 pairs exist that symmetric
+    // Jaccard scores ~0.6 and misses at any near-dup threshold. The
+    // Spark side probes a gram inverted index with each doc's 3
+    // min-hashed grams (certain hit at c = 1); the oracle is the
+    // all-pairs exact formulation.
+    QuerySpec.df("l105_containment",
+      s"""with prev as (select doc_id + 1 as doc_id,
+         |         string_split(text, ' ') as pws from documents),
+         |planted as (
+         |  select b.doc_id,
+         |    case when b.doc_id % 10 = 7 and pws is not null
+         |         then array_to_string(pws[1 : (len(pws) * 3) // 5], ' ')
+         |         else b.text end as text
+         |  from documents b left join prev using (doc_id)),
+         |sh as (select doc_id, $duckGrams8 as sg
+         |       from (select doc_id, text, string_split(text, ' ') as words
+         |             from planted))
+         |select a.doc_id as a_id, b.doc_id as b_id,
+         |  round(cast(len(list_intersect(a.sg, b.sg)) as double) / len(a.sg), 6)
+         |    as containment
+         |from sh a join sh b on a.doc_id <> b.doc_id
+         |where cast(len(list_intersect(a.sg, b.sg)) as double) / len(a.sg) >= 0.8
+         |""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+          split(col("text"), " ").as("pws"))
+        val planted = docs.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 7 && col("pws").isNotNull,
+              array_join(slice(col("pws"), lit(1),
+                (size(col("pws")) * 3) / 5), " "))
+              .otherwise(col("text")).as("text"))
+        TextDedup.containmentPairs(planted, "doc_id", "text",
+          k = 8, minContainment = 0.8, probes = 3)
+    },
+
+    // L9i — Markdown → text (the htmlToText sibling): fixture docs
+    // wrapped in deterministic markdown furniture (header, fenced
+    // code, bold body, bulleted link, quoted inline code, thematic
+    // break); both engines strip with the same RE2-compatible chain.
+    QuerySpec.df("l106_markdown_to_text",
+      """with planted as (select doc_id,
+        |  '# doc ' || doc_id || chr(10) ||
+        |  '```' || chr(10) || 'code ' || doc_id || chr(10) || '```' || chr(10) ||
+        |  '**' || text || '**' || chr(10) ||
+        |  '- item with [a link](https://ex.com/p/' || doc_id || ')' || chr(10) ||
+        |  '> quoted `inline' || doc_id || '` end' || chr(10) ||
+        |  '---' as md
+        |  from documents),
+        |s1 as (select doc_id, regexp_replace(md, '(?s)```.*?```', ' ', 'g') as t from planted),
+        |s2 as (select doc_id, regexp_replace(t, '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') as t from s1),
+        |s3 as (select doc_id, regexp_replace(t, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') as t from s2),
+        |s4 as (select doc_id, regexp_replace(t, '`([^`]*)`', '\1', 'g') as t from s3),
+        |s5 as (select doc_id, regexp_replace(t, '(?m)^#{1,6}[ \t]+', '', 'g') as t from s4),
+        |s6 as (select doc_id, regexp_replace(t, '\*\*([^*]*)\*\*', '\1', 'g') as t from s5),
+        |s7 as (select doc_id, regexp_replace(t, '\*([^*]*)\*', '\1', 'g') as t from s6),
+        |s8 as (select doc_id, regexp_replace(t, '(?m)^>[ \t]?', '', 'g') as t from s7),
+        |s9 as (select doc_id, regexp_replace(t, '(?m)^[ \t]*([-*+]|[0-9]+\.)[ \t]+', '', 'g') as t from s8),
+        |s10 as (select doc_id, regexp_replace(t, '(?m)^[ \t]*([-*_][ \t]*){3,}$', '', 'g') as t from s9)
+        |select doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) as text
+        |from s10""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents").select(
+          col("doc_id"),
+          concat(
+            lit("# doc "), col("doc_id"), lit("\n"),
+            lit("```\ncode "), col("doc_id"), lit("\n```\n"),
+            lit("**"), col("text"), lit("**\n"),
+            lit("- item with [a link](https://ex.com/p/"), col("doc_id"), lit(")\n"),
+            lit("> quoted `inline"), col("doc_id"), lit("` end\n"),
+            lit("---")).as("md"))
+        planted.select(col("doc_id"),
+          Corpus.markdownToText(col("md")).as("text"))
+    },
+
+    // L9j — orthogonal Procrustes embedding alignment (Schönemann):
+    // the new corpus version is the old one through a planted
+    // block-diagonal rotation; the fitted W = UVᵀ must absorb it
+    // (resid_aligned ≈ 0) while the raw residual stays large. SVD has
+    // no SQL form → rows-only; AlignSpec proves rotation recovery,
+    // orthogonality, and the noisy-case residual drop.
+    QuerySpec.unchecked("l107_procrustes_align") { (s, d) =>
+      val emb = Fixtures.table(s, d, "embeddings")
+      val rotated = emb.select(col("vec_id"), col("label"),
+        Llm.blockRotate(col("embedding")).as("embedding"))
+      graft.llm.Align.procrustesReport(emb, rotated,
+        "vec_id", "embedding", "label")
+    },
   )
+
+  /** Deterministic block-diagonal rotation over dim pairs (2k, 2k+1),
+    * angle 0.3·(k+1): the planted "embedder refresh" l107 aligns away.
+    */
+  def blockRotate(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(63)), i => {
+      val k = (i / 2).cast("int")
+      val theta = k.cast("double") * lit(0.3) + lit(0.3)
+      val c = cos(theta); val sn = sin(theta)
+      val even = element_at(vec, (k * 2 + 1).cast("int")).cast("double")
+      val odd = element_at(vec, (k * 2 + 2).cast("int")).cast("double")
+      when(i % 2 === 0, c * even - sn * odd).otherwise(sn * even + c * odd)
+    })
 
   /** Near-dup index fixture (l61): the persisted corpus index,
     * materialized once per sfDir — index BUILD cost is the one-time

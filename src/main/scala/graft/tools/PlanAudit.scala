@@ -163,7 +163,12 @@ object PlanDigest {
     // ONE projection (a regression that explodes token rows through a
     // shuffle would ship silently). l103 is iterative → spec'd in
     // CurationOpsSpec.
-    "l102_weighted_sample", "l104_maxsim") ++ builders.keys.toSeq.sorted
+    "l102_weighted_sample", "l104_maxsim",
+    // round-9 wave 9: containment must keep its probe→inverted-index
+    // equi-join (a regression to all-pairs would ship silently);
+    // markdown cleanup must stay one zero-shuffle scan. l107 fits W
+    // on the driver before the plan exists → spec'd in AlignSpec.
+    "l105_containment", "l106_markdown_to_text") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
