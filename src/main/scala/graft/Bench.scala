@@ -30,7 +30,10 @@ object Bench {
     "l05b_cosine_ann", "l10b_multimodal_features", "l03_simhash",
     "l15_ivf_ann", "l22_pack_sequences", "l35_ivfpq_ann", "l72_ivf_index",
     "l38_compress_ratio", "l48_semdedup", "l49_bpe_train", "l50_bpe_encode",
-    "l56_ngram_topk_approx", "l73_tone_detect")
+    "l56_ngram_topk_approx", "l73_tone_detect",
+    // tokenizer training is a driver-coordinated EM loop (the l49
+    // class) and l109 measures over its memoized model
+    "l108_unigram_train", "l109_unigram_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

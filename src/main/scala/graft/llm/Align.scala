@@ -158,18 +158,29 @@ object Align {
     */
   def procrustesReport(oldV: DataFrame, newV: DataFrame,
       idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    // corrupt rows (null vectors, ragged dims) must not reach the
+    // Aggregator: its tight loop indexes y by x's length, so a short y
+    // would throw on an executor instead of being data
     val paired = oldV.select(col(idCol), col(labelCol),
         col(vecCol).cast("array<float>").as("x"))
       .join(newV.select(col(idCol),
         col(vecCol).cast("array<float>").as("y")), idCol)
-    val d = paired.select(size(col("x"))).head().getInt(0)
-    val mFlat = paired.agg(OuterProductSum(col("x"), col("y"))).head()
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        size(col("x")) === size(col("y")) && size(col("x")) > 0)
+    // mixed dimensionalities across rows would misalign the flattened
+    // buffer (or throw in merge); fit on the MAJORITY dim (ties break
+    // to the larger dim), not whatever row head() happens to return
+    val d = paired.groupBy(size(col("x")).as("_d")).count()
+      .orderBy(col("count").desc, col("_d").desc)
+      .head().getInt(0)
+    val clean = paired.filter(size(col("x")) === d)
+    val mFlat = clean.agg(OuterProductSum(col("x"), col("y"))).head()
       .getSeq[Double](0)
     val w = procrustesW(mFlat, d)
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
         lit(0.0), (acc, e) => acc + e)
-    paired
+    clean
       .withColumn("xa", rotate(col("x").cast("array<double>"), w))
       .groupBy(labelCol)
       .agg(count(lit(1)).as("n"),

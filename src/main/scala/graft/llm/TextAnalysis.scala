@@ -780,6 +780,141 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
+  /** Viterbi segmentation of one word under a unigram piece LM —
+    * shared by [[unigramLmTrain]]'s E-step and [[unigramEncode]].
+    * best[i] = max over piece lengths L of best[i−L] + logp(w[i−L..i]);
+    * ties prefer the LONGER final piece (deterministic). Characters
+    * absent from the model fall back to a deep floor so unknown text
+    * segments per-char instead of failing.
+    */
+  private def unigramSegment(w: String, logp: collection.Map[String, Double],
+      maxLen: Int): Array[String] = {
+    val n = w.length
+    if (n == 0) return Array.empty
+    val unk = -100.0
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1) // piece length ending at i
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val maxL = math.min(maxLen, i)
+      while (l <= maxL) {
+        val piece = w.substring(i - l, i)
+        val lp = logp.getOrElse(piece, if (l == 1) unk else Double.NegativeInfinity)
+        if (lp != Double.NegativeInfinity && best(i - l) + lp >= best(i)) {
+          best(i) = best(i - l) + lp
+          back(i) = l
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var at = n
+    while (at > 0) { out += w.substring(at - back(at), at); at -= back(at) }
+    out.reverseIterator.toArray
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    * model; Viterbi-EM variant): seed vocabulary = every ≤`maxPieceLen`
+    * substring of the word census with corpus frequency ≥ `minCount`
+    * (capped at `seedCap` by frequency) plus every single character
+    * (the coverage guarantee); then `emIters` rounds of hard EM —
+    * E-step Viterbi-segments the DISTINCT-WORD census (vocabulary-
+    * sized, the bpeTrain trick: the corpus shuffles once, ever, into
+    * the census) under current piece log-probs, M-step re-estimates
+    * probs from usage weighted by word counts; finally prune to the
+    * `vocabSize` highest-usage multi-char pieces + all chars and
+    * renormalize.
+    *
+    * Scale shape: one corpus shuffle (word census) + per-iteration
+    * vocabulary-sized aggregations; the model (≤ seedCap pieces)
+    * broadcasts into the segmentation UDF exactly like bpeEncode's
+    * merge table, and the per-iteration collect is model-sized — the
+    * documented driver minimum for tokenizer training (the model must
+    * live somewhere whole). Segmentation DP is a UDF because an
+    * iterative argmax recurrence has no Catalyst form (the bpeEncode
+    * precedent).
+    *
+    * Returns (piece, logp, rank), rank 1 = most probable.
+    */
+  def unigramLmTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int = 2000, maxPieceLen: Int = 6, minCount: Long = 4L,
+      emIters: Int = 3, seedCap: Int = 50000): Seq[(String, Double)] = {
+    val words = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // seed: all substrings up to maxPieceLen, weighted by word count
+    val subs = words.select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("w")) - i + 1)), j =>
+            col("w").substr(i, j))))).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1 && col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("piece")).limit(seedCap)
+    var model: Map[String, Double] = {
+      val seed = chars.unionByName(multi)
+        .select("piece", "freq").collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble)
+      val total = seed.map(_._2).sum
+      seed.map { case (p, f) => p -> math.log(f / total) }.toMap
+    }
+    val maxLen = maxPieceLen
+    for (_ <- 1 to emIters) {
+      val logp = model
+      val seg = udf { (w: String) => unigramSegment(w, logp, maxLen) }
+      val usage = words
+        .select(col("cnt"), explode(seg(col("w"))).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("used"))
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      val total = usage.values.sum
+      // unused single chars keep a smoothed floor (coverage); unused
+      // multi-char pieces drop out
+      model = model.flatMap { case (p, _) =>
+        usage.get(p) match {
+          case Some(u) => Some(p -> math.log(u / total))
+          case None if p.length == 1 => Some(p -> math.log(0.5 / total))
+          case None => None
+        }
+      }
+    }
+    val (charsM, multiM) = model.toSeq.partition(_._1.length == 1)
+    val kept = charsM ++ multiM
+      .sortBy { case (p, lp) => (-lp, p) }
+      .take(math.max(0, vocabSize - charsM.size))
+    // renormalize over the pruned vocabulary
+    val z = kept.map { case (_, lp) => math.exp(lp) }.sum
+    kept.map { case (p, lp) => p -> (lp - math.log(z)) }
+      .sortBy { case (p, lp) => (-lp, p) }
+  }
+
+  /** Segment a corpus with a trained unigram model: (`id`, `tokens`,
+    * `n_tokens`, `fertility` = pieces per word). The model rides the
+    * closure like bpeEncode's merge table; pure per-partition CPU.
+    */
+  def unigramEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: Seq[(String, Double)],
+      maxPieceLen: Int = 6): org.apache.spark.sql.DataFrame = {
+    val logp = model.toMap
+    val enc = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => unigramSegment(w, logp, maxPieceLen))
+    }
+    docs.select(col(idCol), enc(col(textCol)).as("tokens"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_words"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("fertility",
+        round(col("n_tokens") / greatest(col("n_words"), lit(1L)), 6))
+      .drop("n_words")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", reduced to the
     * unigram feature space): score every raw-corpus document by how

@@ -2944,7 +2944,35 @@ object Llm {
       graft.llm.Align.procrustesReport(emb, rotated,
         "vec_id", "embedding", "label")
     },
+
+    // L9k — unigram-LM (SentencePiece) tokenizer training: Viterbi-EM
+    // on the distinct-word census; no SQL form (iterative DP + EM) →
+    // rows-only; TokenizerSpec proves coverage, round-trip identity,
+    // planted-substring emergence, and determinism.
+    QuerySpec.unchecked("l108_unigram_train") { (s, d) =>
+      import s.implicits._
+      TextAnalysis.unigramLmTrain(
+        Fixtures.table(s, d, "documents"), "text",
+        vocabSize = 800, emIters = 2)
+        .zipWithIndex.map { case ((p, lp), i) =>
+          (p, BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            i + 1) }
+        .toDF("piece", "logp", "rank")
+    },
+
+    // L9l — unigram segmentation of the corpus under the model trained
+    // on it (fertility = pieces per word, the tokenizer-quality stat).
+    QuerySpec.unchecked("l109_unigram_encode") { (s, d) =>
+      val docs = Fixtures.table(s, d, "documents")
+      val model = unigramModels.computeIfAbsent(d, _ =>
+        TextAnalysis.unigramLmTrain(docs, "text", vocabSize = 800, emIters = 2))
+      TextAnalysis.unigramEncode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"), col("fertility"))
+    },
   )
+
+  private val unigramModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
 
   /** Deterministic block-diagonal rotation over dim pairs (2k, 2k+1),
     * angle 0.3·(k+1): the planted "embedder refresh" l107 aligns away.

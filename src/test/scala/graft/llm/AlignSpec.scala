@@ -83,6 +83,20 @@ class AlignSpec extends SparkSpec {
     }
   }
 
+  test("procrustesReport tolerates corrupt rows (null / ragged vectors)") {
+    val good = (0L until 50L).map(i =>
+      (i, (i % 3).toInt, Array.tabulate(4)(j => (i + j).toFloat)))
+    val oldV = (good :+ ((90L, 0, null.asInstanceOf[Array[Float]]))
+      :+ ((91L, 1, Array(1f, 2f))))  // ragged dim
+      .toDF("vec_id", "label", "embedding")
+    val newV = oldV // identity refresh: residuals must be exactly 0
+    val rep = Align.procrustesReport(oldV, newV, "vec_id", "embedding", "label")
+      .collect()
+    // 90 (null) dropped; 91 (dim 2 ≠ majority 4) dropped; no crash
+    assert(rep.map(_.getAs[Long]("n")).sum == 50)
+    rep.foreach(r => assert(r.getAs[Double]("resid_aligned") < 1e-9))
+  }
+
   // -------------------------------------------------- markdownToText
 
   test("markdownToText strips markdown furniture and keeps prose") {
