@@ -103,7 +103,11 @@ object Similarity {
       pairs.withColumn("nn", row_number().over(w)).filter(col("nn") <= k)
         .groupBy(keyCol).agg(round(avg("cos"), 6).as(as))
     }
-    val aks = avgTopK(sId, tId, "ak_s")
+    // the per-source averages are query-set-sized (small by the same
+    // assumption that broadcast the query side) — broadcast them; the
+    // per-target averages are corpus-sized and must stay a shuffle
+    // join on the target key
+    val aks = broadcast(avgTopK(sId, tId, "ak_s"))
     val akt = avgTopK(tId, sId, "ak_t")
     val w = Window.partitionBy(col(sId))
       .orderBy(col("margin").desc, col(tId).asc)

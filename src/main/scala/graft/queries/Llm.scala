@@ -2969,6 +2969,26 @@ object Llm {
       TextAnalysis.unigramEncode(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("n_tokens"), col("fertility"))
     },
+
+    // L9m — mergeable quantile summaries (KLL compactors): per-group
+    // sketches PLUS the cross-group rollup built by merging the
+    // stored summaries, never re-reading rows — the mergeable-
+    // summaries cube pattern (SpaceSaving's quantile sibling).
+    // Compaction-sketch results are partition-layout dependent →
+    // rows-only; QuantileSketchSpec pins the rank-error bound, the
+    // merge bound, and the parquet persistence round trip.
+    QuerySpec.unchecked("l110_quantile_sketch") { (s, d) =>
+      import graft.functions.QuantileSketch
+      val li = Fixtures.table(s, d, "lineitem")
+      val per = li.groupBy(col("l_returnflag").as("grp"))
+        .agg(QuantileSketch.sketch(col("l_extendedprice")).as("sk"))
+      val all = per.agg(QuantileSketch.mergeSketches(col("sk")).as("sk"))
+        .withColumn("grp", lit("ALL"))
+      per.unionByName(all).select(col("grp"),
+        round(QuantileSketch.quantileCol(col("sk"), 0.5), 2).as("p50"),
+        round(QuantileSketch.quantileCol(col("sk"), 0.95), 2).as("p95"),
+        round(QuantileSketch.quantileCol(col("sk"), 0.99), 2).as("p99"))
+    },
   )
 
   private val unigramModels =
