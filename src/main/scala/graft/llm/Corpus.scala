@@ -738,6 +738,107 @@ object Corpus {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** robots.txt evaluation for a crawl frontier (REP semantics,
+    * prefix-rule subset): parse each host's robots.txt into
+    * per-user-agent rule groups, pick the MOST SPECIFIC applicable
+    * group per host (a group naming `agent` wins over `*` — Google's
+    * group-selection rule), and judge each URL by its longest
+    * matching rule prefix, Allow beating Disallow on ties. No rule →
+    * allowed. Wildcard-free prefix rules only (the 1994 REP core;
+    * `*`/`$` pattern rules are a documented non-goal).
+    *
+    * Scale shape: rules are a host-keyed explode of the (small)
+    * robots corpus; the URL judgment is one equi-join on host + a
+    * per-URL window over its matched rules — no cross join, frontier-
+    * sized shuffle only.
+    */
+  def robotsFilter(robots: DataFrame, hostCol: String, robotsCol: String,
+      urls: DataFrame, idCol: String, urlCol: String,
+      agent: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("pos"))
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("ua", when(col("line").rlike("^(?i)user-agent:"),
+        lower(trim(regexp_replace(col("line"), "^(?i)user-agent:", "")))))
+      .withColumn("section", last(col("ua"), ignoreNulls = true).over(w))
+    val rules = lines
+      .filter(col("line").rlike("^(?i)(allow|disallow):") &&
+        col("section").isin(agent.toLowerCase, "*"))
+      .select(col("host"), col("section"),
+        lower(regexp_extract(col("line"), "^(?i)(allow|disallow):", 1)).as("rtype"),
+        trim(regexp_replace(col("line"), "^(?i)(allow|disallow):", "")).as("prefix"))
+      .filter(length(col("prefix")) > 0)
+    // group selection: hosts with an agent-specific group ignore '*'
+    val agentHosts = rules.filter(col("section") === agent.toLowerCase)
+      .select("host").distinct().withColumn("has_agent", lit(true))
+    val chosen = rules.join(broadcast(agentHosts), Seq("host"), "left")
+      .filter((coalesce(col("has_agent"), lit(false)) &&
+        col("section") === agent.toLowerCase) ||
+        (!coalesce(col("has_agent"), lit(false)) && col("section") === "*"))
+      .select("host", "rtype", "prefix")
+    val u = urls.select(col(idCol), col(urlCol).as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+      .withColumn("path", coalesce(
+        when(length(regexp_replace(col("url"), "^https?://[^/?#]+", "")) > 0,
+          regexp_replace(col("url"), "^https?://[^/?#]+", "")),
+        lit("/")))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(length(col("prefix")).desc, col("rtype").asc)
+    u.join(chosen,
+        u("host") === chosen("host") && col("path").startsWith(col("prefix")),
+        "left")
+      .withColumn("rk", row_number().over(wm))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("url"),
+        coalesce(col("rtype") === "disallow", lit(false)).as("blocked"),
+        coalesce(col("prefix"), lit("")).as("matched_rule"))
+  }
+
+  /** Schema profile of a dynamic-key JSON column — the "what is
+    * actually in this semi-structured field" report that gates schema
+    * declaration (the reference infers schemas from written records,
+    * node.py:303-304; at 100 TB you profile BEFORE you infer). Parses
+    * each row as `map<string,variant>` (Spark 4's VARIANT keeps the
+    * JSON type system, unlike a map<string,string> cast that erases
+    * number-vs-string) and reports, per key: presence count/share and
+    * the count per canonical type class (number/string/boolean/null/
+    * other). Malformed JSON parses to null and simply contributes no
+    * keys — corrupt rows are data.
+    *
+    * Scale shape: one parse + explode + hash agg, key-cardinality-
+    * sized output; no UDF, no shuffle beyond the key agg.
+    */
+  def jsonProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    // denominator folds lazily as a broadcast 1-row aggregate (the l69
+    // device) — no eager count action, the whole profile is one plan
+    val total = df.agg(count(lit(1)).as("_tot"))
+    val kv = df
+      .select(expr(s"from_json($jsonCol, 'map<string,variant>')").as("m"))
+      .filter(col("m").isNotNull)
+      .select(explode(col("m")).as(Seq("key", "v")))
+      .withColumn("t", expr("schema_of_variant(v)"))
+      .withColumn("cls",
+        when(col("t") === "STRING", "string")
+          .when(col("t") === "BOOLEAN", "boolean")
+          .when(col("t") === "VOID", "null")
+          .when(col("t").rlike("^(BIGINT|INT|SMALLINT|TINYINT|DECIMAL|DOUBLE|FLOAT)"),
+            "number")
+          .otherwise("other"))
+    kv.groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        sum(when(col("cls") === "number", 1L).otherwise(0L)).as("n_number"),
+        sum(when(col("cls") === "string", 1L).otherwise(0L)).as("n_string"),
+        sum(when(col("cls") === "boolean", 1L).otherwise(0L)).as("n_boolean"),
+        sum(when(col("cls") === "null", 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("cls") === "other", 1L).otherwise(0L)).as("n_other"))
+      .crossJoin(broadcast(total))
+      .withColumn("present_pct",
+        round(col("n_present") / col("_tot").cast("double"), 6))
+      .drop("_tot")
+  }
+
   /** Markdown → plain text (the htmlToText sibling for the other big
     * crawl format — README/doc/forum corpora arrive as Markdown):
     * fenced code blocks drop ENTIRELY (the C4 rule — code is not

@@ -55,7 +55,7 @@ object PageRank {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("pr") / col("outdeg")).as("mass"))
+        .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
@@ -98,7 +98,7 @@ object PageRank {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("pr") / col("outdeg")).as("mass"))
+        .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"), col("t"),
@@ -107,5 +107,74 @@ object PageRank {
         .select(col("id"), col("t"), col("pr"))
     }
     ranks.select(col("id"), col("pr").as("trust"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999): the complementary
+    * centrality pair to PageRank — an AUTHORITY is pointed at by good
+    * hubs, a HUB points at good authorities. One mutual-recursion
+    * iteration is two shuffle joins over the shared edge frame:
+    * a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v), each then
+    * normalized. Normalization is by SUM (not the textbook L2) so the
+    * values stay exactly reproducible across engines — sum
+    * normalization preserves the ranking and keeps the oracle's
+    * unrolled-CTE arithmetic identical; each iteration rounds to
+    * 12 dp (the project's cross-engine float contract).
+    *
+    * Scale shape: the edge frame is built once and persisted; per
+    * iteration two shuffle joins of O(|E|) + two 1-row broadcast
+    * totals. No driver state.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+
+    // each half-iteration is PERSISTED before use: its frame is read
+    // twice (once by the normalization total, once downstream) and the
+    // next half builds on it — without the cache the doubly-referenced
+    // plans replay the whole upstream recursion per reference
+    // (measured 18 s vs 1 s at sf0.1 for 2 iterations)
+    val spark = edges.sparkSession
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def normalized(scores: DataFrame, valCol: String): DataFrame = {
+      val s = scores.persist(StorageLevel.MEMORY_AND_DISK)
+      cached += s
+      // the total is ONE double per half-iteration — the same driver
+      // minimum as ConnectedComponents' changed-count; folding it back
+      // as a literal (instead of a broadcast cross join) keeps each
+      // half's plan a single cached-scan projection, and the lineage
+      // cut stops the halves from stacking into one deep plan
+      val total = s.agg(sum(col(valCol).cast("decimal(28,18)")).cast("double"))
+        .head().getDouble(0)
+      val n = s.select(col("id"), round(col(valCol) / lit(total), 12).as(valCol))
+      spark.createDataFrame(n.rdd, n.schema)
+    }
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auths = normalized(
+        nodes.join(
+          e.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("h").cast("decimal(28,18)")).cast("double").as("a")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+      hubs = normalized(
+        nodes.join(
+          e.join(auths.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id")).agg(sum(col("a").cast("decimal(28,18)")).cast("double").as("h")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+    }
+    val out = nodes.join(hubs, "id").join(auths, "id")
+      .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the per-iteration caches
+    cached.foreach(_.unpersist())
+    e.unpersist(); nodes.unpersist()
+    out
   }
 }

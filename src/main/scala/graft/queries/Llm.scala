@@ -2586,25 +2586,25 @@ object Llm {
         |it1 as (select r.id, round(cast(0.15 as double) / (select n from nn)
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from r0 r left join (
-        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r2.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join r0 r2 on e.src = r2.id
         |          join deg d on e.src = d.src group by 1) s on r.id = s.dst),
         |it2 as (select r.id, round(cast(0.15 as double) / (select n from nn)
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from it1 r left join (
-        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r2.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join it1 r2 on e.src = r2.id
         |          join deg d on e.src = d.src group by 1) s on r.id = s.dst),
         |it3 as (select r.id, round(cast(0.15 as double) / (select n from nn)
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from it2 r left join (
-        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r2.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join it2 r2 on e.src = r2.id
         |          join deg d on e.src = d.src group by 1) s on r.id = s.dst),
         |it4 as (select r.id, round(cast(0.15 as double) / (select n from nn)
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from it3 r left join (
-        |          select e.dst, sum(r2.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r2.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join it3 r2 on e.src = r2.id
         |          join deg d on e.src = d.src group by 1) s on r.id = s.dst)
         |select id, round(pr, 6) as pr from it4""".stripMargin) {
@@ -2779,25 +2779,25 @@ object Llm {
         |it1 as (select b.id, b.t, round(cast(0.15 as double) * b.t
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from base b left join (
-        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join r0 r on e.src = r.id
         |          join deg d on e.src = d.src group by 1) s on b.id = s.dst),
         |it2 as (select b.id, b.t, round(cast(0.15 as double) * b.t
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from base b left join (
-        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join it1 r on e.src = r.id
         |          join deg d on e.src = d.src group by 1) s on b.id = s.dst),
         |it3 as (select b.id, b.t, round(cast(0.15 as double) * b.t
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from base b left join (
-        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join it2 r on e.src = r.id
         |          join deg d on e.src = d.src group by 1) s on b.id = s.dst),
         |it4 as (select b.id, b.t, round(cast(0.15 as double) * b.t
         |          + cast(0.85 as double) * coalesce(s.mass, 0), 12) as pr
         |        from base b left join (
-        |          select e.dst, sum(r.pr / d.outdeg) as mass
+        |          select e.dst, cast(sum(cast(r.pr / d.outdeg as decimal(28,18))) as double) as mass
         |          from edges e join it3 r on e.src = r.id
         |          join deg d on e.src = d.src group by 1) s on b.id = s.dst)
         |select id, round(pr, 6) as trust from it4""".stripMargin) {
@@ -2988,6 +2988,172 @@ object Llm {
         round(QuantileSketch.quantileCol(col("sk"), 0.5), 2).as("p50"),
         round(QuantileSketch.quantileCol(col("sk"), 0.95), 2).as("p95"),
         round(QuantileSketch.quantileCol(col("sk"), 0.99), 2).as("p99"))
+    },
+
+    // L9n — HITS hubs & authorities (Kleinberg) over the l98 planted
+    // graph: the complementary centrality pair (hub quality vs being
+    // pointed at by hubs). Sum-normalized per half-iteration so the
+    // unrolled oracle's arithmetic is reproducible; 2 iterations keep
+    // the oracle CTE chain readable (convergence is not the semantics
+    // under test — the mutual recursion is).
+    QuerySpec.df("l111_hits",
+      """with nn as (select count(*) as n from documents),
+        |edges as (select distinct src, dst from (
+        |    select doc_id as src, (doc_id + 1) % (select n from nn) as dst from documents
+        |    union all
+        |    select doc_id, (doc_id * doc_id + 1) % (select n from nn) from documents
+        |    union all
+        |    select doc_id, (doc_id % 25) * 20 from documents)),
+        |nodes as (select src as id from edges union select dst from edges),
+        |h0 as (select id, cast(1.0 as double) as h from nodes),
+        |a1 as (select n.id, coalesce(s.a, 0) as a from nodes n left join (
+        |         select e.dst as id, cast(sum(cast(h.h as decimal(28,18))) as double) as a from edges e
+        |         join h0 h on e.src = h.id group by 1) s on n.id = s.id),
+        |a1n as (select id, round(a / (select cast(sum(cast(a as decimal(28,18))) as double) from a1), 12) as a from a1),
+        |h1 as (select n.id, coalesce(s.h, 0) as h from nodes n left join (
+        |         select e.src as id, cast(sum(cast(a.a as decimal(28,18))) as double) as h from edges e
+        |         join a1n a on e.dst = a.id group by 1) s on n.id = s.id),
+        |h1n as (select id, round(h / (select cast(sum(cast(h as decimal(28,18))) as double) from h1), 12) as h from h1),
+        |a2 as (select n.id, coalesce(s.a, 0) as a from nodes n left join (
+        |         select e.dst as id, cast(sum(cast(h.h as decimal(28,18))) as double) as a from edges e
+        |         join h1n h on e.src = h.id group by 1) s on n.id = s.id),
+        |a2n as (select id, round(a / (select cast(sum(cast(a as decimal(28,18))) as double) from a2), 12) as a from a2),
+        |h2 as (select n.id, coalesce(s.h, 0) as h from nodes n left join (
+        |         select e.src as id, cast(sum(cast(a.a as decimal(28,18))) as double) as h from edges e
+        |         join a2n a on e.dst = a.id group by 1) s on n.id = s.id),
+        |h2n as (select id, round(h / (select cast(sum(cast(h as decimal(28,18))) as double) from h2), 12) as h from h2)
+        |select n.id, round(h2n.h, 6) as hub, round(a2n.a, 6) as authority
+        |from nodes n join h2n on n.id = h2n.id join a2n on n.id = a2n.id
+        |""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionAll(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") + 1) % n).as("dst")))
+          .unionAll(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") % 25) * 20).as("dst")))
+        graft.operators.PageRank.hits(edges, "src", "dst", iterations = 2)
+          .select(col("id"), round(col("hub"), 6).as("hub"),
+            round(col("authority"), 6).as("authority"))
+    },
+
+    // L9o — robots.txt evaluation for the crawl frontier: 7 planted
+    // hosts (even hosts carry a graftbot-specific group that OVERRIDES
+    // the '*' group — Google's group-selection rule), URLs fanned over
+    // /private, /private/ok, /p, /p/open, and /. Longest-prefix rule
+    // wins, Allow beats Disallow on ties, no rule → allowed.
+    QuerySpec.df("l112_robots_filter",
+      """with robots as (
+        |  select 'site' || m || '.example.com' as host,
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/ok' ||
+        |    case when m % 2 = 0
+        |         then chr(10) || 'User-agent: graftbot' || chr(10) ||
+        |              'Disallow: /p' || chr(10) || 'Allow: /p/open'
+        |         else '' end as txt
+        |  from range(0, 7) t(m)),
+        |urls as (select doc_id,
+        |  'https://site' || (doc_id % 7) || '.example.com' ||
+        |  case doc_id % 5 when 0 then '/private/x' when 1 then '/private/ok/y'
+        |       when 2 then '/p/z' when 3 then '/p/open/w' else '' end as url
+        |  from documents),
+        |lines as (
+        |  select host, i as pos, ls[i] as line
+        |  from (select host, string_split(txt, chr(10)) as ls from robots),
+        |       range(1, 10) t(i) where i <= len(ls)),
+        |sec as (select host, pos, line,
+        |  last_value(case when regexp_matches(line, '^(?i)user-agent:')
+        |    then lower(trim(regexp_replace(line, '^(?i)user-agent:', ''))) end
+        |    ignore nulls) over (partition by host order by pos
+        |      rows between unbounded preceding and current row) as section
+        |  from lines),
+        |rules as (select host, section,
+        |    lower(regexp_extract(line, '^(?i)(allow|disallow):', 1)) as rtype,
+        |    trim(regexp_replace(line, '^(?i)(allow|disallow):', '')) as prefix
+        |  from sec where regexp_matches(line, '^(?i)(allow|disallow):')
+        |    and section in ('graftbot', '*')
+        |    and length(trim(regexp_replace(line, '^(?i)(allow|disallow):', ''))) > 0),
+        |ah as (select distinct host from rules where section = 'graftbot'),
+        |chosen as (select r.host, rtype, prefix from rules r
+        |  left join ah on r.host = ah.host
+        |  where (ah.host is not null and section = 'graftbot')
+        |     or (ah.host is null and section = '*')),
+        |u as (select doc_id, url,
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) as host,
+        |    coalesce(nullif(regexp_replace(url, '^https?://[^/?#]+', ''), ''), '/')
+        |      as path from urls),
+        |m as (select u.doc_id, u.url, c.rtype, c.prefix,
+        |    row_number() over (partition by u.doc_id
+        |      order by length(c.prefix) desc, c.rtype asc) as rk
+        |  from u left join chosen c
+        |    on u.host = c.host and starts_with(u.path, c.prefix))
+        |select doc_id, url, coalesce(rtype = 'disallow', false) as blocked,
+        |       coalesce(prefix, '') as matched_rule
+        |from m where rk = 1""".stripMargin) {
+      (s, d) =>
+        val robots = s.range(0, 7).select(
+          concat(lit("site"), col("id"), lit(".example.com")).as("host"),
+          concat(lit("User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+            when(col("id") % 2 === 0,
+              lit("\nUser-agent: graftbot\nDisallow: /p\nAllow: /p/open"))
+              .otherwise(lit(""))).as("txt"))
+        val urls = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://site"), col("doc_id") % 7, lit(".example.com"),
+            when(col("doc_id") % 5 === 0, "/private/x")
+              .when(col("doc_id") % 5 === 1, "/private/ok/y")
+              .when(col("doc_id") % 5 === 2, "/p/z")
+              .when(col("doc_id") % 5 === 3, "/p/open/w")
+              .otherwise("")).as("url"))
+        Corpus.robotsFilter(robots, "host", "txt", urls, "doc_id", "url",
+          agent = "graftbot")
+    },
+
+    // L9p — JSON schema profile of a dynamic-key column (Spark 4
+    // VARIANT keeps number-vs-string apart, which a map<string,string>
+    // cast erases): per key, presence and type-class counts; corrupt
+    // JSON rows (every 97th) contribute no keys but stay in the
+    // denominator. The oracle re-derives every count through DuckDB's
+    // json_keys/json_type.
+    QuerySpec.df("l113_json_profile",
+      """with planted as (select event_id,
+        |  case when event_id % 97 = 0 then 'oops{'
+        |       when event_id % 3 = 0
+        |         then '{"a": ' || user_id || ', "b": "' || event_type || '"}'
+        |       when event_id % 3 = 1
+        |         then '{"a": "' || event_type || '", "c": true, "e": ' || user_id || '.5}'
+        |       else '{"b": "' || event_type || '", "d": null}' end as j
+        |  from events),
+        |tot as (select count(*) as n from planted),
+        |valid as (select j from planted where json_valid(j)),
+        |kv as (select unnest(json_keys(j)) as key, j from valid),
+        |typed as (select key,
+        |  case coalesce(json_type(j, '$.' || key), 'NULL')
+        |    when 'VARCHAR' then 'string' when 'BOOLEAN' then 'boolean'
+        |    when 'NULL' then 'null' when 'OBJECT' then 'other'
+        |    when 'ARRAY' then 'other' else 'number' end as cls
+        |  from kv)
+        |select key, cast(count(*) as bigint) as n_present,
+        |  cast(sum(case when cls = 'number' then 1 else 0 end) as bigint) as n_number,
+        |  cast(sum(case when cls = 'string' then 1 else 0 end) as bigint) as n_string,
+        |  cast(sum(case when cls = 'boolean' then 1 else 0 end) as bigint) as n_boolean,
+        |  cast(sum(case when cls = 'null' then 1 else 0 end) as bigint) as n_null,
+        |  cast(sum(case when cls = 'other' then 1 else 0 end) as bigint) as n_other,
+        |  round(cast(count(*) as double) / (select n from tot), 6) as present_pct
+        |from typed group by key""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "events").select(
+          when(col("event_id") % 97 === 0, lit("oops{"))
+            .when(col("event_id") % 3 === 0,
+              concat(lit("{\"a\": "), col("user_id"),
+                lit(", \"b\": \""), col("event_type"), lit("\"}")))
+            .when(col("event_id") % 3 === 1,
+              concat(lit("{\"a\": \""), col("event_type"),
+                lit("\", \"c\": true, \"e\": "), col("user_id"), lit(".5}")))
+            .otherwise(concat(lit("{\"b\": \""), col("event_type"),
+              lit("\", \"d\": null}"))).as("j"))
+        Corpus.jsonProfile(planted, "j")
     },
   )
 

@@ -768,5 +768,24 @@ object Relational {
         |       round(count(*) / cast(sz.n0 as double), 6) as retention
         |from a join sz on a.cohort = sz.cohort
         |group by a.cohort, week_offset, sz.n0""".stripMargin),
+
+    // Q41 (beyond the reference surface) — first-order Markov
+    // transition matrix over per-user event sequences: P(next | this)
+    // from lead() pairs — the product-analytics "what do users do
+    // next" primitive. One window shuffle on user_id + one pair agg;
+    // the probability denominator is a window over the grouped counts
+    // (no second scan).
+    QuerySpec.shared("q41_markov_transitions",
+      """with seq as (
+        |  select user_id, event_type,
+        |    lead(event_type) over (
+        |      partition by user_id order by ts, event_id) as nxt
+        |  from events)
+        |select event_type as src, nxt as dst,
+        |  cast(count(*) as bigint) as n,
+        |  round(count(*) / cast(sum(count(*)) over
+        |    (partition by event_type) as double), 6) as prob
+        |from seq where nxt is not null
+        |group by event_type, nxt""".stripMargin),
   )
 }

@@ -168,7 +168,14 @@ object PlanDigest {
     // equi-join (a regression to all-pairs would ship silently);
     // markdown cleanup must stay one zero-shuffle scan. l107 fits W
     // on the driver before the plan exists → spec'd in AlignSpec.
-    "l105_containment", "l106_markdown_to_text") ++ builders.keys.toSeq.sorted
+    "l105_containment", "l106_markdown_to_text",
+    // round-9 wave 12: robots evaluation must keep its host-keyed
+    // rule join + per-URL window (no cross join of frontier × rules);
+    // the JSON profile must stay parse-scan + hash agg + broadcast
+    // total; the transition matrix one user window + one pair agg.
+    // l111 (HITS) is iterative → CrawlOpsSpec.
+    "l112_robots_filter", "l113_json_profile",
+    "q41_markov_transitions") ++ builders.keys.toSeq.sorted
 
 
   val digestFile = "PLAN_DIGESTS.json"
