@@ -450,20 +450,35 @@ object TextDedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minContainment: Double = 0.8,
-      probes: Int = 3): DataFrame = {
+      probes: Int = 3, maxGramDf: Long = 1000L): DataFrame = {
     import graft.functions.TextShingles
     val sh = df.select(col(idCol), col(textCol))
       .withColumn("sh", TextShingles.shingles(col(textCol), k))
       .select(col(idCol), col("sh"))
       .localCheckpoint() // feeds probe, index, and verify subtrees
-    val probeSide = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
-      .withColumn("g", explode(slice(
-        transform(
-          array_sort(transform(col("sh_a"), g => struct(xxhash64(g).as("h"), g.as("g")))),
-          s => s.getField("g")),
-        1, probes)))
-      .select(col("a_id"), col("g"))
-    val index = sh.select(col(idCol).as("b_id"), explode(col("sh")).as("g"))
+    // stop-gram cap (the l91 PassJoin lesson, containment edition): a
+    // gram shared by >maxGramDf docs fans every probe out to all of
+    // them — on a crawl with heavy near-dup clusters the candidate set
+    // explodes quadratically per cluster (the 100× probe corpus OOMed
+    // a 4-digit-df join before this cap). Ultra-common grams leave the
+    // INDEX and the probe pool together, so probes only ever target
+    // discriminative grams; a doc with NO sub-cap gram is mass-
+    // duplicate material that upstream exact/near-dup dedup owns, and
+    // the recall contract (certain hit at c = 1 via min-hash probes)
+    // holds over the surviving gram set.
+    val exploded = sh.select(col(idCol), explode(col("sh")).as("g"))
+      .localCheckpoint()
+    val rare = exploded.groupBy("g")
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxGramDf)
+      .select("g")
+    val surviving = exploded.join(rare, "g")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(xxhash64(col("g")).asc, col("g").asc)
+    val probeSide = surviving
+      .withColumn("_pn", row_number().over(wProbe))
+      .filter(col("_pn") <= probes)
+      .select(col(idCol).as("a_id"), col("g"))
+    val index = surviving.select(col(idCol).as("b_id"), col("g"))
     val cands = probeSide.join(index, "g")
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
