@@ -168,12 +168,21 @@ object Similarity {
   def maxSimTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, qToks: String, cToks: String,
       k: Int): DataFrame = {
+    // the per-token maxes are 6-dp GRID values, so their sum lands on
+    // a 4-dp rounding half-boundary for ~1 % of pairs — a double fold
+    // would make those rows flip with the engine's summation order
+    // (caught as a DuckDB run-to-run flake); accumulate in DECIMAL,
+    // which is exact and order-invariant (the project's money rule)
+    // the re-cast after each add keeps the accumulator at the zero's
+    // exact type (decimal + decimal widens the precision, which the
+    // aggregate HOF rejects); 8 tokens ≤ 8.0 total, no overflow
     val score = aggregate(
-      col(qToks), lit(0.0), (acc, qt) =>
-        acc + round(array_max(transform(col(cToks), dt => cosine(qt, dt))), 6))
+      col(qToks), lit(0).cast("decimal(18,6)"), (acc, qt) =>
+        (acc + round(array_max(transform(col(cToks), dt => cosine(qt, dt))), 6)
+          .cast("decimal(18,6)")).cast("decimal(18,6)"))
     val pairs = corpus.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId))
-      .withColumn("score", round(score, 4))
+      .withColumn("score", round(score, 4).cast("double"))
       .filter(!isnan(col("score")))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("score").desc, col(cId).asc)

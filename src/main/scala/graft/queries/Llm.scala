@@ -2836,7 +2836,8 @@ object Llm {
         |    6)) as m
         |  from q join c on q_id <> d_id
         |  group by 1, 2, 3),
-        |scores as (select q_id, d_id, round(sum(m), 4) as score
+        |scores as (select q_id, d_id,
+        |           cast(round(sum(cast(m as decimal(18,6))), 4) as double) as score
         |           from cells group by 1, 2)
         |select q_id, d_id, score, rk from (
         |  select *, row_number() over (
