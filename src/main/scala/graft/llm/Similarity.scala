@@ -191,6 +191,58 @@ object Similarity {
       .select(col(qId), col(cId), col("score"), col("rk"))
   }
 
+  /** kNN label-noise audit (the confident-learning-style flag, à la
+    * Northcutt et al.): a labeled example whose nearest neighbors
+    * overwhelmingly carry a DIFFERENT label is either mislabeled or
+    * lives on a genuine class boundary — either way it is what a
+    * label-cleaning pass reviews first. noise_score = fraction of the
+    * k nearest (cosine) neighbors disagreeing with the row's label;
+    * `flagged` at ≥ minDisagree.
+    *
+    * Exact shape: the [[bruteForceTopK]] scan + one per-query
+    * aggregation; swap in the IVF/LSH candidate paths at ANN scale.
+    */
+  def labelNoiseAudit(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5,
+      minDisagree: Double = 0.8): DataFrame = {
+    val pairs = emb.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("c_label"))
+      .crossJoin(broadcast(emb.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"), col(labelCol).as("q_label"))))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .filter(!isnan(col("cos")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id").as(idCol), col("q_label").as(labelCol))
+      .agg(sum(when(col("c_label") =!= col("q_label"), 1L).otherwise(0L))
+        .as("n_diff"))
+      .withColumn("noise_score", round(col("n_diff") / lit(k.toDouble), 6))
+      .withColumn("flagged", col("noise_score") >= minDisagree)
+  }
+
+  /** Semantic decontamination: drop/flag corpus members whose best
+    * cosine against a benchmark/eval set exceeds `minCos` — the
+    * embedding-space sibling of the n-gram decontamination pass
+    * (paraphrased eval leakage that token overlap misses). Benchmark
+    * side broadcasts (eval sets are small); at ANN scale shortlist
+    * with IVF first.
+    */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      cId: String, bId: String, cVec: String, bVec: String,
+      minCos: Double = 0.99): DataFrame = {
+    val pairs = corpus.crossJoin(broadcast(benchmark))
+      .withColumn("cos", round(cosine(col(cVec), col(bVec)), 6))
+      .filter(!isnan(col("cos")))
+    val w = Window.partitionBy(col(cId))
+      .orderBy(col("cos").desc, col(bId).asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("cos") >= minCos)
+      .select(col(cId), col(bId).as("matched_bench_id"), col("cos"))
+  }
+
   def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(n)(Array.fill(dim)(rng.nextGaussian()))

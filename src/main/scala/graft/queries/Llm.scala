@@ -3156,6 +3156,74 @@ object Llm {
               lit("\", \"d\": null}"))).as("j"))
         Corpus.jsonProfile(planted, "j")
     },
+
+    // L9q — kNN label-noise audit (confident-learning flag): examples
+    // whose 5 nearest cosine neighbors overwhelmingly disagree with
+    // their label. vec_id < 60 bounds the oracle's pair frame; the
+    // fixture's quasi-random labels make most rows flag — the
+    // DETERMINISM of score and flag is what the oracle checks.
+    QuerySpec.df("l114_label_noise",
+      s"""with q as (select vec_id as q_id, embedding as qv, label as ql
+         |           from embeddings where vec_id < 60),
+         |c as (select vec_id as c_id, embedding as cv, label as cl
+         |      from embeddings),
+         |pairs as (select q_id, ql, c_id, cl,
+         |    round(${duckDot.format("qv", "cv")} /
+         |      (${duckNorm("qv")} * ${duckNorm("cv")}), 6) as cos
+         |  from q cross join c where q_id <> c_id),
+         |top as (select q_id, ql, cl from (
+         |    select q_id, ql, cl, row_number() over (
+         |      partition by q_id order by cos desc, c_id) as rk from pairs)
+         |  where rk <= 5)
+         |select q_id as vec_id, ql as label,
+         |  cast(sum(case when cl <> ql then 1 else 0 end) as bigint) as n_diff,
+         |  round(sum(case when cl <> ql then 1 else 0 end) / cast(5 as double), 6)
+         |    as noise_score,
+         |  sum(case when cl <> ql then 1 else 0 end) / cast(5 as double) >= 0.8
+         |    as flagged
+         |from top group by q_id, ql""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        Similarity.labelNoiseAudit(emb,
+          "vec_id", "embedding", "label", k = 5, minDisagree = 0.8)
+          .filter(col("vec_id") < 60)
+    },
+
+    // L9r — semantic decontamination: the benchmark is every 17th
+    // vector; the corpus additionally holds near-copies of the first
+    // 100 vectors (the l12b planted corpus), so benchmark members with
+    // a planted twin are found semantically even though no token
+    // overlaps. Exact-scoring oracle.
+    QuerySpec.df("l115_semantic_decontamination",
+      s"""with base as (select vec_id,
+         |    cast(embedding as double[]) as embedding from embeddings),
+         |planted as (
+         |  select vec_id + 100000 as vec_id,
+         |    [embedding[i] * (1 + 0.01 * ((vec_id * 31 + i * 17) % 7 - 3))
+         |     for i in range(1, len(embedding) + 1)] as embedding
+         |  from base where vec_id < 100),
+         |corpus as (
+         |  select * from (select * from base union all select * from planted)
+         |  where vec_id % 17 <> 3),
+         |bench as (select vec_id as b_id, embedding as bv
+         |          from base where vec_id % 17 = 3),
+         |pairs as (select c.vec_id, b.b_id,
+         |    round(${duckDot.format("c.embedding", "b.bv")} /
+         |      (${duckNorm("c.embedding")} * ${duckNorm("b.bv")}), 6) as cos
+         |  from corpus c cross join bench b)
+         |select vec_id, b_id as matched_bench_id, cos from (
+         |  select vec_id, b_id, cos, row_number() over (
+         |    partition by vec_id order by cos desc, b_id) as rk from pairs)
+         |where rk = 1 and cos >= 0.99""".stripMargin) {
+      (s, d) =>
+        val all = plantedCorpus(Fixtures.table(s, d, "embeddings"))
+        Similarity.semanticContamination(
+          all.filter(col("vec_id") % 17 =!= 3)
+            .select(col("vec_id"), col("embedding")),
+          all.filter(col("vec_id") % 17 === 3 && col("vec_id") < 100000)
+            .select(col("vec_id").as("b_id"), col("embedding").as("bv")),
+          "vec_id", "b_id", "embedding", "bv", minCos = 0.99)
+    },
   )
 
   private val unigramModels =

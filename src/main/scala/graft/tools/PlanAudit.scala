@@ -164,6 +164,10 @@ object PlanDigest {
     // shuffle would ship silently). l103 is iterative → spec'd in
     // CurationOpsSpec.
     "l102_weighted_sample", "l104_maxsim",
+    // round-9 wave 13: both audits are broadcast-queries scans + one
+    // window/agg tail - a corpus-side shuffle into a cartesian would
+    // ship silently
+    "l114_label_noise", "l115_semantic_decontamination",
     // round-9 wave 9: containment must keep its probe→inverted-index
     // equi-join (a regression to all-pairs would ship silently);
     // markdown cleanup must stay one zero-shuffle scan. l107 fits W

@@ -88,6 +88,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(2.0, 1.0, 0.0))
   }
 
+  test("labelNoiseAudit flags the mislabeled point inside the wrong cluster") {
+    // two tight clusters on orthogonal axes; vec 99 sits in cluster B
+    // but carries label A — its neighbors all disagree
+    def around(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(4)(0.01f * (i % 3)); v(axis) = 1f; v
+    }
+    val rows =
+      (0 until 10).map(i => (i.toLong, 0, around(0, i))) ++
+      (10 until 20).map(i => (i.toLong, 1, around(1, i))) :+
+      ((99L, 0, around(1, 7))) // label 0, lives with cluster 1
+    val out = Similarity.labelNoiseAudit(
+      rows.toDF("vec_id", "label", "embedding"), "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(99L).getAs[Boolean]("flagged"))
+    assert(out(99L).getAs[Double]("noise_score") == 1.0)
+    // clean members are not flagged (their 5-NN include 99 at worst)
+    (0L until 10L).foreach(i =>
+      assert(!out(i).getAs[Boolean]("flagged"), s"vec $i"))
+  }
+
+  test("semanticContamination catches the paraphrase twin, not the orthogonal doc") {
+    val bench = Seq((100L, Array(1f, 0f, 0f))).toDF("b_id", "bv")
+    val corpus = Seq(
+      (1L, Array(0.999f, 0.02f, 0f)), // near-copy of the bench vector
+      (2L, Array(0f, 1f, 0f)),        // unrelated
+      (3L, Array(0.7f, 0.7f, 0f)))    // related but below threshold
+      .toDF("c_id", "cv")
+    val out = Similarity.semanticContamination(
+      corpus, bench, "c_id", "b_id", "cv", "bv", minCos = 0.99)
+      .select("c_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
   test("maxSimTopK rewards the best-matching token per query token (not the average)") {
     // single-vector cosine of d1 to q is mediocre on every dim, while
     // d2 holds ONE exact q-token — MaxSim must prefer d2's spike
