@@ -738,6 +738,28 @@ object Corpus {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** Mojibake detection: UTF-8 bytes mis-decoded as Latin-1 leave the
+    * signature two-char sequences Ã/Â/â + a continuation-byte char
+    * (U+0080–U+00BF) — "café" shipped as "cafÃ©". A crawl corpus is
+    * full of this; undetected it poisons tokenization and dedup
+    * fingerprints alike.
+    */
+  def mojibakeDetected(text: Column): Column =
+    text.rlike("[\u00C2\u00C3\u00E2][\u0080-\u00BF]")
+
+  /** Repair double-encoded text by reversing the mis-decode: re-encode
+    * the string as Latin-1 (recovering the original UTF-8 bytes) and
+    * decode as UTF-8. ONLY applied when [[mojibakeDetected]] fires —
+    * on healthy text containing real Latin-1 accents the same
+    * transform would corrupt (é alone is NOT valid UTF-8 bytes), so
+    * unflagged rows pass through untouched. Pure per-row expression
+    * work, no UDF, no shuffle.
+    */
+  def repairMojibake(text: Column): Column =
+    when(mojibakeDetected(text),
+      decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+
   /** robots.txt evaluation for a crawl frontier (REP semantics,
     * prefix-rule subset): parse each host's robots.txt into
     * per-user-agent rule groups, pick the MOST SPECIFIC applicable

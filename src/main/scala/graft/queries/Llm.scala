@@ -3224,6 +3224,34 @@ object Llm {
             .select(col("vec_id").as("b_id"), col("embedding").as("bv")),
           "vec_id", "b_id", "embedding", "bv", minCos = 0.99)
     },
+
+    // L9s — mojibake detection + repair: every 6th doc carries the
+    // UTF-8-read-as-Latin-1 corruption ("resumÃ©"); detection is the
+    // continuation-byte signature, repair reverses the mis-decode
+    // (re-encode Latin-1, decode UTF-8) ONLY on flagged rows. The
+    // oracle needs no encoding machinery: it knows the planted ground
+    // truth, so it asserts the repaired text equals the clean form —
+    // chr(195)||chr(169) is the corrupt pair, chr(233) the true é.
+    QuerySpec.df("l116_mojibake",
+      """with planted as (select doc_id,
+        |  text || ' resum' ||
+        |  case when doc_id % 6 = 0 then chr(195) || chr(169)
+        |       else chr(233) end || ' review' as text
+        |  from documents)
+        |select doc_id, doc_id % 6 = 0 as mojibake_detected,
+        |  text || ' resum' || chr(233) || ' review' as repaired
+        |from documents""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents").select(
+          col("doc_id"),
+          concat(col("text"), lit(" resum"),
+            when(col("doc_id") % 6 === 0, lit("\u00C3\u00A9"))
+              .otherwise(lit("\u00E9")),
+            lit(" review")).as("text"))
+        planted.select(col("doc_id"),
+          Corpus.mojibakeDetected(col("text")).as("mojibake_detected"),
+          Corpus.repairMojibake(col("text")).as("repaired"))
+    },
   )
 
   private val unigramModels =

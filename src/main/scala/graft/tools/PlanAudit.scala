@@ -168,6 +168,8 @@ object PlanDigest {
     // window/agg tail - a corpus-side shuffle into a cartesian would
     // ship silently
     "l114_label_noise", "l115_semantic_decontamination",
+    // mojibake repair must stay one zero-shuffle scan
+    "l116_mojibake",
     // round-9 wave 9: containment must keep its probe→inverted-index
     // equi-join (a regression to all-pairs would ship silently);
     // markdown cleanup must stay one zero-shuffle scan. l107 fits W

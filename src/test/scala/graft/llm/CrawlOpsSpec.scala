@@ -61,6 +61,23 @@ class CrawlOpsSpec extends SparkSpec {
     assert(!prof.contains("broken"))
   }
 
+  test("mojibake: detect the double-encoding, spare healthy accents, repair exactly") {
+    val corrupt = "caf\u00C3\u00A9 menu"     // UTF-8 'é' read as Latin-1
+    val healthy = "caf\u00E9 menu"           // a real é — NOT mojibake
+    val ascii = "plain ascii"
+    val df = Seq((1L, corrupt), (2L, healthy), (3L, ascii)).toDF("id", "t")
+      .select(col("id"), Corpus.mojibakeDetected(col("t")).as("det"),
+        Corpus.repairMojibake(col("t")).as("rep"))
+    val out = df.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == (true, healthy)) // repaired to the true é
+    assert(out(2L) == (false, healthy)) // untouched: repair would corrupt it
+    assert(out(3L) == (false, ascii))
+    // idempotence: repairing repaired text changes nothing
+    val again = Seq(Tuple1(out(1L)._2)).toDF("t")
+      .select(Corpus.repairMojibake(col("t"))).as[String].head()
+    assert(again == healthy)
+  }
+
   test("HITS: a pure hub and a pure authority score on their own axes") {
     // 1,2,3 all point at 9 (authority); 5 points at 1,2,3,9 (hub)
     val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L),
