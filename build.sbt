@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// sources carry UTF-8 literals (mojibake fixtures, docs) — pin the
+// compiler charset rather than trusting the platform default (the
+// container JVM default is ASCII when LANG is unset)
+ThisBuild / scalacOptions ++= Seq("-encoding", "utf8")
 name := "basisdevkitspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -138,33 +138,34 @@ object Bench {
     val div = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalS = num(total, 3)
-    // The JSON line must be the LAST thing on stdout AND fit the
-    // driver's 2000-char tail capture: the r7 and r8 artifacts both
-    // arrived with a truncated head (`parsed: null`) because ~96
-    // full-length query names are ~3.3 kB. The stdout line therefore
-    // uses each query's short id — the prefix before the first '_'
-    // (q18, l12b, …), unique across the registry and collision-guarded
-    // below — while the full-name median map, the per-run min map, and
-    // the id→name mapping go to BENCH_FULL.json on disk (committed, so
-    // the judge gets the full-fidelity artifact either way).
-    def shortId(n: String): String = n.takeWhile(_ != '_')
-    val ids = results.map { case (n, _) => n -> shortId(n) }.toMap
-    val collided = ids.groupBy(_._2).filter(_._2.size > 1).keySet
-    val qsShort = results.map { case (k, v) =>
-      val id = if (collided(ids(k))) k else ids(k)
-      "\"" + id + "\":" + num(v, 3)
-    }.mkString("{", ",", "}")
-    val idMap = results.map { case (k, _) =>
-      "\"" + (if (collided(ids(k))) k else ids(k)) + "\":\"" + k + "\""
-    }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"queries_min":$qsMin,"ids":$idMap,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
+    val full = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    val line = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qsShort,"full":"BENCH_FULL.json","sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
+    // The stdout line must be the LAST thing printed AND fit the
+    // driver's ~2000-char tail capture WHOLE — r7/r8/r9 all arrived
+    // `parsed: null` because the full (r7/r8) and even short-id (r9,
+    // 153 queries) per-query maps pushed the JSON head past the
+    // capture window. The line is therefore budgeted by construction:
+    // a fixed self-contained core (total, sf, runs, divergent, a
+    // pointer to the committed BENCH_FULL.json) plus only as many
+    // per-query entries — slowest first, the ones worth eyeballing —
+    // as fit a hard 1500-char budget; the complete map lives in
+    // BENCH_FULL.json.
+    val budget = 1500
+    val core = s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_FULL.json","queries_shown":NNN,"queries":{}}"""
+    var room = budget - core.length
+    val bySlowest = results.sortBy(-_._2)
+    val shown = scala.collection.mutable.ListBuffer.empty[String]
+    bySlowest.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + num(v, 3)
+      val cost = ent.length + (if (shown.nonEmpty) 1 else 0)
+      if (room - cost >= 0) { shown += ent; room -= cost }
+    }
+    val line = s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_FULL.json","queries_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}}"""
     if (line.length > 1850) System.err.println(
       s"[bench] WARNING stdout line is ${line.length} chars — may exceed the driver's 2000-char tail capture")
     println(line)

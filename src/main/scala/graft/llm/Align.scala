@@ -50,8 +50,11 @@ object Align {
       else if (b.isEmpty) a
       else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
     override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    // native primitive-array encoder (UnsafeArrayData copy), not Java
+    // serialization — the buffer crosses the wire once per partition
+    // per merge and the ObjectOutputStream framing tripled that cost
     override def bufferEncoder: Encoder[Array[Double]] =
-      Encoders.javaSerialization[Array[Double]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     def apply(x: Column, y: Column): Column = udaf(OuterProductSum).apply(x, y)
@@ -169,10 +172,27 @@ object Align {
         size(col("x")) === size(col("y")) && size(col("x")) > 0)
     // mixed dimensionalities across rows would misalign the flattened
     // buffer (or throw in merge); fit on the MAJORITY dim (ties break
-    // to the larger dim), not whatever row head() happens to return
-    val d = paired.groupBy(size(col("x")).as("_d")).count()
+    // to the larger dim), not whatever row head() happens to return.
+    // Zero clean pairs (disjoint ids, all-null/ragged vectors) is a
+    // data-quality outcome, not a crash: return the empty report.
+    val dOpt = paired.groupBy(size(col("x")).as("_d")).count()
       .orderBy(col("count").desc, col("_d").desc)
-      .head().getInt(0)
+      .head(1).headOption.map(_.getInt(0))
+    if (dOpt.isEmpty) {
+      val sp = oldV.sparkSession
+      return sp.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(labelCol,
+            oldV.schema(labelCol).dataType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("resid_raw",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("resid_aligned",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    val d = dOpt.get
     val clean = paired.filter(size(col("x")) === d)
     val mFlat = clean.agg(OuterProductSum(col("x"), col("y"))).head()
       .getSeq[Double](0)

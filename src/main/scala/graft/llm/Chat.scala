@@ -54,8 +54,12 @@ object Chat {
       coalesce(roleCount("assistant"), lit(0L)).as("n_assistant"),
       coalesce(userChars, lit(0L)).as("user_chars"),
       coalesce(assistantChars, lit(0L)).as("assistant_chars"),
-      round(userChars.cast("double") /
-        greatest(userChars + assistantChars, lit(1L)), 6).as("user_share"),
+      // invalid-JSON rows coalesce to the same defined default as
+      // every other output (userChars is null there, and null would
+      // silently drop the row from downstream share-threshold filters)
+      coalesce(round(userChars.cast("double") /
+        greatest(userChars + assistantChars, lit(1L)), 6),
+        lit(0.0)).as("user_share"),
       coalesce(alternationOk, lit(false)).as("alternation_ok"),
       coalesce(
         // element_at(-1) raises on an empty array under ANSI mode —

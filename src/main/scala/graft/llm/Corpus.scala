@@ -747,16 +747,41 @@ object Corpus {
   def mojibakeDetected(text: Column): Column =
     text.rlike("[\u00C2\u00C3\u00E2][\u0080-\u00BF]")
 
+  /** Anchored regex deciding whether the Latin-1 re-encode → UTF-8
+    * decode round trip is SAFE: every char must be ≤ U+00FF (so the
+    * string IS its Latin-1 byte sequence) and that byte sequence must
+    * be strict well-formed UTF-8 (RFC 3629 table: no overlongs, no
+    * surrogates, ≤ U+10FFFF). Any char > U+00FF (CJK, emoji) matches
+    * no alternative, so the Latin-1-mappability check is subsumed.
+    * Spark 4 `encode`/`decode` RAISE MALFORMED_CHARACTER_CODING on
+    * unmappable/malformed input (they do not substitute '?'/U+FFFD),
+    * so this gate is a correctness requirement, not just hygiene.
+    */
+  private val utf8RoundTripSafe: String =
+    "^(?:[\u0000-\u007F]" +                        // ASCII
+      "|[\u00C2-\u00DF][\u0080-\u00BF]" +          // 2-byte
+      "|\u00E0[\u00A0-\u00BF][\u0080-\u00BF]" +    // 3-byte, no overlong
+      "|[\u00E1-\u00EC\u00EE\u00EF][\u0080-\u00BF]{2}" +
+      "|\u00ED[\u0080-\u009F][\u0080-\u00BF]" +    // no surrogate range
+      "|\u00F0[\u0090-\u00BF][\u0080-\u00BF]{2}" + // 4-byte, no overlong
+      "|[\u00F1-\u00F3][\u0080-\u00BF]{3}" +
+      "|\u00F4[\u0080-\u008F][\u0080-\u00BF]{2})*$" // <= U+10FFFF
+
   /** Repair double-encoded text by reversing the mis-decode: re-encode
     * the string as Latin-1 (recovering the original UTF-8 bytes) and
-    * decode as UTF-8. ONLY applied when [[mojibakeDetected]] fires —
-    * on healthy text containing real Latin-1 accents the same
-    * transform would corrupt (é alone is NOT valid UTF-8 bytes), so
-    * unflagged rows pass through untouched. Pure per-row expression
-    * work, no UDF, no shuffle.
+    * decode as UTF-8. ONLY applied when [[mojibakeDetected]] fires AND
+    * the whole string survives a clean round trip
+    * ([[utf8RoundTripSafe]]): a flagged row that ALSO carries content
+    * outside the mis-decode (CJK/emoji — not Latin-1-mappable — or a
+    * genuine lone é, which is an invalid UTF-8 byte) is left untouched
+    * rather than mangled — real crawl rows are routinely mixed, and on
+    * such rows Spark 4's strict encode/decode would otherwise throw
+    * and fail the whole query. CaseWhen evaluates the repair branch
+    * only on matching rows, so the gate also shields the strict
+    * codecs. Pure per-row expression work, no UDF, no shuffle.
     */
   def repairMojibake(text: Column): Column =
-    when(mojibakeDetected(text),
+    when(mojibakeDetected(text) && text.rlike(utf8RoundTripSafe),
       decode(encode(text, "ISO-8859-1"), "UTF-8"))
       .otherwise(text)
 

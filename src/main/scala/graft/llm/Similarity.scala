@@ -89,9 +89,18 @@ object Similarity {
     * frame comes from the IVF/LSH candidate paths instead and the
     * margin tail is unchanged.
     */
+  /** @param cleanup eagerly checkpoint the (small) mined result and
+    *        release the internal pair cache before returning — the
+    *        default, so long-lived sessions don't accumulate
+    *        corpus-sized CacheManager entries. `false` returns the
+    *        LAZY plan (the pair frame stays persisted; the caller owns
+    *        `unpersist`) — for plan auditing and callers composing
+    *        further before materializing.
+    */
   def marginMining(src: DataFrame, tgt: DataFrame,
       sId: String, tId: String, sVec: String, tVec: String,
-      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+      k: Int = 4, minMargin: Double = 1.0,
+      cleanup: Boolean = true): DataFrame = {
     val pairs = tgt.crossJoin(broadcast(src))
       .withColumn("cos", round(cosine(col(sVec), col(tVec)), 6))
       .filter(!isnan(col("cos")))
@@ -111,13 +120,24 @@ object Similarity {
     val akt = avgTopK(tId, sId, "ak_t")
     val w = Window.partitionBy(col(sId))
       .orderBy(col("margin").desc, col(tId).asc)
-    pairs
+    val mined = pairs
       .join(aks, sId).join(akt, tId)
       .withColumn("margin",
         round(col("cos") / ((col("ak_s") + col("ak_t")) / 2.0), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1 && col("margin") >= minMargin)
       .select(col(sId), col(tId), col("cos"), col("margin"))
+    // eager checkpoint of the (small: <= |src| rows) mined set, then
+    // release the pair cache — a CacheManager entry is never
+    // auto-dropped, so leaving it leaked one corpus-sized frame per
+    // call in a long-lived session; the checkpoint's RDD blocks are
+    // dropped by the ContextCleaner once the result is unreferenced
+    if (!cleanup) mined
+    else {
+      val out = mined.localCheckpoint()
+      pairs.unpersist()
+      out
+    }
   }
 
   /** Cluster-balanced (diversity) sampling — the D4/SemDeDup-family

@@ -36,10 +36,18 @@ object PageRank {
 
   /** @param edges directed edge list (duplicate edges are collapsed)
     * @return (`id`, `pr`) for every distinct endpoint, ranks rounded
-    *         to 12 dp per iteration.
+    *         to 12 dp per iteration. The result is an EAGER local
+    *         checkpoint: the helper caches (edge+degree frame, node
+    *         frame) are released before return — nothing accumulates
+    *         across repeated calls in a long-lived session — and the
+    *         result's own blocks are RDD-level storage the
+    *         ContextCleaner drops once the frame is unreferenced
+    *         (CacheManager entries from `persist` are never
+    *         auto-dropped; that was a leak).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 4, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — the per-iteration join input, built once
@@ -61,7 +69,9 @@ object PageRank {
         .select(col("id"),
           round(lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
     }
-    ranks
+    val out = ranks.localCheckpoint() // eager: one pass over the unrolled plan
+    eDeg.unpersist(); nodes.unpersist()
+    out
   }
 
   /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina &
@@ -80,6 +90,7 @@ object PageRank {
   def personalized(edges: DataFrame, seeds: DataFrame,
       srcCol: String, dstCol: String, seedCol: String,
       iterations: Int = 4, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -106,7 +117,11 @@ object PageRank {
             lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
         .select(col("id"), col("t"), col("pr"))
     }
-    ranks.select(col("id"), col("pr").as("trust"))
+    // eager checkpoint + helper-cache release: same no-leak contract
+    // as [[run]]
+    val out = ranks.select(col("id"), col("pr").as("trust")).localCheckpoint()
+    eDeg.unpersist(); nodes.unpersist()
+    out
   }
 
   /** HITS hubs & authorities (Kleinberg 1999): the complementary
@@ -126,6 +141,9 @@ object PageRank {
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 4): DataFrame = {
+    // below 1 iteration the auth frame is never built — fail loudly
+    // instead of a downstream NullPointerException
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
@@ -169,10 +187,12 @@ object PageRank {
           Seq("id"), "left")
           .select(col("id"), coalesce(col("h"), lit(0.0)).as("h")), "h")
     }
+    // eager checkpoint (not CacheManager persist: those entries are
+    // never auto-dropped and leaked across calls), then release every
+    // per-iteration cache — the no-leak contract shared with [[run]]
     val out = nodes.join(hubs, "id").join(auths, "id")
       .select(col("id"), col("h").as("hub"), col("a").as("authority"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize, then release the per-iteration caches
+      .localCheckpoint()
     cached.foreach(_.unpersist())
     e.unpersist(); nodes.unpersist()
     out

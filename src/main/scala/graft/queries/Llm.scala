@@ -2055,8 +2055,14 @@ object Llm {
         mediaPayloads(s, d, "speech",
           Multimodal.attachSpeechPayload(_, "doc_id")),
         "payload")
-        .select("doc_id", "n_frames", "n_active", "active_frac",
-          "n_segments", "segments")
+        // segments is array<struct<start_ms,end_ms>>; the driver's
+        // canonicalizer sorts column values and an ndarray cell is
+        // unhashable there (the r9 harness crash) — ship it as its
+        // JSON string form, which carries the same information and
+        // sorts fine
+        .select(col("doc_id"), col("n_frames"), col("n_active"),
+          col("active_frac"), col("n_segments"),
+          to_json(col("segments")).as("segments"))
     },
 
     // L4w' — BM25 served from the PERSISTED inverted index: postings/

@@ -84,6 +84,22 @@ object PlanDigest {
     // in-memory code table: the guard target is the join shape
     // (posexplode banding + shuffle equi-join, no cartesian), which is
     // independent of where the codes come from
+    // bitext margin mining: the l101 registry entry now returns an
+    // eager localCheckpoint (the round-10 cache-leak fix), so its
+    // registry plan is a checkpoint scan — the load-bearing shape
+    // (broadcast-queries pair frame, never a corpus shuffle into a
+    // cartesian, window tails) is digested from the LAZY plan here
+    "b_margin_mining" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Fixtures.table(s, d, "embeddings")
+      graft.llm.Similarity.marginMining(
+        emb.filter(col("label") < 5 && col("vec_id") < 40)
+          .select(col("vec_id").as("s_id"), col("embedding").as("sv")),
+        emb.filter(col("label") >= 5)
+          .select(col("vec_id").as("t_id"), col("embedding").as("tv")),
+        "s_id", "t_id", "sv", "tv", k = 4, minMargin = 1.0,
+        cleanup = false)
+    }),
     "b_hamming_pairs" -> ((s, d) => {
       val codes = s.range(0, 1000).selectExpr(
         "id as doc_id", "xxhash64(id % 37) as dhash")
@@ -155,7 +171,9 @@ object PlanDigest {
     // tails; funnel/cohort keep user_id-keyed shuffle joins with no
     // nested loop. q38/l98 are iterative (per-round actions, no single
     // plan) — their shapes are spec'd in GraphOpsSpec instead.
-    "l99_chat_stats", "l101_bitext_margin", "q39_funnel",
+    // (l101's lazy plan is digested as b_margin_mining — its registry
+    // entry is an eager checkpoint since the round-10 cache-leak fix)
+    "l99_chat_stats", "q39_funnel",
     "q40_cohort_retention",
     // round-9 wave 8: the weighted sample must stay one group-key
     // shuffle + window (no global sort); MaxSim must keep its

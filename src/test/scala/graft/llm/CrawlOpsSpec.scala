@@ -78,6 +78,25 @@ class CrawlOpsSpec extends SparkSpec {
     assert(again == healthy)
   }
 
+  test("mojibake: mixed rows pass through untouched (no mangle, no throw)") {
+    // flagged rows whose FULL round trip is unsafe must come back
+    // verbatim — Spark 4's strict encode/decode would otherwise raise
+    // MALFORMED_CHARACTER_CODING mid-query (unmappable CJK) or mangle
+    // the healthy accent (lone é is an invalid UTF-8 byte)
+    val cjkMix = "cafÃ© 世界"      // mojibake + CJK
+    val emojiMix = "cafÃ© 😀"    // mojibake + emoji
+    val strayMix = "ok é and cafÃ©"   // mojibake + real é
+    val contBare = "odd Ã alone"                // flagged, C3 + space
+    val rows = Seq((1L, cjkMix), (2L, emojiMix), (3L, strayMix), (4L, contBare))
+    val out = rows.toDF("id", "t")
+      .select(col("id"), Corpus.mojibakeDetected(col("t")).as("det"),
+        Corpus.repairMojibake(col("t")).as("rep"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    rows.foreach { case (id, t) => assert(out(id)._2 == t,
+      s"row $id must be untouched") }
+    assert(out(1L)._1 && out(2L)._1 && out(3L)._1) // still FLAGGED for triage
+  }
+
   test("HITS: a pure hub and a pure authority score on their own axes") {
     // 1,2,3 all point at 9 (authority); 5 points at 1,2,3,9 (hub)
     val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L),
