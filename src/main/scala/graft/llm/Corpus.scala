@@ -126,6 +126,45 @@ object Corpus {
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"))
 
+  /** Luhn checksum validity of a digit string (ISO/IEC 7812 — the
+    * payment-card check digit): from the right, double every second
+    * digit (folding >9 to d-9) and require the sum ≡ 0 mod 10. Pure
+    * HOF expression (aggregate over character positions), no UDF —
+    * and the same fold writes directly in any engine with list
+    * transforms, so PII detection stays oracle-checkable.
+    */
+  def luhnValid(digits: Column): Column =
+    aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(reverse(digits).substr(i, lit(1))) - lit(48)
+        acc + when(i % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      }) % 10 === 0
+
+  /** Extended PII audit — the counting sibling of [[redactPii]], with
+    * payment-card VALIDATION: a bare 16-digit run is usually an id or
+    * a timestamp, so flagging every digit run drowns review queues;
+    * the Luhn checksum separates card-shaped noise from numbers that
+    * are actually issuable ([[luhnValid]]). Output per document:
+    * `n_card_candidates` (13-19-digit runs), `n_cards_valid`
+    * (Luhn-passing), `n_emails`, `n_phones`.
+    *
+    * Scan-shaped: regexp extraction + per-candidate checksum fold,
+    * zero shuffle, codegen-friendly.
+    */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cards = regexp_extract_all(col(textCol), lit("[0-9]{13,19}"), lit(0))
+    df.select(col(idCol),
+      size(cards).as("n_card_candidates"),
+      size(filter(cards, c => luhnValid(c))).as("n_cards_valid"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .as("n_phones"))
+  }
+
   /** URL pattern, engine-portable (no lookarounds; non-capturing group
     * for the optional path) — identical under Java regex and RE2.
     */

@@ -103,6 +103,15 @@ object TextAnalysis {
   def minShingleHash(shingleCol: Column): Column =
     array_min(transform(shingleCol, s => xxhash64(s)))
 
+  /** Engine-portable variant of [[minShingleHash]]: min over shingles
+    * of the md5's first 60 bits parsed as a bigint — the same
+    * winnowing semantics, reproducible in the DuckDB oracle as
+    * `('0x' || substr(md5(s), 1, 15))::bigint`.
+    */
+  def minShingleHashPortable(shingleCol: Column): Column =
+    array_min(transform(shingleCol, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
   /** Gopher-style intra-document repetition signals: fraction of mass
     * in the most frequent token, distinct-token fraction, and fraction
     * of bigram mass in the most frequent bigram — the standard
@@ -483,6 +492,37 @@ object TextAnalysis {
       fracs.map { case (n, f) => f.as(s"${n}_frac") } :+
       round((nChars - counted) / base, 6).as("other_frac") :+
       dominant.as("dominant_script"): _*)
+  }
+
+  /** Tokenizer fertility by script — the tokenizer-health section of
+    * a dataset card: per dominant script ([[scriptMix]]'s argmax),
+    * how many subwords the tokenizer spends per whitespace word
+    * (`fertility`) and how many non-space chars each subword covers.
+    * High fertility on a script means the subword scheme fragments it
+    * (the standard multilingual-tokenizer complaint, quantified per
+    * corpus); zero-word documents are excluded (nothing to tokenize).
+    *
+    * Two scan-shaped passes joined on the doc id + one small
+    * aggregation keyed by script (a handful of groups) — map-side
+    * combinable, no data-sized shuffle beyond the id join, which
+    * collapses to one scan when the optimizer merges the projections.
+    */
+  def tokenFertility(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val per = docs.select(col(idCol),
+      tokenCount(col(textCol)).as("n_words"),
+      subwordCount(col(textCol)).as("n_subwords"),
+      length(regexp_replace(col(textCol), "\\s", "")).as("n_chars"))
+    val dom = scriptMix(docs, idCol, textCol)
+      .select(col(idCol), col("dominant_script"))
+    per.join(dom, idCol)
+      .filter(col("n_words") > 0)
+      .groupBy("dominant_script")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_subwords").cast("double") / col("n_words")), 6)
+          .as("fertility"),
+        round(avg(col("n_chars").cast("double") /
+          greatest(col("n_subwords"), lit(1))), 6).as("chars_per_subword"))
   }
 
   /** Per-document mean CONDITIONAL bigram log-probability under the

@@ -319,15 +319,35 @@ object TextDedup {
     *
     * Shuffle shape: explode(tokens) → explode(64 bits) → two partial
     * aggregations; all map-side combinable.
+    *
+    * @param portable token bit b comes from the token's md5 (hex digit
+    *        b/4, bit b%4) instead of xxhash64 — ~3× more per-token
+    *        work but reproducible in ANY engine with md5 + hex parsing
+    *        (the DuckDB oracle rebuilds it exactly; xxhash64 has no
+    *        cross-engine counterpart). Same simhash semantics — only
+    *        the underlying token hash family changes. Empty tokens
+    *        (leading-whitespace split artifacts) are dropped in this
+    *        mode so both engines tokenize identically.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bits = toks.select(col("id"), col("h"),
-      explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("sgn",
-        when(expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1))
+    val bits =
+      if (!portable)
+        toks.withColumn("h", xxhash64(col("tok")))
+          .select(col("id"), col("h"),
+            explode(sequence(lit(0), lit(63))).as("bit"))
+          .withColumn("sgn",
+            when(expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1))
+      else
+        toks.filter(length(col("tok")) > 0)
+          .withColumn("m", md5(col("tok")))
+          .select(col("id"), col("m"),
+            explode(sequence(lit(0), lit(63))).as("bit"))
+          .withColumn("sgn", when(expr(
+            "(shiftright(cast(conv(substring(m, cast(bit div 4 as int) + 1, 1), 16, 10) as int), cast(bit % 4 as int)) & 1) = 1"),
+            1).otherwise(-1))
     bits.groupBy("id", "bit").agg(sum("sgn").as("s"))
       .groupBy("id")
       .agg(sum(when(col("s") > 0,

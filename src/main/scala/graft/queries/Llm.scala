@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Fixtures
-import graft.llm.{Corpus, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.llm.{Corpus, Multimodal, Preference, Similarity, TextAnalysis,
+  TextDedup}
 
 /** SURVEY.md §2.6: LLM-training-data pipeline operators, each exposed
   * as a driver-checkable query over the documents/embeddings fixtures.
@@ -28,6 +29,53 @@ object Llm {
       |                         for i in range(1, len(words) - 6)]) end""".stripMargin
   private val duckDot =
     "list_sum(list_transform(list_zip(%s, %s), s -> cast(s[1] as double) * cast(s[2] as double)))"
+
+  // Planted preference judgments shared by l117/l118 (as a CTE body —
+  // callers prepend `with `): per prompt group (doc_id % 25) a
+  // transitive tournament ordered by a portable quality mix, with the
+  // edge between the two lowest response ids FLIPPED in every 5th
+  // group (ties break to the lower doc_id — `a` in the pair join).
+  private val duckPrefs =
+    """sc as (select doc_id, doc_id % 25 as p,
+      |          (doc_id * 2654435761 + 7) % 1048576 as q,
+      |          row_number() over (partition by doc_id % 25
+      |                             order by doc_id) as rk
+      |        from documents),
+      |pr as (select a.p,
+      |         case when a.p % 5 = 0 and a.rk = 1 and b.rk = 2
+      |           then case when a.q >= b.q then b.doc_id else a.doc_id end
+      |           else case when a.q >= b.q then a.doc_id else b.doc_id end
+      |         end as winner,
+      |         case when a.p % 5 = 0 and a.rk = 1 and b.rk = 2
+      |           then case when a.q >= b.q then a.doc_id else b.doc_id end
+      |           else case when a.q >= b.q then b.doc_id else a.doc_id end
+      |         end as loser
+      |       from sc a join sc b on a.p = b.p and a.doc_id < b.doc_id)""".stripMargin
+
+  /** Spark mirror of [[duckPrefs]]: the planted per-prompt pairwise
+    * judgments for the l117/l118 preference audits.
+    */
+  def plantedPrefs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id") % 25).orderBy(col("doc_id"))
+    val sc = docs.select(col("doc_id"), (col("doc_id") % 25).as("p"),
+      ((col("doc_id") * lit(2654435761L) + 7) % 1048576).as("q"),
+      row_number().over(w).as("rk"))
+    val a = sc.select(col("p"), col("doc_id").as("ida"),
+      col("q").as("qa"), col("rk").as("rka"))
+    val b = sc.select(col("p"), col("doc_id").as("idb"),
+      col("q").as("qb"), col("rk").as("rkb"))
+    val flip = col("p") % 5 === 0 && col("rka") === 1 && col("rkb") === 2
+    val aWins = col("qa") >= col("qb")
+    a.join(b, Seq("p")).filter(col("ida") < col("idb"))
+      .select(col("p"),
+        when(flip, when(aWins, col("idb")).otherwise(col("ida")))
+          .otherwise(when(aWins, col("ida")).otherwise(col("idb")))
+          .as("winner"),
+        when(flip, when(aWins, col("ida")).otherwise(col("idb")))
+          .otherwise(when(aWins, col("idb")).otherwise(col("ida")))
+          .as("loser"))
+  }
   private def duckNorm(c: String) =
     s"sqrt(list_sum(list_transform($c, x -> cast(x as double) * cast(x as double))))"
 
@@ -90,12 +138,42 @@ object Llm {
 
     // L2b — SimHash fingerprints + winnowing min-shingle hash
     // (xxhash64-based: no DuckDB equivalent → rows-only)
-    QuerySpec.unchecked("l03_simhash") { (s, d) =>
+    // L2b — SimHash + min-shingle fingerprints, hash-checked since
+    // round 10: the portable hash family (md5 bits) lets DuckDB
+    // rebuild BOTH codes bit-for-bit — the 64 simhash bits come from
+    // the token md5's hex digits, min_shingle from the shingle md5's
+    // first 60 bits. (The xxhash64 default stays for production use —
+    // ~3× less per-token work — and keeps its LlmSpec property check.)
+    QuerySpec.df("l03_simhash",
+      s"""with w as (select doc_id, text, string_split(text, ' ') as words
+        |            from documents),
+        |sh as (select doc_id, $duckShingles as sg from w),
+        |mins as (select doc_id,
+        |           list_min(list_transform(sg,
+        |             s -> ('0x' || substr(md5(s), 1, 15))::bigint)) as min_shingle
+        |         from sh),
+        |toks as (select doc_id,
+        |           unnest(string_split_regex(trim(text), '\\s+')) as tok
+        |         from documents),
+        |h as (select doc_id, md5(tok) as m from toks where length(tok) > 0),
+        |bits as (select doc_id, b,
+        |           case when ((('0x' || substr(m, b // 4 + 1, 1))::int
+        |                       >> (b % 4)) & 1) = 1 then 1 else -1 end as sgn
+        |         from h, range(0, 64) t(b)),
+        |s as (select doc_id, b, sum(sgn) as s from bits group by 1, 2),
+        |sh64 as (select doc_id,
+        |           cast(sum(case when s > 0 then
+        |             case when b = 63 then -9223372036854775807 - 1
+        |                  else (1::bigint << b) end
+        |             else 0 end) as bigint) as simhash
+        |         from s group by 1)
+        |select sh64.doc_id, sh64.simhash, mins.min_shingle
+        |from sh64 join mins using (doc_id)""".stripMargin) { (s, d) =>
       val docs = Fixtures.table(s, d, "documents")
-      val sims = TextDedup.simhash(docs, "doc_id", "text")
+      val sims = TextDedup.simhash(docs, "doc_id", "text", portable = true)
       val mins = TextDedup.withShingles(docs.select("doc_id", "text"), "text", "sg")
         .select(col("doc_id"),
-          TextAnalysis.minShingleHash(col("sg")).as("min_shingle"))
+          TextAnalysis.minShingleHashPortable(col("sg")).as("min_shingle"))
       sims.join(mins, sims("id") === mins("doc_id"))
         .select(col("doc_id"), col("simhash"), col("min_shingle"))
     },
@@ -3257,6 +3335,175 @@ object Llm {
         planted.select(col("doc_id"),
           Corpus.mojibakeDetected(col("text")).as("mojibake_detected"),
           Corpus.repairMojibake(col("text")).as("repaired"))
+    },
+
+    // L10a — preference-data consistency audit (RLHF/DPO prep):
+    // directed 3-cycles in per-prompt pairwise judgments — judgments
+    // no scalar reward can produce, i.e. annotation noise. The
+    // planted corpus derives a transitive per-prompt tournament from
+    // a portable quality mix, then FLIPS one edge (the two lowest
+    // response ids) in every 5th prompt group; every reported
+    // triangle therefore threads through a flipped edge, and both
+    // engines enumerate the identical canonical set.
+    QuerySpec.df("l117_preference_cycles",
+      s"""with $duckPrefs
+        |select x.p as prompt_id, x.winner as n1, y.winner as n2,
+        |       z.winner as n3
+        |from pr x
+        |join pr y on x.p = y.p and x.loser = y.winner
+        |join pr z on y.p = z.p and y.loser = z.winner
+        |           and z.loser = x.winner
+        |where x.winner < y.winner and x.winner < z.winner""".stripMargin) {
+      (s, d) =>
+        Preference.cycleAudit(
+          plantedPrefs(Fixtures.table(s, d, "documents")),
+          "p", "winner", "loser")
+          .select(col("p").as("prompt_id"), col("n1"), col("n2"), col("n3"))
+    },
+
+    // L10b — preference length-bias audit: rate at which the longer
+    // response wins per prompt group (the best-documented annotation
+    // artifact — a high rate teaches the reward model verbosity).
+    // Same planted judgments as l117; lengths from the documents
+    // table's n_chars.
+    QuerySpec.df("l118_preference_length_bias",
+      s"""with $duckPrefs
+        |select p as prompt_id,
+        |  count(*) as n_pairs,
+        |  cast(sum(case when wd.n_chars > ld.n_chars then 1 else 0 end)
+        |    as bigint) as n_longer_wins,
+        |  cast(sum(case when wd.n_chars = ld.n_chars then 1 else 0 end)
+        |    as bigint) as n_ties,
+        |  round(cast(sum(case when wd.n_chars > ld.n_chars then 1 else 0 end)
+        |      as double) /
+        |    greatest(count(*) - sum(case when wd.n_chars = ld.n_chars
+        |      then 1 else 0 end), 1), 6) as longer_win_rate
+        |from pr
+        |join documents wd on pr.winner = wd.doc_id
+        |join documents ld on pr.loser = ld.doc_id
+        |group by p""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        Preference.lengthBias(plantedPrefs(docs),
+          docs.select("doc_id", "n_chars"),
+          "p", "winner", "loser", "doc_id", "n_chars")
+          .withColumnRenamed("p", "prompt_id")
+    },
+
+    // L10c — extended PII audit with payment-card Luhn VALIDATION
+    // (the counting sibling of l20's redaction): bare 13-19-digit
+    // runs are usually ids, so the checksum separates card-shaped
+    // noise from issuable numbers. Planted: a Luhn-valid Visa on
+    // doc_id%4=0, the same number with a broken check digit on
+    // doc_id%4=1 (candidate but NOT valid), a valid 15-digit Amex on
+    // doc_id%7=0, an email on doc_id%11=0, a phone on doc_id%13=0 —
+    // both engines run the same checksum fold over the same extracts.
+    QuerySpec.df("l119_pii_audit",
+      """with t as (select doc_id, text ||
+        |    case when doc_id % 4 = 0 then ' card 4539578763621486'
+        |         when doc_id % 4 = 1 then ' ref 4539578763621487'
+        |         else '' end ||
+        |    case when doc_id % 7 = 0 then ' amex 378282246310005'
+        |         else '' end ||
+        |    case when doc_id % 11 = 0 then ' mail bob@example.com'
+        |         else '' end ||
+        |    case when doc_id % 13 = 0 then ' call +1-555-123-4567'
+        |         else '' end as text
+        |  from documents),
+        |c as (select doc_id, text,
+        |        regexp_extract_all(text, '[0-9]{13,19}') as cards
+        |      from t)
+        |select doc_id,
+        |  len(cards) as n_card_candidates,
+        |  cast(coalesce(list_sum(list_transform(cards, s ->
+        |    case when list_sum(list_transform(range(1, length(s) + 1), i ->
+        |        case when i % 2 = 1
+        |             then ascii(substr(reverse(s), i, 1)) - 48
+        |             else case when (ascii(substr(reverse(s), i, 1)) - 48) * 2 > 9
+        |                       then (ascii(substr(reverse(s), i, 1)) - 48) * 2 - 9
+        |                       else (ascii(substr(reverse(s), i, 1)) - 48) * 2
+        |                  end end)) % 10 = 0
+        |         then 1 else 0 end)), 0) as bigint) as n_cards_valid,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) as n_phones
+        |from c""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, lit(" card 4539578763621486"))
+              .when(col("doc_id") % 4 === 1, lit(" ref 4539578763621487"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" amex 378282246310005"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" mail bob@example.com"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" call +1-555-123-4567"))
+              .otherwise(lit(""))).as("text"))
+        Corpus.piiAudit(planted, "doc_id", "text")
+    },
+
+    // L10d — tokenizer fertility by script (tokenizer-health report
+    // for a dataset card): subwords per word and chars per subword
+    // aggregated over each document's dominant script, on the l58
+    // planted multiscript corpus. High fertility on a script = the
+    // subword scheme fragments it (the standard multilingual
+    // tokenizer complaint, quantified).
+    QuerySpec.df("l120_token_fertility",
+      """with t as (
+        |  select doc_id, case cast(doc_id % 4 as int)
+        |    when 1 then trim(repeat('Привет мир дела ', 4))
+        |    when 2 then trim(repeat('中文测试内容很多 ', 4))
+        |    when 3 then trim(repeat('مرحبا بالعالم ', 4))
+        |    else text end as text
+        |  from documents),
+        |c as (select doc_id,
+        |  length(regexp_replace(text, '\s', '', 'g')) as n_chars,
+        |  length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) as latin,
+        |  length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) as cyr,
+        |  length(regexp_replace(text, '[^\p{Han}]', '', 'g')) as han,
+        |  length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) as arab,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) as dig
+        |  from t),
+        |f as (select doc_id, n_chars,
+        |  round(cast(latin as double) / greatest(n_chars, 1), 6) as latin_frac,
+        |  round(cast(cyr as double) / greatest(n_chars, 1), 6) as cyrillic_frac,
+        |  round(cast(han as double) / greatest(n_chars, 1), 6) as han_frac,
+        |  round(cast(arab as double) / greatest(n_chars, 1), 6) as arabic_frac,
+        |  round(cast(dig as double) / greatest(n_chars, 1), 6) as digit_frac
+        |  from c),
+        |dom as (select doc_id, n_chars,
+        |  case greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac,
+        |                digit_frac)
+        |    when 0.0 then 'other'
+        |    when latin_frac then 'latin'
+        |    when cyrillic_frac then 'cyrillic'
+        |    when han_frac then 'han'
+        |    when arabic_frac then 'arabic'
+        |    else 'digit' end as dominant_script
+        |  from f),
+        |tok as (select doc_id,
+        |  case when length(trim(text)) = 0 then 0
+        |       else len(string_split_regex(trim(text), '\s+')) end as n_words,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as n_subwords
+        |  from t)
+        |select dominant_script,
+        |  count(*) as n_docs,
+        |  round(avg(cast(n_subwords as double) / n_words), 6) as fertility,
+        |  round(avg(cast(n_chars as double) / greatest(n_subwords, 1)), 6)
+        |    as chars_per_subword
+        |from dom join tok using (doc_id)
+        |where n_words > 0
+        |group by dominant_script""".stripMargin) {
+      (s, d) =>
+        val t = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 4 === 1, lit(("Привет мир дела " * 4).trim))
+            .when(col("doc_id") % 4 === 2, lit(("中文测试内容很多 " * 4).trim))
+            .when(col("doc_id") % 4 === 3, lit(("مرحبا بالعالم " * 4).trim))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.tokenFertility(t, "doc_id", "text")
     },
   )
 

@@ -1,0 +1,94 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 audit operators: preference-data consistency + length
+  * bias (RLHF prep), Luhn-validated PII, tokenizer fertility.
+  */
+class AuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cycleAudit finds exactly the planted 3-cycle, canonically rotated") {
+    // prompt 1: a>b>c transitive (no cycle); prompt 2: x>y>z>x cycle
+    // ids: a=10,b=11,c=12; x=20,y=21,z=22
+    val prefs = Seq(
+      (1L, 10L, 11L), (1L, 11L, 12L), (1L, 10L, 12L),
+      (2L, 20L, 21L), (2L, 21L, 22L), (2L, 22L, 20L),
+      (2L, 20L, 21L) // duplicate judgment must not double-report
+    ).toDF("p", "winner", "loser")
+    val out = Preference.cycleAudit(prefs, "p", "winner", "loser").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 20L, 21L, 22L)) // anchored at the smallest id, edge order kept
+  }
+
+  test("cycleAudit: flipping one edge of a transitive tournament plants cycles") {
+    // 4 responses ranked 1>2>3>4; flip (1,4) -> 4>1 creates cycles
+    // through every intermediate: (1,2,4) and (1,3,4)
+    val edges = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield if ((a, b) == (1L, 4L)) (9L, b, a) else (9L, a, b)
+    val out = Preference.cycleAudit(edges.toDF("p", "winner", "loser"),
+      "p", "winner", "loser")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 2L, 4L), (1L, 3L, 4L)))
+  }
+
+  test("lengthBias counts longer-wins and ties, drops dangling references") {
+    val prefs = Seq(
+      (1L, 10L, 11L), // winner longer (30 > 20)
+      (1L, 12L, 10L), // winner shorter (10 < 30)
+      (1L, 13L, 12L), // tie (10 = 10)
+      (1L, 10L, 99L)  // loser has no length row -> dropped
+    ).toDF("p", "winner", "loser")
+    val lens = Seq((10L, 30L), (11L, 20L), (12L, 10L), (13L, 10L))
+      .toDF("id", "len")
+    val r = Preference.lengthBias(prefs, lens, "p", "winner", "loser",
+      "id", "len").collect().head
+    assert(r.getAs[Long]("n_pairs") == 3)
+    assert(r.getAs[Long]("n_longer_wins") == 1)
+    assert(r.getAs[Long]("n_ties") == 1)
+    assert(math.abs(r.getAs[Double]("longer_win_rate") - 0.5) < 1e-9)
+  }
+
+  test("luhnValid separates issuable card numbers from digit noise") {
+    val cases = Seq(
+      ("4539578763621486", true),  // valid Visa test number
+      ("4539578763621487", false), // broken check digit
+      ("378282246310005", true),   // valid 15-digit Amex
+      ("4111111111111111", true),
+      ("1234567890123456", false))
+    val out = cases.map(_._1).toDF("s")
+      .select(col("s"), Corpus.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (s, exp) => assert(out(s) == exp, s) }
+  }
+
+  test("piiAudit counts candidates vs Luhn-valid cards, emails, phones") {
+    val df = Seq(
+      (1L, "pay 4539578763621486 or 1234567890123456 mail a@b.co x"),
+      (2L, "call +1-555-123-4567 twice +1-555-123-4567"),
+      (3L, "clean text, no pii at all")).toDF("id", "t")
+    val out = Corpus.piiAudit(df, "id", "t").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ((2, 1, 1, 0)))
+    assert(out(2L) == ((0, 0, 0, 2)))
+    assert(out(3L) == ((0, 0, 0, 0)))
+  }
+
+  test("tokenFertility: fragmenting scripts show high fertility") {
+    val docs = Seq(
+      (1L, "plain latin words here"),       // 4 words, 4 subwords
+      (2L, "中文测试 内容很多"),    // 2 words, 8 single-char subwords
+      (3L, "")                              // zero words -> excluded
+    ).toDF("id", "t")
+    val out = TextAnalysis.tokenFertility(docs, "id", "t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("latin", "han"))
+    assert(math.abs(out("latin").getAs[Double]("fertility") - 1.0) < 1e-9)
+    assert(math.abs(out("han").getAs[Double]("fertility") - 4.0) < 1e-9)
+    assert(out("han").getAs[Long]("n_docs") == 1)
+  }
+}

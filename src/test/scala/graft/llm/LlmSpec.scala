@@ -57,6 +57,19 @@ class LlmSpec extends SparkSpec {
     assert(randDist > 16.0, s"random-pair hamming $randDist should be large")
   }
 
+  test("portable (md5-bit) simhash keeps the near-dup/random separation") {
+    val sims = TextDedup.simhash(docs, "doc_id", "text", portable = true)
+    val nearDups = TextDedup.minhashLshPairs(docs, "doc_id", "text")
+    val sA = sims.select(col("id").as("id_a"), col("simhash").as("h_a"))
+    val sB = sims.select(col("id").as("id_b"), col("simhash").as("h_b"))
+    val dupDist = nearDups.join(sA, "id_a").join(sB, "id_b")
+      .select(avg(TextDedup.hamming(col("h_a"), col("h_b")))).head().getDouble(0)
+    val randDist = sA.crossJoin(sB).filter(col("id_a") + 250 === col("id_b"))
+      .select(avg(TextDedup.hamming(col("h_a"), col("h_b")))).head().getDouble(0)
+    assert(dupDist < 8.0, s"near-dup hamming $dupDist should be small")
+    assert(randDist > 16.0, s"random-pair hamming $randDist should be large")
+  }
+
   test("LSH ANN enriches true neighbors far beyond its candidate volume") {
     // The fixture embeddings are random unit vectors (top-5 neighbors sit
     // at cos≈0.3), the hardest regime for any bucketed ANN. The honest
