@@ -313,45 +313,50 @@ object TextDedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Engine-portable 64-bit token code: the md5's first 16 hex chars
+    * as two 32-bit halves recombined with SIGNED arithmetic that never
+    * leaves the bigint range — `(hi - [2³² if hi ≥ 2³¹]) · 2³² + lo` —
+    * so the identical expression evaluates in any engine with md5 and
+    * hex parsing (DuckDB included: its checked `<<` would reject the
+    * shift form, and its arithmetic right shift matches Java's for
+    * the bit extraction downstream).
+    */
+  private[llm] def portableHash64(tok: Column): Column = {
+    val m = md5(tok)
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    (hi - when(hi >= 2147483648L, 4294967296L).otherwise(0L)) *
+      4294967296L + lo
+  }
+
   /** 64-bit SimHash per document: tokens hash to 64-bit codes; each bit
     * position accumulates +1/-1 across tokens; the sign vector is the
     * fingerprint. Near-dups have small Hamming distance.
     *
-    * Shuffle shape: explode(tokens) → explode(64 bits) → two partial
-    * aggregations; all map-side combinable.
+    * Shuffle shape: explode(tokens) → ONE hash aggregation whose
+    * buffer is 64 longs per document ([[graft.functions.SimHashAgg]]),
+    * map-side combined — each partition ships one 512-byte buffer per
+    * doc, never per-(token, bit) rows (the explode-by-64 formulation
+    * shuffled 64× the token count and was measured 6× slower at
+    * sf0.1, a gap that grows with the corpus).
     *
-    * @param portable token bit b comes from the token's md5 (hex digit
-    *        b/4, bit b%4) instead of xxhash64 — ~3× more per-token
-    *        work but reproducible in ANY engine with md5 + hex parsing
-    *        (the DuckDB oracle rebuilds it exactly; xxhash64 has no
-    *        cross-engine counterpart). Same simhash semantics — only
-    *        the underlying token hash family changes. Empty tokens
-    *        (leading-whitespace split artifacts) are dropped in this
-    *        mode so both engines tokenize identically.
+    * @param portable token codes come from [[portableHash64]] (md5)
+    *        instead of xxhash64 — reproducible in the DuckDB oracle,
+    *        which xxhash64 is not. Same simhash semantics; only the
+    *        hash family changes. Empty tokens (leading-whitespace
+    *        split artifacts) are dropped in this mode so both engines
+    *        tokenize identically.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
-    val bits =
-      if (!portable)
-        toks.withColumn("h", xxhash64(col("tok")))
-          .select(col("id"), col("h"),
-            explode(sequence(lit(0), lit(63))).as("bit"))
-          .withColumn("sgn",
-            when(expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1))
-      else
-        toks.filter(length(col("tok")) > 0)
-          .withColumn("m", md5(col("tok")))
-          .select(col("id"), col("m"),
-            explode(sequence(lit(0), lit(63))).as("bit"))
-          .withColumn("sgn", when(expr(
-            "(shiftright(cast(conv(substring(m, cast(bit div 4 as int) + 1, 1), 16, 10) as int), cast(bit % 4 as int)) & 1) = 1"),
-            1).otherwise(-1))
-    bits.groupBy("id", "bit").agg(sum("sgn").as("s"))
-      .groupBy("id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash"))
+    val hashed =
+      if (!portable) toks.select(col("id"), xxhash64(col("tok")).as("h"))
+      else toks.filter(length(col("tok")) > 0)
+        .select(col("id"), portableHash64(col("tok")).as("h"))
+    hashed.groupBy("id")
+      .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
   }
 
   /** Hamming distance between two simhash codes. */

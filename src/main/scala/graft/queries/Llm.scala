@@ -155,10 +155,15 @@ object Llm {
         |toks as (select doc_id,
         |           unnest(string_split_regex(trim(text), '\\s+')) as tok
         |         from documents),
-        |h as (select doc_id, md5(tok) as m from toks where length(tok) > 0),
+        |h as (select doc_id,
+        |        (hi - case when hi >= 2147483648 then 4294967296
+        |                   else 0 end) * 4294967296 + lo as w
+        |      from (select doc_id,
+        |              ('0x' || substr(md5(tok), 1, 8))::bigint as hi,
+        |              ('0x' || substr(md5(tok), 9, 8))::bigint as lo
+        |            from toks where length(tok) > 0)),
         |bits as (select doc_id, b,
-        |           case when ((('0x' || substr(m, b // 4 + 1, 1))::int
-        |                       >> (b % 4)) & 1) = 1 then 1 else -1 end as sgn
+        |           case when ((w >> b) & 1) = 1 then 1 else -1 end as sgn
         |         from h, range(0, 64) t(b)),
         |s as (select doc_id, b, sum(sgn) as s from bits group by 1, 2),
         |sh64 as (select doc_id,

@@ -188,6 +188,13 @@ object PlanDigest {
     "l114_label_noise", "l115_semantic_decontamination",
     // mojibake repair must stay one zero-shuffle scan
     "l116_mojibake",
+    // round-10: the preference triangle enumeration must stay
+    // (prompt, response)-keyed equi-joins (a cartesian would ship
+    // silently); the PII audit and the simhash registry entry must
+    // keep their shapes (one scan + checksum folds; one token
+    // aggregation with the 64-long buffer — NOT the explode-by-64
+    // shuffle this replaced)
+    "l117_preference_cycles", "l119_pii_audit", "l03_simhash",
     // round-9 wave 9: containment must keep its probe→inverted-index
     // equi-join (a regression to all-pairs would ship silently);
     // markdown cleanup must stay one zero-shuffle scan. l107 fits W
