@@ -397,6 +397,78 @@ object Corpus {
         frac * lit(1048576.0))
   }
 
+  /** Token-budget mixture planner — the "how many epochs of each
+    * source" table of a pretraining data card (the LLaMA-style
+    * sampling-proportion table): given a total token target and a
+    * sampling temperature τ, each source's target share is
+    * `avail_s^τ / Σ avail^τ` and its EPOCH COUNT is
+    * `target_s / avail_s` — the number > 1 flags sources the schedule
+    * would repeat (the overfitting-risk column reviewers look for).
+    * Output per source: `tokens_available`, `share` (natural),
+    * `weight` (tempered, 6 dp), `tokens_target`, `epochs` (4 dp).
+    *
+    * Scale shape: one token-count aggregation (map-side combinable)
+    * collapses the corpus to a source-cardinality table; the tempered
+    * normalizer flows through a broadcast 1-row total — one lazy plan,
+    * no collect, no data-sized shuffle beyond the count.
+    */
+  def tokenBudget(docs: DataFrame, textCol: String, srcCol: String,
+      targetTokens: Long, tau: Double = 0.7): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    val counts = docs.groupBy(srcCol)
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("tokens_available"))
+      .withColumn("_w", pow(col("tokens_available").cast("double"), lit(tau)))
+    val totals = counts.agg(
+      sum(col("tokens_available")).cast("double").as("_tot"),
+      sum(col("_w")).as("_wtot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(srcCol),
+        col("tokens_available"),
+        round(col("tokens_available") / col("_tot"), 6).as("share"),
+        round(col("_w") / col("_wtot"), 6).as("weight"),
+        round(col("_w") / col("_wtot") * targetTokens).cast("long")
+          .as("tokens_target"),
+        round(col("_w") / col("_wtot") * targetTokens /
+          col("tokens_available"), 4).as("epochs"))
+  }
+
+  /** Deterministic round-robin source interleave — the epoch-order
+    * layout step of a pretraining run: within each source, documents
+    * take a seeded-hash order (`seq`); globally, position 1..N cycles
+    * the sources (block `seq` = the seq-th doc of every still-alive
+    * source, source-ordered), so a reader streaming positions in
+    * order sees sources interleaved 1:1 until a source exhausts.
+    *
+    * Scale shape: the naive global ordering is a one-task window; the
+    * position here is CLOSED-FORM instead —
+    * `pos = Σ_{s'} min(seq-1, cnt_{s'})  +  #{s' < s alive at seq} + 1`
+    * — computed by crossing each row with the broadcast per-source
+    * count table (source cardinality is small by construction), so
+    * the only shuffles are the per-source seq window (partitioned by
+    * source) and one hash re-aggregation. Nothing global ever sits in
+    * one task, and positions are a pure function of corpus content:
+    * reproducible across runs and partitionings.
+    */
+  def interleaveSources(docs: DataFrame, idCol: String, srcCol: String,
+      seed: Long = 42L): DataFrame = {
+    val key = pmod(col(idCol) * lit(2654435761L) + lit(seed), lit(1048576L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(key, col(idCol))
+    val seqd = docs.select(col(idCol), col(srcCol))
+      .withColumn("seq", row_number().over(w).cast("long"))
+    val counts = seqd.groupBy(srcCol).agg(count(lit(1)).as("_c"))
+      .select(col(srcCol).as("_s2"), col("_c"))
+    seqd.crossJoin(broadcast(counts))
+      .groupBy(col(idCol), col(srcCol), col("seq"))
+      .agg(
+        sum(least(col("seq") - 1, col("_c"))).as("_before"),
+        sum(when(col("_c") >= col("seq") && col("_s2") < col(srcCol), 1L)
+          .otherwise(0L)).as("_same_block"))
+      .select(col(idCol), col(srcCol), col("seq"),
+        (col("_before") + col("_same_block") + 1).as("position"))
+  }
+
   /** Temperature-based source rebalancing (the multilingual/mC4
     * sampling rule): target share of source i ∝ nᵢ^τ — τ=1 keeps the
     * natural mix, τ→0 equalizes sources. Sampling can only REMOVE

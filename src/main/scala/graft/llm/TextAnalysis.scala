@@ -494,6 +494,56 @@ object TextAnalysis {
       dominant.as("dominant_script"): _*)
   }
 
+  /** Pearson correlations between per-document quality signals, per
+    * source — the calibration check before combining signals into a
+    * composite score (two signals correlating ≈1 are redundant; a
+    * negative correlation flags a signal measuring something else on
+    * that source). Signals: char count, token count, punctuation
+    * count. Output per source: `n_docs`, `corr_chars_tokens`,
+    * `corr_chars_punct`, `corr_tokens_punct` (6 dp; 0.0 when a
+    * signal is constant — correlation undefined → reported as 0).
+    *
+    * Determinism: correlation is computed from the SIX raw integer
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) rather than a streaming
+    * co-moment — integer sums are exact in any engine and order, and
+    * IEEE sqrt/divide are correctly rounded, so the result is
+    * bit-identical across engines (a Welford-style single-pass corr
+    * is order-dependent in the low bits). All sums are map-side
+    * combinable; one aggregation keyed by source.
+    */
+  def signalCorr(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, srcCol: String): org.apache.spark.sql.DataFrame = {
+    val sig = docs.select(col(srcCol),
+      length(col(textCol)).cast("long").as("x"),
+      tokenCount(col(textCol)).cast("long").as("y"),
+      length(regexp_replace(col(textCol), "[^.,;:!?'\"()-]", ""))
+        .cast("long").as("z"))
+    def corrCols(a: String, b: String): Column = {
+      val n = col("n").cast("double")
+      val sa = col(s"s_$a").cast("double")
+      val sb = col(s"s_$b").cast("double")
+      val sab = col(s"s_$a$b").cast("double")
+      val saa = col(s"s_$a$a").cast("double")
+      val sbb = col(s"s_$b$b").cast("double")
+      val num = n * sab - sa * sb
+      val den = sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)
+      when(den === 0.0, 0.0).otherwise(round(num / den, 6))
+    }
+    sig.groupBy(srcCol).agg(
+        count(lit(1)).as("n"),
+        sum("x").as("s_x"), sum("y").as("s_y"), sum("z").as("s_z"),
+        sum(col("x") * col("y")).as("s_xy"),
+        sum(col("x") * col("z")).as("s_xz"),
+        sum(col("y") * col("z")).as("s_yz"),
+        sum(col("x") * col("x")).as("s_xx"),
+        sum(col("y") * col("y")).as("s_yy"),
+        sum(col("z") * col("z")).as("s_zz"))
+      .select(col(srcCol), col("n").as("n_docs"),
+        corrCols("x", "y").as("corr_chars_tokens"),
+        corrCols("x", "z").as("corr_chars_punct"),
+        corrCols("y", "z").as("corr_tokens_punct"))
+  }
+
   /** Tokenizer fertility by script — the tokenizer-health section of
     * a dataset card: per dominant script ([[scriptMix]]'s argmax),
     * how many subwords the tokenizer spends per whitespace word

@@ -3510,6 +3510,108 @@ object Llm {
             .otherwise(col("text")).as("text"))
         TextAnalysis.tokenFertility(t, "doc_id", "text")
     },
+
+    // L10e — token-budget mixture planner (the LLaMA-style "how many
+    // epochs of each source" data-card table): tempered shares over
+    // per-source token counts, target tokens per source, epoch count
+    // (>1 flags sources the schedule would repeat). Target = 3× the
+    // corpus (the common multi-epoch regime), τ=0.7.
+    QuerySpec.df("l121_token_budget",
+      """with tok as (select source,
+        |    sum(case when length(trim(text)) = 0 then 0
+        |        else len(string_split_regex(trim(text), '\s+')) end)
+        |      as tokens_available
+        |  from documents group by source),
+        |tot as (select cast(sum(tokens_available) as double) as t,
+        |               sum(pow(cast(tokens_available as double), 0.7)) as wt,
+        |               cast(sum(tokens_available) * 3 as bigint) as target
+        |        from tok)
+        |select source,
+        |  cast(tokens_available as bigint) as tokens_available,
+        |  round(tokens_available / t, 6) as share,
+        |  round(pow(cast(tokens_available as double), 0.7) / wt, 6) as weight,
+        |  cast(round(pow(cast(tokens_available as double), 0.7) / wt
+        |    * target) as bigint) as tokens_target,
+        |  round(pow(cast(tokens_available as double), 0.7) / wt * target
+        |    / tokens_available, 4) as epochs
+        |from tok, tot""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val target = 3L * docs.select(
+          sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")))
+          .head().getLong(0)
+        Corpus.tokenBudget(docs, "text", "source", target, tau = 0.7)
+    },
+
+    // L10f — per-source quality-signal correlation (calibration
+    // check before combining signals into a composite): Pearson from
+    // the six RAW INTEGER sums, so both engines compute bit-identical
+    // doubles (integer sums are exact; IEEE sqrt/divide correctly
+    // rounded) — no streaming co-moment order dependence.
+    QuerySpec.df("l122_signal_corr",
+      """with sig as (select source,
+        |    cast(length(text) as bigint) as x,
+        |    cast(case when length(trim(text)) = 0 then 0
+        |         else len(string_split_regex(trim(text), '\s+')) end
+        |      as bigint) as y,
+        |    cast(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |      as bigint) as z
+        |  from documents),
+        |sums as (select source, count(*) as n,
+        |    cast(sum(x) as bigint) as s_x, cast(sum(y) as bigint) as s_y,
+        |    cast(sum(z) as bigint) as s_z,
+        |    cast(sum(x * y) as bigint) as s_xy,
+        |    cast(sum(x * z) as bigint) as s_xz,
+        |    cast(sum(y * z) as bigint) as s_yz,
+        |    cast(sum(x * x) as bigint) as s_xx,
+        |    cast(sum(y * y) as bigint) as s_yy,
+        |    cast(sum(z * z) as bigint) as s_zz
+        |  from sig group by source)
+        |select source, n as n_docs,
+        |  case when (n * s_xx - s_x * s_x) * (n * s_yy - s_y * s_y) = 0
+        |    then 0.0 else round((n * s_xy - s_x * s_y) /
+        |      (sqrt(cast(n * s_xx - s_x * s_x as double)) *
+        |       sqrt(cast(n * s_yy - s_y * s_y as double))), 6) end
+        |    as corr_chars_tokens,
+        |  case when (n * s_xx - s_x * s_x) * (n * s_zz - s_z * s_z) = 0
+        |    then 0.0 else round((n * s_xz - s_x * s_z) /
+        |      (sqrt(cast(n * s_xx - s_x * s_x as double)) *
+        |       sqrt(cast(n * s_zz - s_z * s_z as double))), 6) end
+        |    as corr_chars_punct,
+        |  case when (n * s_yy - s_y * s_y) * (n * s_zz - s_z * s_z) = 0
+        |    then 0.0 else round((n * s_yz - s_y * s_z) /
+        |      (sqrt(cast(n * s_yy - s_y * s_y as double)) *
+        |       sqrt(cast(n * s_zz - s_z * s_z as double))), 6) end
+        |    as corr_tokens_punct
+        |from sums""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.signalCorr(Fixtures.table(s, d, "documents"),
+          "text", "source")
+    },
+
+    // L10g — deterministic round-robin source interleave (the
+    // epoch-order layout of a pretraining run): per-source seeded
+    // order + CLOSED-FORM global position (no one-task global sort —
+    // the position arithmetic crosses each row with the broadcast
+    // source-count table).
+    QuerySpec.df("l123_interleave",
+      """with seqd as (select doc_id, source,
+        |    cast(row_number() over (partition by source
+        |      order by (doc_id * 2654435761 + 42) % 1048576, doc_id)
+        |      as bigint) as seq
+        |  from documents),
+        |cnt as (select source as s2, count(*) as c from documents
+        |        group by source)
+        |select doc_id, source, seq,
+        |  cast(sum(least(seq - 1, c)) +
+        |    sum(case when c >= seq and s2 < source then 1 else 0 end) + 1
+        |    as bigint) as position
+        |from seqd, cnt
+        |group by doc_id, source, seq""".stripMargin) {
+      (s, d) =>
+        Corpus.interleaveSources(Fixtures.table(s, d, "documents"),
+          "doc_id", "source")
+    },
   )
 
   private val unigramModels =

@@ -78,6 +78,58 @@ class AuditOpsSpec extends SparkSpec {
     assert(out(3L) == ((0, 0, 0, 0)))
   }
 
+  test("tokenBudget: tempered weights, targets, and epoch counts by hand") {
+    // two sources, 80 and 20 tokens; target 300, tau = 1 (natural mix
+    // -> weight = share, epochs = 3.0 everywhere)
+    val docs = Seq.tabulate(8)(i => (i.toLong, "w " * 9 + "w", "big")) ++
+      Seq.tabulate(2)(i => (100L + i, "w " * 9 + "w", "small"))
+    val out = Corpus.tokenBudget(docs.toDF("id", "t", "src"), "t", "src",
+      targetTokens = 300L, tau = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("big").getAs[Long]("tokens_available") == 80)
+    assert(math.abs(out("big").getAs[Double]("weight") - 0.8) < 1e-9)
+    assert(out("big").getAs[Long]("tokens_target") == 240)
+    assert(math.abs(out("big").getAs[Double]("epochs") - 3.0) < 1e-9)
+    assert(out("small").getAs[Long]("tokens_target") == 60)
+    // tau < 1 shifts weight toward the small source
+    val tempered = Corpus.tokenBudget(docs.toDF("id", "t", "src"), "t",
+      "src", 300L, tau = 0.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(tempered("small") > 0.2 && tempered("big") < 0.8)
+  }
+
+  test("signalCorr: perfectly correlated signals report 1, constants 0") {
+    // texts where chars and tokens rise together exactly: k words of
+    // one char -> length 2k-1, tokens k (affine -> corr 1); zero
+    // punctuation everywhere -> z constant -> corr 0 by convention
+    val docs = (1L to 5L).map(k => (k, Seq.fill(k.toInt)("a").mkString(" "), "s"))
+    val r = TextAnalysis.signalCorr(docs.toDF("id", "t", "src"), "t", "src")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 5)
+    assert(math.abs(r.getAs[Double]("corr_chars_tokens") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("corr_chars_punct") == 0.0)
+    assert(r.getAs[Double]("corr_tokens_punct") == 0.0)
+  }
+
+  test("interleaveSources: positions are a permutation that round-robins sources") {
+    // sources a(3 docs), b(1), c(2): block 1 = one doc of each (pos
+    // 1-3), block 2 = a and c (b exhausted), block 3 = a alone
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "c"), (6L, "c")).toDF("id", "src")
+    val out = Corpus.interleaveSources(docs, "id", "src").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sorted.toSeq == (1L to 6L))
+    val bySrcSeq = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(Seq(bySrcSeq(("a", 1L)), bySrcSeq(("b", 1L)), bySrcSeq(("c", 1L)))
+      .sorted == Seq(1L, 2L, 3L)) // block 1 holds exactly positions 1-3
+    assert(Seq(bySrcSeq(("a", 2L)), bySrcSeq(("c", 2L))).sorted ==
+      Seq(4L, 5L))                // block 2: b is exhausted
+    assert(bySrcSeq(("a", 3L)) == 6L)
+    // source-ordered within a block
+    assert(bySrcSeq(("a", 1L)) < bySrcSeq(("b", 1L)))
+    assert(bySrcSeq(("b", 1L)) < bySrcSeq(("c", 1L)))
+  }
+
   test("tokenFertility: fragmenting scripts show high fertility") {
     val docs = Seq(
       (1L, "plain latin words here"),       // 4 words, 4 subwords
