@@ -733,6 +733,88 @@ object Corpus {
       .drop("_sk_rn")
   }
 
+  /** Content blocklist gate — the C4 "banned words" page filter
+    * generalized to CATEGORIES with per-category counts (modern data
+    * cards report what was filtered and why, not just a boolean):
+    * case-insensitive whole-word matches per category, and a
+    * `blocked` flag when any category exceeds `maxHits`. Words are
+    * taken literally (callers pass plain words, not regex).
+    *
+    * Scan-shaped: one regexp count per category inside whole-stage
+    * codegen, zero shuffle — the same embarrassing parallelism that
+    * made this the standard first pass over web crawls.
+    */
+  def blocklistScan(df: DataFrame, idCol: String, textCol: String,
+      categories: Seq[(String, Seq[String])],
+      maxHits: Int = 0): DataFrame = {
+    require(categories.nonEmpty, "at least one category required")
+    val counts = categories.map { case (cat, words) =>
+      require(words.nonEmpty, s"category '$cat' has no words")
+      // escape regex metachars per word (\Q..\E quoting is Java-only;
+      // this alternation form evaluates identically under RE2)
+      val re = "(?i)\\b(?:" + words.map(_.replaceAll(
+        "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")).mkString("|") + ")\\b"
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("long").as(s"n_$cat")
+    }
+    val blocked = categories.map { case (cat, _) =>
+      col(s"n_$cat") > maxHits }.reduce(_ || _)
+    df.select((col(idCol) +: counts): _*).withColumn("blocked", blocked)
+  }
+
+  /** The composed curation pass as ONE declarative plan — exact
+    * dedup, quality gates, benchmark decontamination, and split
+    * assignment fused into a single disposition per document, with
+    * the standard precedence (a duplicate is a duplicate even if it
+    * is also contaminated):
+    * `duplicate` (non-first doc of an exact normalized-fingerprint
+    * cluster) ≻ `low_quality` (word count outside
+    * [`minWords`, `maxWords`] or mean word length outside
+    * [`minMeanWordLen`, `maxMeanWordLen`]) ≻ `contaminated` (shares
+    * an 8-gram with any benchmark doc) ≻ `train`/`val`/`test` by the
+    * deterministic id hash.
+    *
+    * Scale shape: one fingerprint aggregation + join (exact dedup),
+    * one gram equi-join against the (small, broadcastable) benchmark,
+    * and scan-time arithmetic for quality and split — no all-pairs
+    * term anywhere; the fused plan reads the corpus ONCE per branch
+    * and Catalyst shares the scan. This is the throughput-defining
+    * first pass of a crawl→training-data pipeline, so keeping it one
+    * plan (instead of four materialized stages) is the difference
+    * between one corpus read and four.
+    */
+  def curationPipeline(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    val keepers = base.groupBy("fp").agg(min("id").as("_keeper"))
+    val contaminated = decontaminate(docs, benchmark, idCol, textCol, k = 8)
+      .select(col(idCol).as("id")).distinct()
+      .withColumn("_cont", lit(true))
+    val bucket = pmod(col("id") * lit(2654435761L) + lit(13L), lit(100L))
+    base
+      .withColumn("n_words",
+        TextAnalysis.tokenCount(col("text")).cast("double"))
+      .withColumn("mean_wlen",
+        length(regexp_replace(col("text"), "\\s", "")) /
+          greatest(col("n_words"), lit(1.0)))
+      .join(keepers, "fp")
+      .join(contaminated, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("id") =!= col("_keeper"), lit("duplicate"))
+          .when(col("n_words") < minWords || col("n_words") > maxWords ||
+            col("mean_wlen") < minMeanWordLen ||
+            col("mean_wlen") > maxMeanWordLen, lit("low_quality"))
+          .when(coalesce(col("_cont"), lit(false)), lit("contaminated"))
+          .when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("disposition"))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the "C4" rules):
     * keep only lines that end in a terminal punctuation mark, contain
     * at least `minLineWords` words, and do not mention "javascript";

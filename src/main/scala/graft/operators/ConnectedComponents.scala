@@ -103,7 +103,11 @@ object ConnectedComponents {
         // cached partitions keeps the per-round plan O(1). The jump
         // materializes lazily inside the NEXT round's count (or the
         // caller's first action if maxIter is hit), which is why
-        // `propagated` stays cached until then.
+        // `propagated` stays cached until then. Deliberately NOT
+        // localCheckpoint: that would eagerly write a second copy of
+        // the labels per round AND add one action per round, while
+        // this cut rides the cache entry the convergence count
+        // already materializes.
         labels = spark.createDataFrame(jumped.rdd, jumped.schema)
         backing = jumped
         prevPropagated = propagated

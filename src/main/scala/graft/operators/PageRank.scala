@@ -169,6 +169,13 @@ object PageRank {
       val total = s.agg(sum(col(valCol).cast("decimal(28,18)")).cast("double"))
         .head().getDouble(0)
       val n = s.select(col("id"), round(col(valCol) / lit(total), 12).as(valCol))
+      // lineage cut via a fresh LogicalRDD over the PERSISTED frame —
+      // deliberately NOT localCheckpoint here: the RDD is backed by
+      // the cache entry `s` just materialized, so the cut is free,
+      // while an eager checkpoint would write a SECOND copy of every
+      // half-iteration's scores. (The final result below does use
+      // localCheckpoint — there the extra copy is the output itself
+      // and it lets every intermediate cache be released.)
       spark.createDataFrame(n.rdd, n.schema)
     }
     var hubs = nodes.withColumn("h", lit(1.0))

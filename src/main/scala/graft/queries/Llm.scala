@@ -3612,6 +3612,112 @@ object Llm {
         Corpus.interleaveSources(Fixtures.table(s, d, "documents"),
           "doc_id", "source")
     },
+
+    // L10h — content blocklist gate (the C4 banned-words page filter
+    // with per-category counts): planted category words on rotating
+    // doc subsets; whole-word case-insensitive matching, identical
+    // RE2-compatible alternations in both engines.
+    QuerySpec.df("l124_blocklist",
+      """with t as (select doc_id, text ||
+        |    case when doc_id % 6 = 0 then ' visit our CASINO and poker hall'
+        |         when doc_id % 6 = 1 then ' pokerface is one word' else '' end ||
+        |    case when doc_id % 8 = 2 then ' cheap pills here pills' else '' end
+        |    as text
+        |  from documents)
+        |select doc_id,
+        |  len(regexp_extract_all(text, '(?i)\b(?:casino|poker|jackpot)\b'))
+        |    as n_gambling,
+        |  len(regexp_extract_all(text, '(?i)\b(?:viagra|pills)\b'))
+        |    as n_pharma,
+        |  (len(regexp_extract_all(text, '(?i)\b(?:casino|poker|jackpot)\b')) > 0
+        |   or len(regexp_extract_all(text, '(?i)\b(?:viagra|pills)\b')) > 0)
+        |    as blocked
+        |from t""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 6 === 0,
+              lit(" visit our CASINO and poker hall"))
+              .when(col("doc_id") % 6 === 1, lit(" pokerface is one word"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 8 === 2, lit(" cheap pills here pills"))
+              .otherwise(lit(""))).as("text"))
+        Corpus.blocklistScan(planted, "doc_id", "text", Seq(
+          "gambling" -> Seq("casino", "poker", "jackpot"),
+          "pharma" -> Seq("viagra", "pills")))
+    },
+
+    // L10i — the COMPOSED curation pass as one declarative plan:
+    // exact dedup ≻ quality gates ≻ 8-gram decontamination ≻
+    // deterministic split, one disposition per document. Plants (in
+    // case order, each deterministic in both engines): short docs
+    // (low_quality), copies of the previous doc (duplicate — note the
+    // tiny-doc plant itself forms one big fp cluster whose non-min
+    // members are duplicates by precedence), benchmark 8-gram overlap
+    // (contaminated, the l19 device); benchmark = doc_id % 50 = 0.
+    QuerySpec.df("l125_curation_pipeline",
+      s"""with corpus as (
+        |  select d.doc_id,
+        |    case when d.doc_id % 13 = 5 then 'tiny doc text'
+        |         when d.doc_id % 10 = 7 then coalesce(p.text, d.text)
+        |         when d.doc_id % 7 = 3
+        |           then d.text || ' ' ||
+        |                (select text from documents where doc_id = 0)
+        |         else d.text end as text
+        |  from documents d
+        |  left join documents p on p.doc_id = d.doc_id - 1
+        |  where d.doc_id % 50 <> 0),
+        |bench as (select doc_id, text from documents where doc_id % 50 = 0),
+        |fp as (select doc_id, text,
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as f
+        |       from corpus),
+        |keep as (select f, min(doc_id) as keeper from fp group by f),
+        |cg as (select doc_id, $duckGrams8 as grams
+        |       from (select doc_id, text, string_split(text, ' ') as words
+        |             from corpus)),
+        |bg as (select $duckGrams8 as grams
+        |       from (select text, string_split(text, ' ') as words
+        |             from bench)),
+        |cont as (select distinct c.doc_id
+        |         from cg c join bg b
+        |           on len(list_intersect(c.grams, b.grams)) > 0),
+        |sig as (select doc_id, f,
+        |          cast(case when length(trim(text)) = 0 then 0
+        |            else len(string_split_regex(trim(text), '\\s+')) end
+        |            as double) as n_words,
+        |          length(regexp_replace(text, '\\s', '', 'g')) as n_chars
+        |        from fp)
+        |select s.doc_id,
+        |  case when s.doc_id <> k.keeper then 'duplicate'
+        |       when s.n_words < 10 or s.n_words > 100000
+        |            or s.n_chars / greatest(s.n_words, 1.0) < 2.0
+        |            or s.n_chars / greatest(s.n_words, 1.0) > 12.0
+        |         then 'low_quality'
+        |       when c.doc_id is not null then 'contaminated'
+        |       when (s.doc_id * 2654435761 + 13) % 100 < 80 then 'train'
+        |       when (s.doc_id * 2654435761 + 13) % 100 < 90 then 'val'
+        |       else 'test' end as disposition
+        |from sig s
+        |join keep k on s.f = k.f
+        |left join cont c on s.doc_id = c.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("_prev"))
+        val d0 = docs.filter(col("doc_id") === 0)
+          .select("text").head().getString(0)
+        val corpus = docs.join(prev, Seq("doc_id"), "left")
+          .filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 5, lit("tiny doc text"))
+              .when(col("doc_id") % 10 === 7,
+                coalesce(col("_prev"), col("text")))
+              .when(col("doc_id") % 7 === 3,
+                concat(col("text"), lit(" " + d0)))
+              .otherwise(col("text")).as("text"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        Corpus.curationPipeline(corpus, bench, "doc_id", "text")
+    },
   )
 
   private val unigramModels =

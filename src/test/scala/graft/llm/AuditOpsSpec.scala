@@ -130,6 +130,52 @@ class AuditOpsSpec extends SparkSpec {
     assert(bySrcSeq(("b", 1L)) < bySrcSeq(("c", 1L)))
   }
 
+  test("blocklistScan: whole-word case-insensitive category counts") {
+    val docs = Seq(
+      (1L, "Visit the CASINO for poker"),   // 2 gambling hits
+      (2L, "pokerface is a different word"), // \b keeps this clean
+      (3L, "cheap pills pills pills"),       // 3 pharma hits
+      (4L, "nothing to see")).toDF("id", "t")
+    val out = Corpus.blocklistScan(docs, "id", "t", Seq(
+        "gambling" -> Seq("casino", "poker"),
+        "pharma" -> Seq("pills")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((2L, 0L, true)))
+    assert(out(2L) == ((0L, 0L, false)))
+    assert(out(3L) == ((0L, 3L, true)))
+    assert(out(4L) == ((0L, 0L, false)))
+    // regex metachars in words must be escaped, not interpreted
+    val meta = Corpus.blocklistScan(Seq((1L, "a.b literal")).toDF("id", "t"),
+      "id", "t", Seq("x" -> Seq("a.b")))
+      .collect().head
+    assert(meta.getLong(1) == 1L)
+    val nohit = Corpus.blocklistScan(Seq((1L, "axb not literal")).toDF("id", "t"),
+      "id", "t", Seq("x" -> Seq("a.b")))
+      .collect().head
+    assert(nohit.getLong(1) == 0L)
+  }
+
+  test("curationPipeline: precedence duplicate > low_quality > contaminated > split") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven"),
+      (2L, "one two three four five six seven eight nine ten eleven"), // dup of 1
+      (3L, "tiny"),                                                    // low quality
+      (4L, "alpha beta gamma delta epsilon zeta eta theta SECRET BENCH EVAL QUESTION ANSWER ROW KEY HASH"),
+      (5L, "totally fine document with plenty of words to pass the ten word gate easily")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "SECRET BENCH EVAL QUESTION ANSWER ROW KEY HASH extra words")
+    ).toDF("doc_id", "text")
+    val out = Corpus.curationPipeline(docs, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) != "duplicate" && out(2L) == "duplicate") // min id kept
+    assert(out(3L) == "low_quality")
+    assert(out(4L) == "contaminated") // shares the planted 8-gram
+    assert(Set("train", "val", "test")(out(5L)))
+    assert(Set("train", "val", "test")(out(1L)))
+  }
+
   test("tokenFertility: fragmenting scripts show high fertility") {
     val docs = Seq(
       (1L, "plain latin words here"),       // 4 words, 4 subwords
