@@ -139,10 +139,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalS = num(total, 3)
     val full = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // only a FULL-registry run may refresh the committed artifact —
+    // SPARK_GRAFT_ONLY subset probes (scaling rows, local iteration)
+    // used to clobber it with 3-query fragments
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     // The stdout line must be the LAST thing printed AND fit the

@@ -815,6 +815,90 @@ object Corpus {
           .otherwise(lit("test")).as("disposition"))
   }
 
+  /** Per-document content NOVELTY: the fraction of a document's
+    * distinct `k`-grams that appear in NO other document — the
+    * inverse of the boilerplate/duplication signal, used to weight
+    * sources toward fresh content and to QA a dedup pass (a corpus
+    * whose novelty collapses after ingest is re-crawling itself).
+    * Output: (id, n_grams, n_novel, novelty ∈ [0,1], 6 dp).
+    *
+    * Scale shape: one shingle explode, a gram-census aggregation
+    * (map-side combinable; the census key is the gram), and one
+    * gram-keyed join back — O(grams), the l41 family's shape, never
+    * doc-pairwise.
+    */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val grams = TextDedup.withShingles(
+        docs.select(col(idCol).as("id"), col(textCol)), textCol, "g", k)
+      .select(col("id"), explode(col("g")).as("gram"))
+    val census = grams.groupBy("gram")
+      .agg(countDistinct("id").as("_df"))
+    grams.join(census, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
+  /** Split-leakage audit — the post-split hygiene check: documents
+    * whose exact normalized fingerprint appears in MORE THAN ONE of
+    * train/val/test leak evaluation signal into training. For each
+    * split pair, the number of fingerprints present in both. Splits
+    * are the [[assignSplits]]-style deterministic id hash, passed in
+    * as a (id, split) frame so the audit composes with any assigner.
+    *
+    * Scale shape: fingerprints collapse to (fp, split) distinct pairs
+    * (map-side combinable), the pair join is fp-keyed, and the output
+    * is split-pair cardinality (≤ a handful of rows).
+    */
+  def splitLeakage(docs: DataFrame, splits: DataFrame,
+      idCol: String, textCol: String, splitCol: String): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fp"))
+      .join(splits.select(col(idCol).as("id"), col(splitCol).as("split")),
+        "id")
+      .select("fp", "split").distinct()
+    val a = fps.select(col("fp"), col("split").as("split_a"))
+    val b = fps.select(col("fp"), col("split").as("split_b"))
+    a.join(b, "fp").filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
+  /** Cross-source duplicate overlap — the provenance matrix of a data
+    * card: for each source pair, how many exact normalized
+    * fingerprints they share (a high-overlap pair means the two
+    * crawls/feeds re-serve each other's content and one of them is
+    * mostly redundant). Output per unordered pair: `n_shared_fps`
+    * plus each side's distinct-fp count (for computing containment).
+    *
+    * Scale shape: the corpus collapses to (fp, source) distinct rows;
+    * the pair join is fp-keyed (duplicate clusters are small, so join
+    * output ~ duplicates, not |corpus|²); per-source totals ride a
+    * broadcast.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val fps = docs.select(
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fp"),
+        col(srcCol).as("src")).distinct()
+    val totals = fps.groupBy("src").agg(count(lit(1)).as("_n"))
+    val a = fps.select(col("fp"), col("src").as("source_a"))
+    val b = fps.select(col("fp"), col("src").as("source_b"))
+    a.join(b, "fp").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .join(broadcast(totals.select(col("src").as("source_a"),
+        col("_n").as("n_fps_a"))), "source_a")
+      .join(broadcast(totals.select(col("src").as("source_b"),
+        col("_n").as("n_fps_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared_fps"),
+        col("n_fps_a"), col("n_fps_b"))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the "C4" rules):
     * keep only lines that end in a terminal punctuation mark, contain
     * at least `minLineWords` words, and do not mention "javascript";

@@ -3718,6 +3718,114 @@ object Llm {
         val bench = docs.filter(col("doc_id") % 50 === 0)
         Corpus.curationPipeline(corpus, bench, "doc_id", "text")
     },
+
+    // L10j — per-document content novelty (fraction of 8-grams seen
+    // nowhere else): every 5th doc gets a shared 9-word phrase so the
+    // census has df>1 grams to subtract.
+    QuerySpec.df("l126_novelty",
+      s"""with t as (select doc_id, text ||
+        |    case when doc_id % 5 = 0
+        |      then ' the shared boilerplate footer phrase appears on many pages'
+        |      else '' end as text
+        |  from documents),
+        |g as (select doc_id, unnest(list_distinct(grams)) as gram
+        |      from (select doc_id, $duckGrams8 as grams
+        |            from (select doc_id, text, string_split(text, ' ') as words
+        |                  from t))),
+        |census as (select gram, count(distinct doc_id) as df
+        |           from g group by gram)
+        |select doc_id,
+        |  count(*) as n_grams,
+        |  cast(sum(case when df = 1 then 1 else 0 end) as bigint) as n_novel,
+        |  round(cast(sum(case when df = 1 then 1 else 0 end) as double)
+        |    / count(*), 6) as novelty
+        |from g join census using (gram)
+        |group by doc_id""".stripMargin) {
+      (s, d) =>
+        val planted = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 5 === 0,
+            lit(" the shared boilerplate footer phrase appears on many pages"))
+            .otherwise(lit(""))).as("text"))
+        Corpus.noveltyScore(planted, "doc_id", "text", k = 8)
+    },
+
+    // L10k — split-leakage audit: exact-fingerprint overlap between
+    // the deterministic train/val/test splits. The prev-doc copy
+    // plant creates duplicate pairs whose members hash into different
+    // splits — exactly the leakage the audit must surface.
+    QuerySpec.df("l127_split_leakage",
+      """with corpus as (
+        |  select d.doc_id,
+        |    case when d.doc_id % 10 = 7 then coalesce(p.text, d.text)
+        |         else d.text end as text
+        |  from documents d
+        |  left join documents p on p.doc_id = d.doc_id - 1),
+        |sp as (select doc_id,
+        |         case when (doc_id * 2654435761 + 7) % 100 < 80 then 'train'
+        |              when (doc_id * 2654435761 + 7) % 100 < 90 then 'val'
+        |              else 'test' end as split
+        |       from corpus),
+        |fps as (select distinct
+        |          md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g'))
+        |            as fp,
+        |          s.split
+        |        from corpus c join sp s using (doc_id))
+        |select a.split as split_a, b.split as split_b,
+        |       count(*) as n_shared_fps
+        |from fps a join fps b on a.fp = b.fp and a.split < b.split
+        |group by 1, 2""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("_prev"))
+        val corpus = docs.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 7, coalesce(col("_prev"), col("text")))
+              .otherwise(col("text")).as("text"))
+        val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(7L),
+          lit(100L))
+        val splits = corpus.select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        Corpus.splitLeakage(corpus, splits, "doc_id", "text", "split")
+    },
+
+    // L10l — cross-source duplicate overlap (the provenance matrix of
+    // a data card): shared exact fingerprints per source pair, with
+    // each side's distinct-fp totals. Same prev-doc copy plant —
+    // adjacent doc ids sit in different sources, so the copies create
+    // cross-source overlap.
+    QuerySpec.df("l128_source_overlap",
+      """with corpus as (
+        |  select d.doc_id, d.source,
+        |    case when d.doc_id % 10 = 7 then coalesce(p.text, d.text)
+        |         else d.text end as text
+        |  from documents d
+        |  left join documents p on p.doc_id = d.doc_id - 1),
+        |fps as (select distinct
+        |          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        |            as fp,
+        |          source as src
+        |        from corpus),
+        |tot as (select src, count(*) as n from fps group by src)
+        |select a.src as source_a, b.src as source_b,
+        |       count(*) as n_shared_fps,
+        |       any_value(ta.n) as n_fps_a, any_value(tb.n) as n_fps_b
+        |from fps a
+        |join fps b on a.fp = b.fp and a.src < b.src
+        |join tot ta on ta.src = a.src
+        |join tot tb on tb.src = b.src
+        |group by 1, 2""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("_prev"))
+        val corpus = docs.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 10 === 7, coalesce(col("_prev"), col("text")))
+              .otherwise(col("text")).as("text"))
+        Corpus.sourceOverlap(corpus, "doc_id", "text", "source")
+    },
   )
 
   private val unigramModels =

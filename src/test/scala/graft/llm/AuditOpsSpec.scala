@@ -176,6 +176,47 @@ class AuditOpsSpec extends SparkSpec {
     assert(Set("train", "val", "test")(out(1L)))
   }
 
+  test("noveltyScore: shared grams subtract from novelty exactly") {
+    // docs 1 and 2 share one 3-gram ("a b c"); doc 3 is fully novel
+    val docs = Seq(
+      (1L, "a b c d e"),   // grams: abc bcd cde -> abc shared
+      (2L, "x y a b c"),   // grams: xya yab abc -> abc shared
+      (3L, "p q r s t")).toDF("id", "t")
+    val out = Corpus.noveltyScore(docs, "id", "t", k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(2L) == ((3L, 2L)))
+    assert(out(3L) == ((3L, 3L)))
+  }
+
+  test("splitLeakage counts fingerprints shared across split pairs") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"),    // dup across train/val
+      (3L, "same text"),                       // third copy in test
+      (4L, "unique a"), (5L, "unique b")).toDF("id", "t")
+    val splits = Seq((1L, "train"), (2L, "val"), (3L, "test"),
+      (4L, "train"), (5L, "train")).toDF("id", "split")
+    val out = Corpus.splitLeakage(docs, splits, "id", "t", "split")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 'same text' fp present in all three splits -> 3 ordered-< pairs
+    assert(out == Map(("test", "train") -> 1L, ("test", "val") -> 1L,
+      ("train", "val") -> 1L))
+  }
+
+  test("sourceOverlap reports shared fps with per-side totals") {
+    val docs = Seq(
+      (1L, "sa", "dup one"), (2L, "sb", "dup one"),  // shared
+      (3L, "sa", "only a"), (4L, "sb", "only b"),
+      (5L, "sb", "also only b")).toDF("id", "src", "t")
+    val r = Corpus.sourceOverlap(docs, "id", "t", "src").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "sa" && row.getString(1) == "sb")
+    assert(row.getLong(2) == 1L)  // one shared fp
+    assert(row.getLong(3) == 2L)  // sa has 2 distinct fps
+    assert(row.getLong(4) == 3L)  // sb has 3
+  }
+
   test("tokenFertility: fragmenting scripts show high fertility") {
     val docs = Seq(
       (1L, "plain latin words here"),       // 4 words, 4 subwords
