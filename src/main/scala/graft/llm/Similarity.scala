@@ -13,6 +13,37 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Embedding-column hygiene audit — the ingestion QA pass before any
+    * vector index build: per group, counts of NULL vectors, RAGGED
+    * vectors (length ≠ `expectedDim` — a schema-drift symptom), vectors
+    * containing NaN (upstream fp blowups), ZERO-NORM vectors (cosine
+    * is undefined on them — they poison top-k silently), and clean
+    * rows. Every downstream operator here assumes clean input; this is
+    * the gate that makes that assumption checkable.
+    *
+    * One scan + one small aggregation; the flags are HOF expressions
+    * over the array (no shuffle beyond the group-by).
+    */
+  def embeddingHygiene(vecs: DataFrame, vecCol: String, groupCol: String,
+      expectedDim: Int): DataFrame = {
+    val v = col(vecCol)
+    val isNull = v.isNull
+    val ragged = !isNull && size(v) =!= expectedDim
+    val hasNan = !isNull && exists(v, x => isnan(x.cast("double")))
+    val zeroNorm = !isNull && !hasNan &&
+      aggregate(v, lit(0.0d), (acc, x) =>
+        acc + x.cast("double") * x.cast("double")) === 0.0
+    def cnt(c: Column, as: String) =
+      sum(when(c, 1L).otherwise(0L)).as(as)
+    vecs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_vecs"),
+      cnt(isNull, "n_null"),
+      cnt(ragged, "n_ragged"),
+      cnt(hasNan, "n_nan"),
+      cnt(zeroNorm, "n_zero_norm"),
+      cnt(!isNull && !ragged && !hasNan && !zeroNorm, "n_ok"))
+  }
+
   /** Codegen'd (graft.functions.FloatDot) — sequential double fold,
     * bit-identical with the interpreted `aggregate(zip_with(...))`
     * formulation and with the DuckDB list-fold oracle, but ~4× faster

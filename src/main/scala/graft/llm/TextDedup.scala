@@ -124,6 +124,34 @@ object TextDedup {
       minhashLshPairs(docs, idCol, textCol, numHashes, bands, shingleK, threshold),
       "id_a", "id_b")
 
+  /** Duplicate-cluster SIZE distribution — the dedup section of a data
+    * card: for each cluster size (including the singletons clustering
+    * never touches), how many clusters exist and how many documents
+    * they hold. A heavy tail here (a few giant clusters) is the
+    * signature of template spam; mass at size 2 is ordinary mirroring.
+    *
+    * `clusters` is any (id, component) labeling (e.g.
+    * [[nearDupClusters]]); `total` is the corpus document count, from
+    * which the singleton row (`size` = 1) is derived — CC labelings
+    * only contain paired documents.
+    *
+    * Scale shape: two tiny hash aggregations over the labeling
+    * (component → size → histogram); the corpus never re-reads.
+    */
+  def clusterSizeHistogram(clusters: DataFrame, total: Long): DataFrame = {
+    val sizes = clusters.groupBy("component")
+      .agg(count(lit(1)).as("size"))
+    val hist = sizes.groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+    val singletons = clusters.agg(count(lit(1)).as("_n"))
+      .select(lit(1L).as("size"),
+        (lit(total) - col("_n")).as("n_clusters"),
+        (lit(total) - col("_n")).as("n_docs"))
+    hist.unionAll(singletons).filter(col("n_clusters") > 0)
+  }
+
   /** Collapse near-duplicates: keep one survivor (min id) per cluster,
     * drop every other cluster member, keep all unpaired docs. This is
     * the end-to-end dedup most pipelines actually need — pair emission

@@ -3826,6 +3826,98 @@ object Llm {
               .otherwise(col("text")).as("text"))
         Corpus.sourceOverlap(corpus, "doc_id", "text", "source")
     },
+
+    // L10m — embedding-column hygiene audit (ingestion QA before any
+    // index build): planted corruption classes — NULL vectors, a NaN
+    // element, all-zero vectors (cosine-undefined), ragged dims —
+    // counted per label; every other vector lands in n_ok.
+    QuerySpec.df("l129_embedding_hygiene",
+      """with planted as (select vec_id, label,
+        |    case when vec_id % 97 = 0 then NULL
+        |         when vec_id % 89 = 0
+        |           then list_prepend('NaN'::float, embedding[2:])
+        |         when vec_id % 83 = 0
+        |           then list_transform(embedding, x -> 0.0::float)
+        |         when vec_id % 79 = 0 then embedding[1:32]
+        |         else embedding end as e
+        |  from embeddings)
+        |select label, count(*) as n_vecs,
+        |  cast(sum(case when e is null then 1 else 0 end) as bigint)
+        |    as n_null,
+        |  cast(sum(case when e is not null and len(e) <> 64
+        |    then 1 else 0 end) as bigint) as n_ragged,
+        |  cast(sum(case when e is not null
+        |    and len(list_filter(e, x -> isnan(x))) > 0
+        |    then 1 else 0 end) as bigint) as n_nan,
+        |  cast(sum(case when e is not null
+        |    and len(list_filter(e, x -> isnan(x))) = 0
+        |    and list_sum(list_transform(e,
+        |          x -> cast(x as double) * cast(x as double))) = 0
+        |    then 1 else 0 end) as bigint) as n_zero_norm,
+        |  cast(sum(case when e is not null and len(e) = 64
+        |    and len(list_filter(e, x -> isnan(x))) = 0
+        |    and list_sum(list_transform(e,
+        |          x -> cast(x as double) * cast(x as double))) <> 0
+        |    then 1 else 0 end) as bigint) as n_ok
+        |from planted group by label""".stripMargin) {
+      (s, d) =>
+        val emb = Fixtures.table(s, d, "embeddings")
+        val e = col("embedding")
+        val planted = emb.select(col("vec_id"), col("label"),
+          when(col("vec_id") % 97 === 0, lit(null))
+            .when(col("vec_id") % 89 === 0,
+              concat(array(lit(Float.NaN)), slice(e, 2, 63)))
+            .when(col("vec_id") % 83 === 0,
+              transform(e, _ => lit(0.0f)))
+            .when(col("vec_id") % 79 === 0, slice(e, 1, 32))
+            .otherwise(e).as("e"))
+        Similarity.embeddingHygiene(planted, "e", "label", expectedDim = 64)
+    },
+
+    // L10n — duplicate-cluster size distribution (the dedup section
+    // of a data card): histogram over the l13 CC labeling plus the
+    // singleton row clustering never touches. A heavy tail = template
+    // spam; mass at size 2 = ordinary mirroring.
+    QuerySpec.df("l130_cluster_histogram",
+      s"""with recursive sh as (
+        |  select doc_id, $duckShingles as sg
+        |  from (select doc_id, text, string_split(text, ' ') as words
+        |        from documents)
+        |),
+        |pairs as (
+        |  select a.doc_id as id_a, b.doc_id as id_b
+        |  from sh a join sh b on b.doc_id > a.doc_id
+        |  where len(list_intersect(a.sg, b.sg)) * 1.0 /
+        |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
+        |          >= 0.8
+        |),
+        |edges as (select id_a as src, id_b as dst from pairs
+        |          union select id_b as src, id_a as dst from pairs),
+        |reach(v, r) as (
+        |  select src, src from edges
+        |  union
+        |  select e.src, reach.r from edges e join reach on reach.v = e.dst
+        |),
+        |cl as (select v, min(r) as comp from reach group by v),
+        |sizes as (select comp, count(*) as size from cl group by comp),
+        |hist as (select size, count(*) as n_clusters,
+        |                size * count(*) as n_docs
+        |         from sizes group by size),
+        |single as (select 1 as size,
+        |    (select count(*) from documents) - (select count(*) from cl)
+        |      as n_clusters,
+        |    (select count(*) from documents) - (select count(*) from cl)
+        |      as n_docs)
+        |select cast(size as bigint) as size,
+        |       cast(n_clusters as bigint) as n_clusters,
+        |       cast(n_docs as bigint) as n_docs
+        |from (select * from hist union all
+        |      select * from single where n_clusters > 0)""".stripMargin) {
+      (s, d) =>
+        val total = Fixtures.table(s, d, "documents").count()
+        TextDedup.clusterSizeHistogram(
+          ndClusters(s, d).select(col("id"), col("component")), total)
+    },
   )
 
   private val unigramModels =

@@ -217,6 +217,38 @@ class AuditOpsSpec extends SparkSpec {
     assert(row.getLong(4) == 3L)  // sb has 3
   }
 
+  test("embeddingHygiene classifies null/ragged/nan/zero-norm exactly once") {
+    val rows = Seq(
+      (1L, "g", Seq(1.0f, 2.0f)),            // ok
+      (2L, "g", null),                       // null
+      (3L, "g", Seq(1.0f)),                  // ragged
+      (4L, "g", Seq(Float.NaN, 1.0f)),       // nan
+      (5L, "g", Seq(0.0f, 0.0f)))            // zero norm
+    val df = rows.toDF("id", "grp", "v")
+    val r = Similarity.embeddingHygiene(df, "v", "grp", expectedDim = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") == 5)
+    assert(r.getAs[Long]("n_null") == 1)
+    assert(r.getAs[Long]("n_ragged") == 1)
+    assert(r.getAs[Long]("n_nan") == 1)
+    assert(r.getAs[Long]("n_zero_norm") == 1)
+    assert(r.getAs[Long]("n_ok") == 1)
+  }
+
+  test("clusterSizeHistogram includes the singleton row and doc totals") {
+    // labeling: component 10 has 3 members, component 20 has 2;
+    // corpus total 10 -> 5 singletons
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L)).toDF("id", "component")
+    val out = TextDedup.clusterSizeHistogram(clusters, total = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((5L, 5L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+    // a fully-clustered corpus emits no singleton row
+    val none = TextDedup.clusterSizeHistogram(clusters, total = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(none == Set(2L, 3L))
+  }
+
   test("tokenFertility: fragmenting scripts show high fertility") {
     val docs = Seq(
       (1L, "plain latin words here"),       // 4 words, 4 subwords
