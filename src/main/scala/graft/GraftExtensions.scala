@@ -62,5 +62,7 @@ object GraftExtensions {
     }
     if (!spark.catalog.functionExists("vector_avg"))
       spark.udf.register("vector_avg", udaf(VectorAvg))
+    if (!spark.catalog.functionExists("graft_simhash"))
+      spark.udf.register("graft_simhash", udaf(graft.functions.SimHashAgg))
   }
 }

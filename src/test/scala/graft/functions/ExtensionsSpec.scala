@@ -28,6 +28,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlRes.size == 10)
   }
 
+  test("graft_simhash UDAF from SQL equals the library simhash") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"))
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("simhash_ext")
+    val sqlRes = spark.sql(
+      """select id, graft_simhash(xxhash64(tok)) as h
+        |from (select id, explode(split(text, '\\s+')) as tok
+        |      from simhash_ext)
+        |group by id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apiRes = graft.llm.TextDedup.simhash(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlRes == apiRes)
+  }
+
   test("GraftExtensions injects functions into a SparkSessionExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(e) // must not throw; wiring covered above

@@ -188,4 +188,49 @@ object CorpusProperties extends Properties("graft.llm.corpus") {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       first == second
     }
+
+  property("luhnValid agrees with the reference checksum on random digit strings") =
+    forAll(Gen.chooseNum(13, 19).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 9)).map(_.mkString))) { digits =>
+      def refLuhn(s: String): Boolean = {
+        val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+          val d = c - '0'
+          if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+        }.sum
+        sum % 10 == 0
+      }
+      val got = Seq(Tuple1(digits)).toDF("s")
+        .select(Corpus.luhnValid(col("s"))).head().getBoolean(0)
+      got == refLuhn(digits)
+    }
+
+  property("interleaveSources: positions are always a 1..N permutation, " +
+    "blocks are source-ordered, and the order ignores partitioning") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1, 6)).map(_.take(5))) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s.toLong * 1000 + i, s"src$s"))
+      }
+      val df = rows.toDF("id", "src")
+      val out = Corpus.interleaveSources(df, "id", "src").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val n = rows.length
+      val isPerm = out.map(_._3).sorted.toSeq == (1L to n)
+      // within block `seq`, sources appear in source order
+      val blockOrdered = out.groupBy(_._2).values.forall { blk =>
+        blk.sortBy(_._3).map(_._1).toSeq == blk.map(_._1).sorted.toSeq
+      }
+      val again = Corpus.interleaveSources(df.repartition(5), "id", "src")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      isPerm && blockOrdered && again == out.toSet
+    }
+
+  property("noveltyScore: novelty is 1 for disjoint docs, and n_novel <= n_grams") =
+    forAll(Gen.chooseNum(2, 5)) { k =>
+      // docs over disjoint alphabets can share no gram
+      val docs = (0 until 4).map(i =>
+        (i.toLong, (0 until 10).map(j => s"w$i-$j").mkString(" ")))
+      val out = Corpus.noveltyScore(docs.toDF("id", "t"), "id", "t", k)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      out.forall { case (g, nv, s) => g == nv && s == 1.0 }
+    }
 }
