@@ -494,6 +494,86 @@ object TextAnalysis {
       dominant.as("dominant_script"): _*)
   }
 
+  /** Zipf-law fit over the token census — the linguistic sanity check
+    * of a dataset card: natural text shows log-frequency falling
+    * ~linearly in log-rank with slope ≈ −1; a much flatter or steeper
+    * slope flags templated/bot content or a collapsed vocabulary.
+    * Least squares of ln(freq) on ln(rank) over the top `topR` ranks:
+    * one row (`n_ranks`, `slope`, `intercept`, `r2`, 6 dp).
+    *
+    * Scale shape: the corpus collapses to the token census (map-side
+    * combinable); only the top-`topR` rows (a constant) reach the
+    * rank window and the regression sums. The ln() calls are libm —
+    * within 1 ulp across engines; the 6-dp round absorbs it (the
+    * project's libm rule).
+    */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      topR: Int = 100): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topR)
+    // the window runs over <= topR rows (post-limit) — single-task by
+    // construction and constant-sized, not a corpus-wide sort
+    val ranked = census.withColumn("rank", row_number().over(
+      Window.orderBy(col("freq").desc, col("tok"))))
+    val pts = ranked.select(log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"),
+        round(
+          pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** Length-distribution drift between two corpus versions — the
+    * Kolmogorov-Smirnov distance over per-document token counts: the
+    * release-gate companion to [[vocabDrift]] (vocab can be stable
+    * while a truncation bug silently halves documents; this catches
+    * it). Output one row: `ks` (max CDF gap, 6 dp), `n_old`, `n_new`,
+    * `n_lengths` (distinct lengths compared).
+    *
+    * Scale shape: each side collapses to (length → count) — length
+    * cardinality is bounded by the longest document, thousands at
+    * most, so the single CDF window runs over a constant-sized frame;
+    * the corpora are only read by the two counting aggregations.
+    */
+  def lengthDrift(oldDocs: org.apache.spark.sql.DataFrame,
+      newDocs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.select(tokenCount(col(textCol)).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as(as))
+    val joined = counts(oldDocs, "c_old")
+      .join(counts(newDocs, "c_new"), Seq("len"), "full")
+      .na.fill(0L, Seq("c_old", "c_new"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = joined.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+    joined
+      .withColumn("cum_old", sum("c_old").over(w))
+      .withColumn("cum_new", sum("c_new").over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("cum_old").cast("double") / col("n_old") -
+          col("cum_new").cast("double") / col("n_new")).as("gap"),
+        col("n_old"), col("n_new"))
+      .groupBy("n_old", "n_new")
+      .agg(round(max("gap"), 6).as("ks"), count(lit(1)).as("n_lengths"))
+      .select(col("ks"), col("n_old"), col("n_new"), col("n_lengths"))
+  }
+
   /** Pearson correlations between per-document quality signals, per
     * source — the calibration check before combining signals into a
     * composite score (two signals correlating ≈1 are redundant; a

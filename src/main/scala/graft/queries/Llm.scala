@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Fixtures
-import graft.llm.{Corpus, Multimodal, Preference, Similarity, TextAnalysis,
-  TextDedup}
+import graft.llm.{Corpus, Multimodal, Preference, Retrieval, Similarity,
+  TextAnalysis, TextDedup}
 
 /** SURVEY.md §2.6: LLM-training-data pipeline operators, each exposed
   * as a driver-checkable query over the documents/embeddings fixtures.
@@ -3917,6 +3917,210 @@ object Llm {
         val total = Fixtures.table(s, d, "documents").count()
         TextDedup.clusterSizeHistogram(
           ndClusters(s, d).select(col("id"), col("component")), total)
+    },
+
+    // L11a — Reciprocal Rank Fusion of the engine's lexical and dense
+    // retrievers (Cormack et al. 2009, the zero-tuning hybrid-search
+    // combiner): BM25 top-20 for three keyword queries fused with
+    // cosine top-20 for three vector queries (the fixture pairs
+    // doc_id ↔ vec_id). RRF scores are exact rational sums — both
+    // engines agree bit-for-bit.
+    QuerySpec.df("l131_rrf_fusion",
+      s"""with toks as (
+        |  select doc_id, w from (
+        |    select doc_id,
+        |           unnest(string_split_regex(trim(text), '\\s+')) as w
+        |    from documents)
+        |  where length(w) > 0),
+        |dl as (select doc_id, count(*) as dl from toks group by doc_id),
+        |stats as (select avg(dl) as avgdl, count(*) as n from dl),
+        |tf as (select doc_id, w as term, count(*) as tf from toks
+        |       where w in ('vector', 'hash', 'stream') group by doc_id, w),
+        |dfreq as (select term, count(*) as dfreq from tf group by term),
+        |scored as (
+        |  select t.term, t.doc_id,
+        |    round(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)), 6)
+        |      as score
+        |  from tf t join dl d using (doc_id)
+        |  join dfreq using (term) cross join stats s),
+        |lex as (select case term when 'vector' then 0
+        |                         when 'hash' then 1 else 2 end as qid,
+        |               doc_id, rank from (
+        |  select *, row_number() over (
+        |    partition by term order by score desc, doc_id) as rank
+        |  from scored) where rank <= 20),
+        |dense as (select q_id as qid, c_id as doc_id, rk as rank from (
+        |  select q_id, c_id,
+        |    row_number() over (partition by q_id
+        |                       order by round(cos, 6) desc, c_id) as rk
+        |  from (
+        |    select q.vec_id as q_id, c.vec_id as c_id,
+        |      ${duckDot.format("q.embedding", "c.embedding")} /
+        |      (${duckNorm("q.embedding")} * ${duckNorm("c.embedding")}) as cos
+        |    from embeddings q join embeddings c on q.vec_id <> c.vec_id
+        |    where q.vec_id < 3
+        |  )) where rk <= 20),
+        |contrib as (
+        |  select qid, doc_id, 1.0 / (60 + rank) as c from lex
+        |  union all
+        |  select qid, doc_id, 1.0 / (60 + rank) as c from dense),
+        |fused as (select qid, doc_id, round(sum(c), 6) as rrf_score
+        |          from contrib group by 1, 2)
+        |select qid, doc_id, rrf_score, cast(rank as bigint) as rank from (
+        |  select *, row_number() over (
+        |    partition by qid order by rrf_score desc, doc_id) as rank
+        |  from fused) where rank <= 10""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val docs = Fixtures.table(s, d, "documents")
+        val emb = Fixtures.table(s, d, "embeddings")
+        val termMap = Seq((0L, "vector"), (1L, "hash"), (2L, "stream"))
+          .toDF("qid", "term")
+        val lex = TextAnalysis.bm25(docs, "doc_id", "text",
+            terms = Seq("vector", "hash", "stream"), k = 20)
+          .join(broadcast(termMap), "term")
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val dense = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 3)
+              .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+            emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+            "q_id", "c_id", "q_vec", "c_vec", k = 20)
+          .select(col("q_id").as("qid"), col("c_id").as("doc_id"),
+            col("rk").as("rank"))
+        Retrieval.rrfFusion(Seq(lex, dense), "qid", "doc_id", "rank",
+          k = 60, topK = 10)
+    },
+
+    // L11b — retrieval scoreboard (MRR ingredients, hit@k) for the
+    // BM25 ranking against a frequency-graded gold set (docs with
+    // tf ≥ 2 of the query term — relevance defined independently of
+    // the ranking function's score shape).
+    QuerySpec.df("l132_retrieval_metrics",
+      s"""with toks as (
+        |  select doc_id, w from (
+        |    select doc_id,
+        |           unnest(string_split_regex(trim(text), '\\s+')) as w
+        |    from documents)
+        |  where length(w) > 0),
+        |dl as (select doc_id, count(*) as dl from toks group by doc_id),
+        |stats as (select avg(dl) as avgdl, count(*) as n from dl),
+        |tf as (select doc_id, w as term, count(*) as tf from toks
+        |       where w in ('vector', 'hash', 'stream') group by doc_id, w),
+        |dfreq as (select term, count(*) as dfreq from tf group by term),
+        |scored as (
+        |  select t.term, t.doc_id,
+        |    round(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)), 6)
+        |      as score
+        |  from tf t join dl d using (doc_id)
+        |  join dfreq using (term) cross join stats s),
+        |ranking as (select term, doc_id, rank from (
+        |  select *, row_number() over (
+        |    partition by term order by score desc, doc_id) as rank
+        |  from scored) where rank <= 10),
+        |gold as (select term, doc_id from tf where tf >= 2),
+        |hits as (select r.term, r.doc_id, r.rank,
+        |           g.doc_id is not null as rel
+        |         from ranking r left join gold g
+        |           on r.term = g.term and r.doc_id = g.doc_id)
+        |select term,
+        |  cast(sum(case when rel then 1 else 0 end) as bigint)
+        |    as n_relevant_retrieved,
+        |  cast(coalesce(min(case when rel then rank end), 0) as bigint)
+        |    as first_hit_rank,
+        |  round(coalesce(1.0 / min(case when rel then rank end), 0.0), 6)
+        |    as reciprocal_rank,
+        |  coalesce(min(case when rel then rank end) <= 1, false) as hit_at_1,
+        |  coalesce(min(case when rel then rank end) <= 5, false) as hit_at_5,
+        |  coalesce(min(case when rel then rank end) <= 10, false) as hit_at_10
+        |from hits group by term""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val ranking = TextAnalysis.bm25(docs, "doc_id", "text",
+          terms = Seq("vector", "hash", "stream"), k = 10)
+        val gold = docs.select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .filter(col("term").isin("vector", "hash", "stream"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("_tf"))
+          .filter(col("_tf") >= 2)
+        Retrieval.retrievalMetrics(ranking, gold, "term", "doc_id", "rank")
+          .select(col("term"), col("n_relevant_retrieved"),
+            coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+            col("reciprocal_rank"), col("hit_at_1"), col("hit_at_5"),
+            col("hit_at_10"))
+    },
+
+    // L11c — Zipf-law fit over the token census (dataset-card
+    // linguistic sanity: slope ≈ −1 for natural text).
+    QuerySpec.df("l133_zipf_fit",
+      """with census as (
+        |  select w as tok, count(*) as freq from (
+        |    select unnest(string_split_regex(trim(text), '\s+')) as w
+        |    from documents)
+        |  where length(w) > 0 group by w),
+        |ranked as (select tok, freq,
+        |    row_number() over (order by freq desc, tok) as rank
+        |  from census qualify rank <= 100),
+        |pts as (select ln(cast(rank as double)) as x,
+        |               ln(cast(freq as double)) as y from ranked),
+        |sums as (select count(*) as n, sum(x) as sx, sum(y) as sy,
+        |           sum(x * y) as sxy, sum(x * x) as sxx, sum(y * y) as syy
+        |         from pts)
+        |select n as n_ranks,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) as slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    as intercept,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) as r2
+        |from sums""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.zipfFit(Fixtures.table(s, d, "documents"), "text",
+          topR = 100)
+    },
+
+    // L11d — length-distribution drift (KS distance) between corpus
+    // versions: v2 truncates every 4th doc to 5 words and drops every
+    // 31st — the truncation-bug class vocab drift (l60) cannot see.
+    QuerySpec.df("l134_length_drift",
+      """with oldv as (select doc_id, text from documents),
+        |newv as (select doc_id,
+        |    case when doc_id % 4 = 0 then array_to_string(
+        |      (string_split_regex(trim(text), '\s+'))[1:5], ' ')
+        |    else text end as text
+        |  from documents where doc_id % 31 <> 0),
+        |co as (select len, count(*) as c_old from (
+        |    select case when length(trim(text)) = 0 then 0
+        |      else len(string_split_regex(trim(text), '\s+')) end as len
+        |    from oldv) group by len),
+        |cn as (select len, count(*) as c_new from (
+        |    select case when length(trim(text)) = 0 then 0
+        |      else len(string_split_regex(trim(text), '\s+')) end as len
+        |    from newv) group by len),
+        |j as (select coalesce(co.len, cn.len) as len,
+        |        coalesce(c_old, 0) as c_old, coalesce(c_new, 0) as c_new
+        |      from co full outer join cn on co.len = cn.len),
+        |tot as (select sum(c_old) as n_old, sum(c_new) as n_new from j),
+        |cum as (select len, c_old, c_new,
+        |          sum(c_old) over (order by len) as cum_old,
+        |          sum(c_new) over (order by len) as cum_new
+        |        from j)
+        |select round(max(abs(cast(cum_old as double) / n_old -
+        |        cast(cum_new as double) / n_new)), 6) as ks,
+        |  cast(any_value(n_old) as bigint) as n_old,
+        |  cast(any_value(n_new) as bigint) as n_new,
+        |  count(*) as n_lengths
+        |from cum cross join tot""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val newV = docs.filter(col("doc_id") % 31 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 0,
+              array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " "))
+              .otherwise(col("text")).as("text"))
+        TextAnalysis.lengthDrift(docs, newV, "text")
     },
   )
 

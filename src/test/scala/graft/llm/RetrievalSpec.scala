@@ -231,4 +231,71 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(a == b)
   }
+
+  test("rrfFusion: a doc ranked well by both retrievers beats single-list wins") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 2 in BOTH lists; docs 11/12 are rank 1
+    // in exactly one list. RRF(k=60): 10 -> 2/62 > 1/61 -> fused #1.
+    val a = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 13L, 3L)).toDF("q", "id", "rank")
+    val b = Seq((1L, 12L, 1L), (1L, 10L, 2L), (1L, 14L, 3L)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFusion(Seq(a, b), "q", "id", "rank", k = 60, topK = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.head == ((10L, 1L)))
+    // ties (11 and 12 both 1/61) break to the smaller id
+    assert(out(1) == ((11L, 2L)) && out(2) == ((12L, 3L)))
+    // exact rational arithmetic: 2/62 rounded to 6 dp
+    val s = Retrieval.rrfFusion(Seq(a, b), "q", "id", "rank", 60, 5)
+      .filter(col("id") === 10L).head().getAs[Double]("rrf_score")
+    assert(math.abs(s - math.rint(2.0 / 62 * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("retrievalMetrics: first-hit rank, reciprocal rank, hit@k") {
+    import spark.implicits._
+    val ranking = Seq(
+      (1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L),   // rel at rank 2
+      (2L, 200L, 1L), (2L, 201L, 2L)                    // no rel retrieved
+    ).toDF("q", "id", "rank")
+    val gold = Seq((1L, 101L), (1L, 102L), (2L, 999L)).toDF("q", "id")
+    val out = Retrieval.retrievalMetrics(ranking, gold, "q", "id", "rank")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_relevant_retrieved") == 2)
+    assert(q1.getAs[Long]("first_hit_rank") == 2)
+    assert(math.abs(q1.getAs[Double]("reciprocal_rank") - 0.5) < 1e-9)
+    assert(!q1.getAs[Boolean]("hit_at_1") && q1.getAs[Boolean]("hit_at_5"))
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_relevant_retrieved") == 0)
+    assert(q2.isNullAt(q2.fieldIndex("first_hit_rank")))
+    assert(q2.getAs[Double]("reciprocal_rank") == 0.0)
+    assert(!q2.getAs[Boolean]("hit_at_10"))
+  }
+
+  test("zipfFit recovers the slope of an exactly power-law census") {
+    import spark.implicits._
+    // craft a corpus whose token frequencies are freq(r) = 2^(10-r):
+    // ln freq = ln(2^10) - r ln 2 ... not linear in ln r; instead use
+    // freq(r) = floor(1000 / r) ~ slope -1 over ranks 1..20
+    val docs = (1 to 20).flatMap(r =>
+      Seq.fill(1000 / r)(s"tok$r")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq(Tuple1(docs)).toDF("t"), "t", topR = 20)
+      .head()
+    assert(out.getAs[Long]("n_ranks") == 20)
+    val slope = out.getAs[Double]("slope")
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope should be ~ -1")
+    assert(out.getAs[Double]("r2") > 0.99)
+  }
+
+  test("lengthDrift: identical corpora give ks 0; a planted shift is detected") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, Seq.fill(10 + (i % 5).toInt)("w").mkString(" ")))
+      .toDF("id", "t")
+    val same = TextAnalysis.lengthDrift(docs, docs, "t").head()
+    assert(same.getAs[Double]("ks") == 0.0)
+    // truncate half the docs to 3 tokens -> mass moves below length 10
+    val trunc = docs.select(col("id"),
+      when(col("id") % 2 === 0, "w w w").otherwise(col("t")).as("t"))
+    val drift = TextAnalysis.lengthDrift(docs, trunc, "t").head()
+    assert(math.abs(drift.getAs[Double]("ks") - 0.5) < 1e-6)
+    assert(drift.getAs[Long]("n_old") == 50 && drift.getAs[Long]("n_new") == 50)
+  }
 }
