@@ -41,6 +41,40 @@ object Retrieval {
       .filter(col("rank") <= topK)
   }
 
+  /** nDCG@k with graded relevance (Järvelin & Kekäläinen 2002) — the
+    * metric that rewards putting HIGHLY relevant docs first, where
+    * [[retrievalMetrics]]' binary hits cannot distinguish orderings.
+    * `graded` holds (queryCol, idCol, gradeCol ≥ 0); unlisted docs
+    * grade 0. DCG = Σ (2^grade − 1)/log2(rank+1) over the retrieved
+    * top-k; IDCG re-ranks the query's full graded set ideally (grade
+    * desc, id asc). Output per query: `dcg`, `idcg`, `ndcg` (6 dp;
+    * 0.0 when the query has no graded docs at all).
+    */
+  def ndcgAtK(ranking: DataFrame, graded: DataFrame,
+      queryCol: String, idCol: String, rankCol: String, gradeCol: String,
+      k: Int = 10): DataFrame = {
+    def gain(g: Column): Column = (pow(lit(2.0), g.cast("double")) - 1.0)
+    def discount(r: Column): Column = log(2.0, r.cast("double") + 1.0)
+    val dcg = ranking.filter(col(rankCol) <= k)
+      .join(graded.select(col(queryCol), col(idCol),
+        col(gradeCol).as("_g")), Seq(queryCol, idCol), "left")
+      .groupBy(col(queryCol))
+      .agg(sum(gain(coalesce(col("_g"), lit(0))) / discount(col(rankCol)))
+        .as("_dcg"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(gradeCol).desc, col(idCol))
+    val idcg = graded.filter(col(gradeCol) > 0)
+      .withColumn("_ir", row_number().over(w))
+      .filter(col("_ir") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col(gradeCol)) / discount(col("_ir"))).as("_idcg"))
+    dcg.join(idcg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        round(col("_dcg"), 6).as("dcg"),
+        round(coalesce(col("_idcg"), lit(0.0)), 6).as("idcg"),
+        round(coalesce(col("_dcg") / col("_idcg"), lit(0.0)), 6).as("ndcg"))
+  }
+
   /** Ranking-quality scoreboard against a gold relevance set:
     * per query `n_relevant`, `first_hit_rank` (null when no relevant
     * doc was retrieved), reciprocal rank (0.0 then), and hit@1/5/10.

@@ -4053,6 +4053,65 @@ object Llm {
             col("hit_at_10"))
     },
 
+    // L11b' — nDCG@10 with graded relevance (grade = min(tf, 3)) for
+    // the BM25 ranking: the ordering-sensitive companion to l132's
+    // binary hits. Both engines compute the same 2^g−1 / log2(r+1)
+    // folds; round(6) absorbs the libm log2 ulp.
+    QuerySpec.df("l135_ndcg",
+      s"""with toks as (
+        |  select doc_id, w from (
+        |    select doc_id,
+        |           unnest(string_split_regex(trim(text), '\\s+')) as w
+        |    from documents)
+        |  where length(w) > 0),
+        |dl as (select doc_id, count(*) as dl from toks group by doc_id),
+        |stats as (select avg(dl) as avgdl, count(*) as n from dl),
+        |tf as (select doc_id, w as term, count(*) as tf from toks
+        |       where w in ('vector', 'hash', 'stream') group by doc_id, w),
+        |dfreq as (select term, count(*) as dfreq from tf group by term),
+        |scored as (
+        |  select t.term, t.doc_id,
+        |    round(ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)), 6)
+        |      as score
+        |  from tf t join dl d using (doc_id)
+        |  join dfreq using (term) cross join stats s),
+        |ranking as (select term, doc_id, rank from (
+        |  select *, row_number() over (
+        |    partition by term order by score desc, doc_id) as rank
+        |  from scored) where rank <= 10),
+        |graded as (select term, doc_id, least(tf, 3) as g from tf),
+        |dcg as (select r.term,
+        |          sum((pow(2.0, coalesce(g.g, 0)) - 1.0)
+        |            / log2(r.rank + 1.0)) as dcg
+        |        from ranking r left join graded g
+        |          on r.term = g.term and r.doc_id = g.doc_id
+        |        group by r.term),
+        |ideal as (select term,
+        |            sum((pow(2.0, g) - 1.0) / log2(ir + 1.0)) as idcg
+        |          from (select term, g, row_number() over (
+        |                  partition by term order by g desc, doc_id) as ir
+        |                from graded where g > 0)
+        |          where ir <= 10 group by term)
+        |select d.term, round(d.dcg, 6) as dcg,
+        |  round(coalesce(i.idcg, 0.0), 6) as idcg,
+        |  round(coalesce(d.dcg / i.idcg, 0.0), 6) as ndcg
+        |from dcg d left join ideal i using (term)""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val ranking = TextAnalysis.bm25(docs, "doc_id", "text",
+          terms = Seq("vector", "hash", "stream"), k = 10)
+        val graded = docs.select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .filter(col("term").isin("vector", "hash", "stream"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("_tf"))
+          .select(col("term"), col("doc_id"),
+            least(col("_tf"), lit(3L)).as("grade"))
+        Retrieval.ndcgAtK(ranking, graded, "term", "doc_id", "rank",
+          "grade", k = 10)
+    },
+
     // L11c — Zipf-law fit over the token census (dataset-card
     // linguistic sanity: slope ≈ −1 for natural text).
     QuerySpec.df("l133_zipf_fit",

@@ -270,6 +270,27 @@ class RetrievalSpec extends SparkSpec {
     assert(!q2.getAs[Boolean]("hit_at_10"))
   }
 
+  test("ndcgAtK: perfect ordering scores 1, inverted ordering less") {
+    import spark.implicits._
+    val graded = Seq((1L, 10L, 3L), (1L, 11L, 1L)).toDF("q", "id", "grade")
+    val perfect = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q", "id", "rank")
+    val inverted = Seq((1L, 11L, 1L), (1L, 10L, 2L)).toDF("q", "id", "rank")
+    val p = Retrieval.ndcgAtK(perfect, graded, "q", "id", "rank", "grade")
+      .head().getAs[Double]("ndcg")
+    val i = Retrieval.ndcgAtK(inverted, graded, "q", "id", "rank", "grade")
+      .head().getAs[Double]("ndcg")
+    assert(math.abs(p - 1.0) < 1e-9)
+    // inverted: dcg = 1/log2(2) + 7/log2(3); idcg = 7 + 1/log2(3)
+    val exp = (1.0 + 7.0 / (math.log(3) / math.log(2))) /
+      (7.0 + 1.0 / (math.log(3) / math.log(2)))
+    assert(math.abs(i - math.rint(exp * 1e6) / 1e6) < 1e-9)
+    // a query with no graded docs reports 0.0, not null
+    val none = Retrieval.ndcgAtK(perfect,
+      Seq((9L, 1L, 1L)).toDF("q", "id", "grade"), "q", "id", "rank", "grade")
+      .head().getAs[Double]("ndcg")
+    assert(none == 0.0)
+  }
+
   test("zipfFit recovers the slope of an exactly power-law census") {
     import spark.implicits._
     // craft a corpus whose token frequencies are freq(r) = 2^(10-r):
