@@ -136,6 +136,29 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: slug fallback, re-download to nested dir, org scoping") {
+    withSandbox { (_, work) =>
+      // an app whose graph.yml has NO slug/title falls back to the
+      // directory name as its slug
+      val bare = work.resolve("bare-dir")
+      Files.createDirectories(bare)
+      Files.writeString(bare.resolve("graph.yml"), "functions: []\n")
+      assert(run("upload", bare.toString) == 0)
+      assert(Files.exists(Paths.get(sys.props("graft.home"),
+        "registry", "local", "bare-dir", "v1.zip")))
+      // a different organization is a disjoint namespace
+      assert(run("upload", "-o", "acme", bare.toString) == 0)
+      assert(Files.exists(Paths.get(sys.props("graft.home"),
+        "registry", "acme", "bare-dir", "v1.zip")))
+      assert(run("download", "-o", "acme", "bare-dir",
+        work.resolve("a/b/clone").toString) == 0)
+      assert(Files.exists(work.resolve("a/b/clone/graph.yml")))
+      // downloading an app that only exists in another org fails
+      assert(run("download", "-o", "nosuch", "bare-dir",
+        work.resolve("x").toString) == 1)
+    }
+  }
+
   test("uploaded versions serve as components: uses: resolves from the registry") {
     withSandbox { (home, work) =>
       // publish a tiny component app: one SQL node writing its output
