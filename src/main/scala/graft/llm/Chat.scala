@@ -69,4 +69,64 @@ object Chat {
         lit(false)).as("ends_assistant"),
       turns.isNotNull.as("valid_json"))
   }
+
+  /** Turn-pair exact dedup across an SFT corpus: the (user prompt,
+    * assistant response) ADJACENT pair is the training unit, and
+    * public SFT mixes repeat the same pairs across conversations
+    * (shared seed prompts, cross-posted datasets) — document-level
+    * dedup misses them because surrounding turns differ. Per
+    * conversation: `n_pairs` and `n_dup_pairs` (pairs whose
+    * normalized (user, assistant) fingerprint also appears in ANOTHER
+    * conversation or earlier in the same one — every occurrence after
+    * the fingerprint's first is a dup).
+    *
+    * Scale shape: conversations explode to adjacent pairs, pairs
+    * collapse to md5 fingerprints, ONE census aggregation + a window
+    * inside (fp) groups decides first-occurrence; the re-group per
+    * conversation is id-keyed. No pairwise term.
+    */
+  def turnPairDedup(df: DataFrame, idCol: String, convCol: String): DataFrame = {
+    val turns = from_json(col(convCol), turnSchema)
+    val pairs = df.select(col(idCol).as("id"), turns.as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("id"), posexplode(col("t")).as(Seq("pos", "turn")))
+      .withColumn("next",
+        lead(col("turn"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("pos")))
+      .filter(col("turn.role") === "user" &&
+        col("next").isNotNull && col("next.role") === "assistant")
+      .select(col("id"), col("pos"),
+        md5(concat_ws("",
+          regexp_replace(lower(trim(col("turn.content"))), "\\s+", " "),
+          regexp_replace(lower(trim(col("next.content"))), "\\s+", " ")))
+          .as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("id"), col("pos"))
+    pairs.withColumn("dup", row_number().over(w) > 1)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pairs"))
+  }
+
+  /** Template-phrase scan over ASSISTANT turns — the response-side
+    * hygiene gate of an SFT pipeline: canned-phrase responses
+    * ("as an AI language model", refusal boilerplate) teach the model
+    * to parrot them, so mixes cap their rate. Counts per
+    * conversation: assistant turns, turns containing any template
+    * phrase (case-insensitive substring), and the flag. Phrases are
+    * matched as literal substrings (no regex semantics).
+    */
+  def responseTemplateScan(df: DataFrame, idCol: String, convCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "at least one phrase required")
+    val turns = from_json(col(convCol), turnSchema)
+    val assistant = filter(turns, t => t.getField("role") === "assistant")
+    val hit: Column => Column = c =>
+      phrases.map(p => lower(c).contains(p.toLowerCase)).reduce(_ || _)
+    df.select(col(idCol),
+      coalesce(size(assistant), lit(0)).cast("long").as("n_assistant_turns"),
+      coalesce(size(filter(assistant, t => hit(t.getField("content")))),
+        lit(0)).cast("long").as("n_template_turns"))
+      .withColumn("flagged", col("n_template_turns") > 0)
+  }
 }

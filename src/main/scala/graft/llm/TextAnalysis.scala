@@ -494,6 +494,43 @@ object TextAnalysis {
       dominant.as("dominant_script"): _*)
   }
 
+  /** Vocabulary-coverage curve — the tokenizer-sizing table: what
+    * fraction of corpus token OCCURRENCES the top-`s` vocabulary
+    * covers, for each candidate size `s` (the knee of this curve is
+    * where vocab growth stops paying). Output per size:
+    * (`vocab_size`, `n_types`, `coverage` 6 dp). Companion to
+    * [[zipfFit]] (shape) and the fixed-k OOV rate (l71).
+    *
+    * Scale shape: the census collapses the corpus map-side; only the
+    * top-`max(sizes)` rows (a constant) reach the rank window; the
+    * per-size sums ride a broadcast size table and a 1-row total.
+    */
+  def vocabCoverageCurve(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, sizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(sizes.nonEmpty, "at least one vocab size required")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val census = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val totals = census.agg(sum("freq").as("_total"),
+      count(lit(1)).as("n_types"))
+    val top = census.orderBy(col("freq").desc, col("tok"))
+      .limit(sizes.max)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    top.join(broadcast(sizes.toDF("vocab_size")),
+        col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size").agg(sum("freq").as("_covered"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_size").cast("long").as("vocab_size"),
+        col("n_types"),
+        round(col("_covered").cast("double") / col("_total"), 6)
+          .as("coverage"))
+  }
+
   /** Zipf-law fit over the token census — the linguistic sanity check
     * of a dataset card: natural text shows log-frequency falling
     * ~linearly in log-rank with slope ≈ −1; a much flatter or steeper

@@ -4112,6 +4112,134 @@ object Llm {
           "grade", k = 10)
     },
 
+    // L11e — vocabulary-coverage curve (tokenizer sizing): occurrence
+    // coverage of the top-{10,20,50} vocabularies. The fixture's tiny
+    // synthetic vocabulary makes the knee visible at 10.
+    QuerySpec.df("l136_vocab_curve",
+      """with census as (
+        |  select w as tok, count(*) as freq from (
+        |    select unnest(string_split_regex(trim(text), '\s+')) as w
+        |    from documents)
+        |  where length(w) > 0 group by w),
+        |tot as (select sum(freq) as total, count(*) as n_types from census),
+        |ranked as (select tok, freq,
+        |    row_number() over (order by freq desc, tok) as rank
+        |  from census qualify rank <= 50),
+        |sizes as (select unnest([10, 20, 50]) as vocab_size)
+        |select cast(s.vocab_size as bigint) as vocab_size,
+        |  cast(any_value(t.n_types) as bigint) as n_types,
+        |  round(cast(sum(r.freq) as double) / any_value(t.total), 6)
+        |    as coverage
+        |from ranked r join sizes s on r.rank <= s.vocab_size
+        |cross join tot t
+        |group by s.vocab_size""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.vocabCoverageCurve(Fixtures.table(s, d, "documents"),
+          "text", sizes = Seq(10, 20, 50))
+    },
+
+    // L11f — SFT turn-pair exact dedup: the (user, assistant)
+    // adjacent pair is the training unit; every 6th conversation
+    // REUSES doc 0's first pair, so those count as dups past the
+    // first occurrence. The oracle rebuilds pair fingerprints
+    // directly from the word slices (no JSON) — an independent path
+    // agreeing with Spark's parse + lead-window formulation.
+    QuerySpec.df("l137_turn_dedup",
+      """with ws as (select doc_id,
+        |    string_split_regex(trim(text), '\s+') as ws from documents),
+        |d0 as (select array_to_string(ws[1:3], ' ') as u0,
+        |              array_to_string(ws[4:6], ' ') as a0
+        |       from ws where doc_id = 0),
+        |pairs0 as (
+        |  select doc_id, 1 as pos,
+        |    case when doc_id % 6 = 0 then (select u0 from d0)
+        |         else array_to_string(ws[1:3], ' ') end as u,
+        |    case when doc_id % 6 = 0 then (select a0 from d0)
+        |         else array_to_string(ws[4:6], ' ') end as a
+        |  from ws
+        |  union all
+        |  select doc_id, 3 as pos,
+        |    array_to_string(ws[7:8], ' '),
+        |    array_to_string(ws[9:len(ws)], ' ')
+        |  from ws),
+        |fps as (select doc_id, pos,
+        |    md5(regexp_replace(lower(trim(u)), '\s+', ' ', 'g') ||
+        |        regexp_replace(lower(trim(a)), '\s+', ' ', 'g')) as fp
+        |  from pairs0),
+        |dup as (select doc_id, pos,
+        |    row_number() over (partition by fp order by doc_id, pos) > 1 as d
+        |  from fps)
+        |select doc_id, count(*) as n_pairs,
+        |  cast(sum(case when d then 1 else 0 end) as bigint) as n_dup_pairs
+        |from dup group by doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val w0 = docs.filter(col("doc_id") === 0)
+          .select("text").head().getString(0).trim.split("\\s+")
+        val (u0, a0) = (w0.slice(0, 3).mkString(" "),
+          w0.slice(3, 6).mkString(" "))
+        val ws = split(trim(col("text")), "\\s+")
+        val planted = docs.select(col("doc_id"),
+          concat(
+            lit("""[{"role":"user","content":""""),
+            when(col("doc_id") % 6 === 0, lit(u0))
+              .otherwise(array_join(slice(ws, 1, 3), " ")),
+            lit(""""},{"role":"assistant","content":""""),
+            when(col("doc_id") % 6 === 0, lit(a0))
+              .otherwise(array_join(slice(ws, 4, 3), " ")),
+            lit(""""},{"role":"user","content":""""),
+            array_join(slice(ws, 7, 2), " "),
+            lit(""""},{"role":"assistant","content":""""),
+            array_join(slice(ws, lit(9), greatest(size(ws) - 8, lit(1))), " "),
+            lit(""""}]""")).as("conv"))
+        graft.llm.Chat.turnPairDedup(planted, "doc_id", "conv")
+    },
+
+    // L11g — response template-phrase scan over ASSISTANT turns (the
+    // SFT response-hygiene gate): every 9th conversation's second
+    // assistant turn carries the canned phrase; both engines count
+    // case-insensitive literal containment.
+    QuerySpec.df("l138_response_templates",
+      """with ws as (select doc_id,
+        |    string_split_regex(trim(text), '\s+') as ws from documents),
+        |t as (select doc_id,
+        |    array_to_string(ws[4:6], ' ') as a1,
+        |    array_to_string(ws[9:len(ws)], ' ') ||
+        |      case when doc_id % 9 = 4
+        |        then ' As an AI language model, I cannot help.'
+        |        else '' end as a2
+        |  from ws)
+        |select doc_id, cast(2 as bigint) as n_assistant_turns,
+        |  cast((case when contains(lower(a1), 'as an ai language model')
+        |          or contains(lower(a1), 'i cannot') then 1 else 0 end) +
+        |       (case when contains(lower(a2), 'as an ai language model')
+        |          or contains(lower(a2), 'i cannot') then 1 else 0 end)
+        |    as bigint) as n_template_turns,
+        |  (contains(lower(a1), 'as an ai language model')
+        |    or contains(lower(a1), 'i cannot')
+        |    or contains(lower(a2), 'as an ai language model')
+        |    or contains(lower(a2), 'i cannot')) as flagged
+        |from t""".stripMargin) {
+      (s, d) =>
+        val ws = split(trim(col("text")), "\\s+")
+        val planted = Fixtures.table(s, d, "documents").select(col("doc_id"),
+          concat(
+            lit("""[{"role":"user","content":""""),
+            array_join(slice(ws, 1, 3), " "),
+            lit(""""},{"role":"assistant","content":""""),
+            array_join(slice(ws, 4, 3), " "),
+            lit(""""},{"role":"user","content":""""),
+            array_join(slice(ws, 7, 2), " "),
+            lit(""""},{"role":"assistant","content":""""),
+            array_join(slice(ws, lit(9), greatest(size(ws) - 8, lit(1))), " "),
+            when(col("doc_id") % 9 === 4,
+              lit(" As an AI language model, I cannot help."))
+              .otherwise(lit("")),
+            lit(""""}]""")).as("conv"))
+        graft.llm.Chat.responseTemplateScan(planted, "doc_id", "conv",
+          Seq("as an AI language model", "I cannot"))
+    },
+
     // L11c — Zipf-law fit over the token census (dataset-card
     // linguistic sanity: slope ≈ −1 for natural text).
     QuerySpec.df("l133_zipf_fit",

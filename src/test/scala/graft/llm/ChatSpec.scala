@@ -123,4 +123,38 @@ class ChatSpec extends SparkSpec {
       k = 2, minMargin = 1.5)
     assert(none.count() == 0)
   }
+
+  test("turnPairDedup: repeated (user, assistant) pairs flag past first occurrence") {
+    import spark.implicits._
+    def conv(pairs: (String, String)*): String =
+      pairs.flatMap { case (u, a) => Seq(
+        s"""{"role":"user","content":"$u"}""",
+        s"""{"role":"assistant","content":"$a"}""") }
+        .mkString("[", ",", "]")
+    val df = Seq(
+      (1L, conv(("hi there", "hello"), ("bye", "cya"))),
+      (2L, conv(("HI  THERE", "Hello"), ("other", "stuff"))), // pair 1 dup (normalized)
+      (3L, conv(("hi there", "hello"), ("hi there", "hello"))), // both dup
+      (4L, "not json")).toDF("id", "conv")
+    val out = Chat.turnPairDedup(df, "id", "conv").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 0L))) // first occurrences
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((2L, 2L))) // both its pairs repeat conv 1's first
+    assert(!out.contains(4L))     // invalid json has no pairs
+  }
+
+  test("responseTemplateScan counts assistant turns with canned phrases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """[{"role":"user","content":"q"},{"role":"assistant","content":"As an AI language model, no."}]"""),
+      (2L, """[{"role":"user","content":"As an AI language model"},{"role":"assistant","content":"sure thing"}]"""),
+      (3L, "broken")).toDF("id", "conv")
+    val out = Chat.responseTemplateScan(df, "id", "conv",
+        Seq("as an AI language model"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, 1L, true)))
+    assert(out(2L) == ((1L, 0L, false))) // user-side phrase doesn't flag
+    assert(out(3L) == ((0L, 0L, false))) // invalid json -> zero turns
+  }
 }

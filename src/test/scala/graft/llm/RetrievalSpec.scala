@@ -306,6 +306,16 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[Double]("r2") > 0.99)
   }
 
+  test("vocabCoverageCurve: coverage is monotone and exact on a known census") {
+    import spark.implicits._
+    // freqs: a×6, b×3, c×1 -> top-1 covers 0.6, top-2 covers 0.9
+    val text = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).mkString(" ")
+    val out = TextAnalysis.vocabCoverageCurve(
+        Seq(Tuple1(text)).toDF("t"), "t", sizes = Seq(1, 2, 10))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 0.6 && out(2L) == 0.9 && out(10L) == 1.0)
+  }
+
   test("lengthDrift: identical corpora give ks 0; a planted shift is detected") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, Seq.fill(10 + (i % 5).toInt)("w").mkString(" ")))
