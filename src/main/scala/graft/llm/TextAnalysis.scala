@@ -494,6 +494,55 @@ object TextAnalysis {
       dominant.as("dominant_script"): _*)
   }
 
+  /** Declared-vs-detected language consistency audit: the metadata-QA
+    * pass over a corpus that ships a `lang` column (crawls do; it is
+    * routinely wrong) — a confusion matrix of declared label against
+    * [[langId]]'s detection, with each cell's share of its declared
+    * row. High-share off-diagonal cells are mislabeled slices that
+    * would poison language-filtered training mixes.
+    *
+    * One scan (the detector is codegen'd stopword counting) + one
+    * two-key aggregation + a broadcast per-declared total.
+    */
+  def langConsistency(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, declaredCol: String): org.apache.spark.sql.DataFrame = {
+    val cells = docs.select(col(declaredCol).as("declared"),
+        langId(col(textCol)).as("detected"))
+      .groupBy("declared", "detected").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("declared").agg(sum("n").as("_t"))
+    cells.join(broadcast(totals), "declared")
+      .select(col("declared"), col("detected"), col("n"),
+        round(col("n").cast("double") / col("_t"), 6).as("share"),
+        (col("declared") === col("detected")).as("consistent"))
+  }
+
+  /** Flesch reading-ease score (Flesch 1948, the curriculum/audience
+    * difficulty signal): `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`, with sentences counted as terminal-
+    * punctuation runs (min 1) and syllables approximated by vowel-
+    * group runs — the standard regex approximation, identical in any
+    * regex engine. Zero-word docs are excluded. Output per doc:
+    * n_words, n_sentences, n_syllables, flesch (4 dp).
+    */
+  def readability(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val nW = tokenCount(t).cast("double")
+    val nS = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val nSyl = greatest(
+      size(regexp_extract_all(t, lit("[aeiouyAEIOUY]+"), lit(0))), lit(1))
+      .cast("double")
+    docs.filter(tokenCount(t) > 0)
+      .select(col(idCol),
+        nW.cast("long").as("n_words"),
+        nS.cast("long").as("n_sentences"),
+        nSyl.cast("long").as("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (nW / nS) -
+          lit(84.6) * (nSyl / nW), 4).as("flesch"))
+  }
+
   /** Vocabulary-coverage curve — the tokenizer-sizing table: what
     * fraction of corpus token OCCURRENCES the top-`s` vocabulary
     * covers, for each candidate size `s` (the knee of this curve is

@@ -4112,6 +4112,60 @@ object Llm {
           "grade", k = 10)
     },
 
+    // L11h — declared-vs-detected language consistency (metadata QA
+    // over the fixture's lang column): confusion cells with shares;
+    // detection is l06's stopword argmax, so the oracle reuses that
+    // exact construction.
+    QuerySpec.df("l139_lang_consistency",
+      {
+        val langs = Seq("en", "de", "fr", "es", "zh")
+        def hits(l: String) =
+          s"len(list_intersect(list_distinct($duckWords), " +
+            s"[${TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(",")}]))"
+        val best = langs.map(hits).reduce((a, b) => s"greatest($a, $b)")
+        val cases = langs.map(l =>
+          s"when ${hits(l)} = best and best >= 1 then '$l'").mkString(" ")
+        s"""with det as (
+           |  select lang as declared,
+           |    case $cases else 'und' end as detected
+           |  from (select lang, text, $best as best from documents)),
+           |cells as (select declared, detected, count(*) as n
+           |          from det group by 1, 2),
+           |tot as (select declared, sum(n) as t from cells group by declared)
+           |select c.declared, c.detected, c.n,
+           |  round(cast(c.n as double) / t.t, 6) as share,
+           |  c.declared = c.detected as consistent
+           |from cells c join tot t using (declared)""".stripMargin
+      }) {
+      (s, d) =>
+        TextAnalysis.langConsistency(Fixtures.table(s, d, "documents"),
+          "text", "lang")
+    },
+
+    // L11i — Flesch reading ease (regex sentence/syllable
+    // approximation — identical under RE2): the curriculum/audience
+    // difficulty signal.
+    QuerySpec.df("l140_readability",
+      """with sig as (select doc_id,
+        |    cast(case when length(trim(text)) = 0 then 0
+        |      else len(string_split_regex(trim(text), '\s+')) end
+        |      as double) as w,
+        |    cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      as double) as s,
+        |    cast(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+        |      as double) as y
+        |  from documents)
+        |select doc_id,
+        |  cast(w as bigint) as n_words,
+        |  cast(s as bigint) as n_sentences,
+        |  cast(y as bigint) as n_syllables,
+        |  round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) as flesch
+        |from sig where w > 0""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.readability(Fixtures.table(s, d, "documents"),
+          "doc_id", "text")
+    },
+
     // L11e — vocabulary-coverage curve (tokenizer sizing): occurrence
     // coverage of the top-{10,20,50} vocabularies. The fixture's tiny
     // synthetic vocabulary makes the knee visible at 10.

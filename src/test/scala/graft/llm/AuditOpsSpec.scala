@@ -249,6 +249,37 @@ class AuditOpsSpec extends SparkSpec {
     assert(none == Set(2L, 3L))
   }
 
+  test("langConsistency: mislabeled rows land off-diagonal with shares") {
+    val docs = Seq(
+      (1L, "the of and to in is it for", "en"),  // en detected, en declared
+      (2L, "the of and to in is it for", "fr"),  // en detected, fr declared
+      (3L, "le la et les des une dans", "fr"),   // fr detected
+      (4L, "zzz qqq xxx", "en")                  // und
+    ).toDF("id", "t", "lang")
+    val out = TextAnalysis.langConsistency(docs, "t", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(("en", "en")) == ((1L, 0.5, true)))
+    assert(out(("en", "und")) == ((1L, 0.5, false)))
+    assert(out(("fr", "en")) == ((1L, 0.5, false)))
+    assert(out(("fr", "fr")) == ((1L, 0.5, true)))
+  }
+
+  test("readability: hand-computed Flesch on a known sentence") {
+    // "The cat sat. It ran away." -> 6 words, 2 sentences,
+    // vowel groups: e,a,a,I,a,a,ay = 7 syllables
+    val df = Seq((1L, "The cat sat. It ran away."), (2L, "")).toDF("id", "t")
+    val r = TextAnalysis.readability(df, "id", "t").collect()
+    assert(r.length == 1) // empty doc excluded
+    val row = r.head
+    assert(row.getAs[Long]("n_words") == 6)
+    assert(row.getAs[Long]("n_sentences") == 2)
+    assert(row.getAs[Long]("n_syllables") == 7)
+    val exp = 206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6.0)
+    assert(math.abs(row.getAs[Double]("flesch") -
+      math.rint(exp * 1e4) / 1e4) < 1e-9)
+  }
+
   test("tokenFertility: fragmenting scripts show high fertility") {
     val docs = Seq(
       (1L, "plain latin words here"),       // 4 words, 4 subwords
