@@ -899,6 +899,44 @@ object Corpus {
         col("n_fps_a"), col("n_fps_b"))
   }
 
+  /** Source-pair CONTENT overlap — the gram-level complement of
+    * [[sourceOverlap]]'s exact-duplicate matrix: Jaccard similarity
+    * of the distinct `k`-gram sets of each source pair. Exact-dup
+    * overlap misses re-writes and templated near-copies; shared gram
+    * MASS catches them (two feeds rephrasing each other's articles
+    * score high here while sharing zero exact fingerprints).
+    * Output per unordered pair: `n_shared_grams`, each side's
+    * distinct-gram count, `jaccard` (6 dp).
+    *
+    * Scale shape: the corpus collapses to (gram, source) distinct
+    * rows (map-side combinable); the pair join is GRAM-keyed, so its
+    * output is Σ_g (#sources sharing g choose 2) — bounded by source
+    * cardinality squared per gram, never corpus-pairwise; per-source
+    * totals ride a broadcast.
+    */
+  def sourceGramOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      k: Int = 8): DataFrame = {
+    val grams = TextDedup.withShingles(
+        docs.select(col(srcCol).as("src"), col(textCol)), textCol, "g", k)
+      .select(col("src"), explode(col("g")).as("gram"))
+      .distinct()
+    val totals = grams.groupBy("src").agg(count(lit(1)).as("_n"))
+    val a = grams.select(col("gram"), col("src").as("source_a"))
+    val b = grams.select(col("gram"), col("src").as("source_b"))
+    a.join(b, "gram").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .join(broadcast(totals.select(col("src").as("source_a"),
+        col("_n").as("n_grams_a"))), "source_a")
+      .join(broadcast(totals.select(col("src").as("source_b"),
+        col("_n").as("n_grams_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared_grams"),
+        col("n_grams_a"), col("n_grams_b"),
+        round(col("n_shared_grams").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("n_shared_grams")), 6)
+          .as("jaccard"))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the "C4" rules):
     * keep only lines that end in a terminal punctuation mark, contain
     * at least `minLineWords` words, and do not mention "javascript";

@@ -4112,6 +4112,44 @@ object Llm {
           "grade", k = 10)
     },
 
+    // L11j — source-pair CONTENT overlap (gram Jaccard): the
+    // rephrase-resistant complement of l128's exact-dup matrix. The
+    // prev-doc copy plant shares full documents' grams across
+    // adjacent sources; rows appear only for pairs with overlap.
+    QuerySpec.df("l141_source_gram_overlap",
+      s"""with corpus as (
+        |  select d.doc_id, d.source,
+        |    case when d.doc_id % 10 = 7 then coalesce(p.text, d.text)
+        |         else d.text end as text
+        |  from documents d
+        |  left join documents p on p.doc_id = d.doc_id - 1),
+        |g as (select distinct source as src, gram from (
+        |  select source, unnest($duckGrams8) as gram
+        |  from (select source, text, string_split(text, ' ') as words
+        |        from corpus))),
+        |tot as (select src, count(*) as n from g group by src)
+        |select a.src as source_a, b.src as source_b,
+        |  count(*) as n_shared_grams,
+        |  cast(any_value(ta.n) as bigint) as n_grams_a,
+        |  cast(any_value(tb.n) as bigint) as n_grams_b,
+        |  round(cast(count(*) as double) /
+        |    (any_value(ta.n) + any_value(tb.n) - count(*)), 6) as jaccard
+        |from g a
+        |join g b on a.gram = b.gram and a.src < b.src
+        |join tot ta on ta.src = a.src
+        |join tot tb on tb.src = b.src
+        |group by 1, 2""".stripMargin) {
+      (s, d) =>
+        val docs = Fixtures.table(s, d, "documents")
+        val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("_prev"))
+        val corpus = docs.join(prev, Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("doc_id") % 10 === 7, coalesce(col("_prev"), col("text")))
+              .otherwise(col("text")).as("text"))
+        Corpus.sourceGramOverlap(corpus, "text", "source", k = 8)
+    },
+
     // L11h — declared-vs-detected language consistency (metadata QA
     // over the fixture's lang column): confusion cells with shares;
     // detection is l06's stopword argmax, so the oracle reuses that

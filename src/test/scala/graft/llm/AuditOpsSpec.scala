@@ -280,6 +280,21 @@ class AuditOpsSpec extends SparkSpec {
       math.rint(exp * 1e4) / 1e4) < 1e-9)
   }
 
+  test("sourceGramOverlap: shared grams and jaccard exact on a tiny corpus") {
+    // k=3: sa doc grams {abc, bcd}; sb doc grams {abc, xyz-ish}
+    val docs = Seq(
+      ("sa", "a b c d"),       // grams: "a b c", "b c d"
+      ("sb", "a b c z"),       // grams: "a b c", "b c z"
+      ("sc", "p q r s")).toDF("src", "t")
+    val out = Corpus.sourceGramOverlap(docs, "t", "src", k = 3).collect()
+    assert(out.length == 1) // only (sa, sb) share anything
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("sa", "sb")))
+    assert(r.getLong(2) == 1L)          // shared: "a b c"
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(math.abs(r.getDouble(5) - 1.0 / 3) < 1e-6) // 1/(2+2-1)
+  }
+
   test("tokenFertility: fragmenting scripts show high fertility") {
     val docs = Seq(
       (1L, "plain latin words here"),       // 4 words, 4 subwords
