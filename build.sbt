@@ -15,6 +15,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver machine-parses the LAST line of `sbt runMain` stdout.
+// StdoutOutput forwards the forked JVM's stdout unprefixed (no `[info] `),
+// and showSuccess drops the trailing `[success] Total time…` line, so the
+// bench's single JSON line really is the bare final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,7 +46,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: bounded-window queries emit harmless WindowExec
+    // WARNs that flood the driver's 2000-char stdout tail capture and can
+    // push the final JSON line out of it.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_ONLY=q01,l02 restricts to a subset (scaling probes /
     // local iteration); unset = the full driver contract set.

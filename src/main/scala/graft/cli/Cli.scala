@@ -49,17 +49,28 @@ object Cli {
     * file — the reference stores the same shape (config.py
     * read/write_devkit_config).
     */
+  // Values are interpolated into hand-built JSON: escape the two
+  // characters that would corrupt it (a title containing `"` must
+  // round-trip through meta.json intact).
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def jsonUnesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  // String value token tolerant of \" and \\ inside the quotes.
+  private val JsonStr = raw""""((?:[^"\\]|\\.)*)""""
+
   private def readConfig(): Map[String, String] =
     if (!Files.exists(configPath)) Map.empty
     else {
       val text = Files.readString(configPath)
-      raw""""([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      (JsonStr + raw"""\s*:\s*""" + JsonStr).r.findAllMatchIn(text)
+        .map(m => jsonUnesc(m.group(1)) -> jsonUnesc(m.group(2))).toMap
     }
   private def writeConfig(cfg: Map[String, String]): Unit = {
     Files.createDirectories(home)
     val body = cfg.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      .map { case (k, v) => s""""${jsonEsc(k)}": "${jsonEsc(v)}"""" }
+      .mkString("{", ", ", "}")
     Files.writeString(configPath, body + "\n")
   }
 
@@ -73,8 +84,11 @@ object Cli {
   private def appUid(org: String, slug: String): String = {
     val h = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s"$org/$slug".getBytes("UTF-8"))
-    h.take(5).map(b => "abcdefghijklmnopqrstuvwxyz234567"((b & 0xff) % 32))
-      .mkString.take(8)
+    // 5 digest bytes = 40 bits = exactly 8 base32 characters.
+    val bits = h.take(5).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    (0 until 8).map { i =>
+      "abcdefghijklmnopqrstuvwxyz234567"(((bits >>> (35 - 5 * i)) & 31).toInt)
+    }.mkString
   }
 
   private case class Meta(title: String, slug: String, public: Boolean,
@@ -85,10 +99,10 @@ object Cli {
     val p = metaPath(org, slug)
     if (!Files.exists(p)) None
     else {
-      val m = raw""""([^"]+)"\s*:\s*("([^"]*)"|true|false|\d+)""".r
+      val m = (JsonStr + raw"""\s*:\s*($JsonStr|true|false|\d+)""").r
         .findAllMatchIn(Files.readString(p))
-        .map(x => x.group(1) ->
-          Option(x.group(3)).getOrElse(x.group(2))).toMap
+        .map(x => jsonUnesc(x.group(1)) ->
+          Option(x.group(3)).map(jsonUnesc).getOrElse(x.group(2))).toMap
       Some(Meta(m.getOrElse("title", slug), m.getOrElse("slug", slug),
         m.getOrElse("public", "false") == "true",
         m.getOrElse("latest", "0").toInt))
@@ -97,11 +111,22 @@ object Cli {
   private def writeMeta(org: String, slug: String, meta: Meta): Unit = {
     Files.createDirectories(metaPath(org, slug).getParent)
     Files.writeString(metaPath(org, slug),
-      s"""{"title": "${meta.title}", "slug": "${meta.slug}", """ +
+      s"""{"title": "${jsonEsc(meta.title)}", "slug": "${jsonEsc(meta.slug)}", """ +
         s""""public": ${meta.public}, "latest": ${meta.latest}}""" + "\n")
   }
   private def versionZip(org: String, slug: String, v: Int): Path =
     registryRoot.resolve(org).resolve(slug).resolve(s"v$v.zip")
+  /** meta.json can outlive its zip (crash mid-upload, partial delete):
+    * surface that as the Abort exit-1 path, not a NoSuchFileException
+    * stack trace.
+    */
+  private def readVersionZip(org: String, slug: String, v: Int): Array[Byte] = {
+    val p = versionZip(org, slug, v)
+    if (!Files.exists(p)) abort(
+      s"registry is missing $org/$slug version v$v (expected $p); " +
+        "re-upload the app or delete its meta.json")
+    Files.readAllBytes(p)
+  }
 
   /** Nearest graph.yml at or above `start` (lookup.py's
     * find_nearest_graph).
@@ -271,8 +296,12 @@ object Cli {
         val ed = GraphConfigEditor(yml).addNode(rel, title =
           if (title.isEmpty) null else title)
         abs.getFileName.toString match {
-          case f if f.endsWith(".sql") => Files.writeString(abs, SqlTemplate)
-          case f if f.endsWith(".scala") => Files.writeString(abs, ScalaTemplate)
+          case f if f.endsWith(".sql") =>
+            Files.createDirectories(abs.getParent)
+            Files.writeString(abs, SqlTemplate)
+          case f if f.endsWith(".scala") =>
+            Files.createDirectories(abs.getParent)
+            Files.writeString(abs, ScalaTemplate)
           case "graph.yml" =>
             Files.createDirectories(abs.getParent)
             GraphConfigEditor.empty(Some(abs)).setName(nodeTitle).write()
@@ -299,7 +328,7 @@ object Cli {
     val meta = readMeta(org, slug)
 
     if (!a.flag("force")) meta.filter(_.latest > 0).foreach { m =>
-      val remote = Files.readAllBytes(versionZip(org, slug, m.latest))
+      val remote = readVersionZip(org, slug, m.latest)
       val diffs = GraphDiff.diffZipAndDir(remote, dir, fromRemote = false)
       if (diffs.nonEmpty) {
         println("Upload would change the following files:\n")
@@ -343,7 +372,7 @@ object Cli {
     val meta = readMeta(org, slug)
       .filter(_.latest > 0)
       .getOrElse(abort(s"app '$slug' not found in organization '$org'"))
-    val zip = Files.readAllBytes(versionZip(org, slug, meta.latest))
+    val zip = readVersionZip(org, slug, meta.latest)
     Files.createDirectories(root) // fresh-clone target: diff walks it
 
     if (a.flag("force")) {

@@ -21,6 +21,12 @@ object Similarity {
     * rows. Every downstream operator here assumes clean input; this is
     * the gate that makes that assumption checkable.
     *
+    * The five classes PARTITION the rows — each vector is counted
+    * exactly once, under the first matching flag in the precedence
+    * chain null > ragged > nan > zero_norm > ok (a ragged vector that
+    * also carries NaN counts only as ragged), so per-group counts
+    * always sum to `n_vecs`.
+    *
     * One scan + one small aggregation; the flags are HOF expressions
     * over the array (no shuffle beyond the group-by).
     */
@@ -29,8 +35,8 @@ object Similarity {
     val v = col(vecCol)
     val isNull = v.isNull
     val ragged = !isNull && size(v) =!= expectedDim
-    val hasNan = !isNull && exists(v, x => isnan(x.cast("double")))
-    val zeroNorm = !isNull && !hasNan &&
+    val hasNan = !isNull && !ragged && exists(v, x => isnan(x.cast("double")))
+    val zeroNorm = !isNull && !ragged && !hasNan &&
       aggregate(v, lit(0.0d), (acc, x) =>
         acc + x.cast("double") * x.cast("double")) === 0.0
     def cnt(c: Column, as: String) =

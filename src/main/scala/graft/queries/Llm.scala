@@ -3846,10 +3846,10 @@ object Llm {
         |    as n_null,
         |  cast(sum(case when e is not null and len(e) <> 64
         |    then 1 else 0 end) as bigint) as n_ragged,
-        |  cast(sum(case when e is not null
+        |  cast(sum(case when e is not null and len(e) = 64
         |    and len(list_filter(e, x -> isnan(x))) > 0
         |    then 1 else 0 end) as bigint) as n_nan,
-        |  cast(sum(case when e is not null
+        |  cast(sum(case when e is not null and len(e) = 64
         |    and len(list_filter(e, x -> isnan(x))) = 0
         |    and list_sum(list_transform(e,
         |          x -> cast(x as double) * cast(x as double))) = 0

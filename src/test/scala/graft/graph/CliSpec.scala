@@ -86,6 +86,111 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  /** Golden output lines of the conflict paths, matching the
+    * reference's wording (upload.py:55-62, download.py:57-73 and the
+    * test_upload.py/test_download.py shapes): upload previews changes
+    * and points at --force/--diff; download never overwrites without
+    * --force and never deletes local files it doesn't know about.
+    */
+  test("upload/download conflict flows print the reference's golden lines") {
+    withSandbox { (_, work) =>
+      val app = work.resolve("gold-app").toString
+      run("create", "app", "--name", "gold-app", app)
+      run("upload", app)
+      def captured(args: String*): (Int, String) = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val code = Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          run(args: _*)
+        }
+        (code, buf.toString("UTF-8"))
+      }
+      // upload conflict: preview + remedy line (non-diff variant names both flags)
+      Files.writeString(Paths.get(app, "extra.txt"), "new file\n")
+      val (upCode, upOut) = captured("upload", app)
+      assert(upCode == 1)
+      assert(upOut.contains("Upload would change the following files:"))
+      assert(upOut.contains("Run this command with --force to upload the app" +
+        ", or --diff to see detailed differences"))
+      // --diff variant shows the detail and drops the ", or --diff" tail
+      val (_, upDiffOut) = captured("upload", "--diff", app)
+      assert(upDiffOut.contains("Run this command with --force to upload the app"))
+      assert(!upDiffOut.contains(", or --diff"))
+      run("upload", "--force", app)
+
+      // download conflict: never-overwrite + remedy line
+      val clone = work.resolve("gold-clone").toString
+      run("download", "gold-app", clone)
+      Files.writeString(Paths.get(clone, "extra.txt"), "local divergence\n")
+      val (dlCode, dlOut) = captured("download", "gold-app", clone)
+      assert(dlCode == 1)
+      assert(dlOut.contains("Download would overwrite the following files:"))
+      assert(dlOut.contains("Run this command with --force to overwrite " +
+        "local files, or --diff to see detailed differences"))
+      // the conflicted file was NOT touched by the refused download
+      assert(Files.readString(Paths.get(clone, "extra.txt")) ==
+        "local divergence\n")
+      // download never deletes: a file the app doesn't know about
+      // survives even a --force download (download.py docstring)
+      Files.writeString(Paths.get(clone, "unrelated.log"), "keep me\n")
+      assert(run("download", "--force", "gold-app", clone) == 0)
+      assert(Files.readString(Paths.get(clone, "unrelated.log")) == "keep me\n")
+      assert(Files.readString(Paths.get(clone, "extra.txt")) == "new file\n")
+    }
+  }
+
+  test("registry/meta hardening: missing zip aborts, quoted titles round-trip") {
+    withSandbox { (home, work) =>
+      // a meta.json whose zip vanished (crash mid-upload) aborts with a
+      // clear message instead of a NoSuchFileException stack trace
+      val app = work.resolve("hard-app").toString
+      run("create", "app", "--name", "hard-app", app)
+      run("upload", app)
+      val zip = Paths.get(home.toString, "registry", "local", "hard-app", "v1.zip")
+      Files.delete(zip)
+      val err = new java.io.ByteArrayOutputStream()
+      // Cli aborts go through System.err (not scala.Console), so swap
+      // the JVM stream for the capture
+      val prevErr = System.err
+      val code =
+        try {
+          System.setErr(new java.io.PrintStream(err, true, "UTF-8"))
+          run("download", "hard-app", work.resolve("nowhere").toString)
+        } finally System.setErr(prevErr)
+      assert(code == 1)
+      assert(err.toString("UTF-8").contains("registry is missing local/hard-app"))
+      // upload (conflict preview reads the same zip) also aborts cleanly
+      assert(run("upload", app) == 1)
+
+      // a title containing a double quote and a backslash survives the
+      // meta.json round-trip (writeMeta escapes; readMeta unescapes)
+      val q = work.resolve("quoted-app").toString
+      run("create", "app", "--name", """the "best\" app""", q)
+      assert(run("upload", q) == 0)
+      assert(run("update", "app", "--public", "the-best-app") == 0)
+      val meta = Files.readString(Paths.get(home.toString,
+        "registry", "local", "the-best-app", "meta.json"))
+      assert(meta.contains("""the \"best\\\" app"""))
+      // node files in a not-yet-created subdirectory get their parent
+      assert(run("create", "node", "--app", q, s"$q/sub/dir/n.sql") == 0)
+      assert(Files.exists(Paths.get(q, "sub", "dir", "n.sql")))
+    }
+  }
+
+  test("app uids are deterministic 8-char base32") {
+    withSandbox { (_, work) =>
+      val app = work.resolve("uid-app").toString
+      run("create", "app", "--name", "uid-app", app)
+      run("upload", app)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        run("list", "apps", "--json")
+      }
+      val uid = """"uid": "([a-z2-7]+)"""".r
+        .findFirstMatchIn(out.toString("UTF-8")).map(_.group(1))
+      assert(uid.exists(_.length == 8), s"uid was $uid")
+    }
+  }
+
   test("trigger runs a SQL node end-to-end on the shared session") {
     withSandbox { (_, work) =>
       val app = work.resolve("sqlapp")

@@ -223,13 +223,15 @@ class AuditOpsSpec extends SparkSpec {
       (2L, "g", null),                       // null
       (3L, "g", Seq(1.0f)),                  // ragged
       (4L, "g", Seq(Float.NaN, 1.0f)),       // nan
-      (5L, "g", Seq(0.0f, 0.0f)))            // zero norm
+      (5L, "g", Seq(0.0f, 0.0f)),            // zero norm
+      (6L, "g", Seq(Float.NaN)),             // ragged AND nan -> ragged only
+      (7L, "g", Seq(0.0f)))                  // ragged AND zero -> ragged only
     val df = rows.toDF("id", "grp", "v")
     val r = Similarity.embeddingHygiene(df, "v", "grp", expectedDim = 2)
       .collect().head
-    assert(r.getAs[Long]("n_vecs") == 5)
+    assert(r.getAs[Long]("n_vecs") == 7)
     assert(r.getAs[Long]("n_null") == 1)
-    assert(r.getAs[Long]("n_ragged") == 1)
+    assert(r.getAs[Long]("n_ragged") == 3)
     assert(r.getAs[Long]("n_nan") == 1)
     assert(r.getAs[Long]("n_zero_norm") == 1)
     assert(r.getAs[Long]("n_ok") == 1)
