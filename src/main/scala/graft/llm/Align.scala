@@ -164,21 +164,31 @@ object Align {
     // corrupt rows (null vectors, ragged dims) must not reach the
     // Aggregator: its tight loop indexes y by x's length, so a short y
     // would throw on an executor instead of being data
+    // the pair join is read twice (fit + residual report): cache it
+    // instead of re-running the join/scan per action
     val paired = oldV.select(col(idCol), col(labelCol),
         col(vecCol).cast("array<float>").as("x"))
       .join(newV.select(col(idCol),
         col(vecCol).cast("array<float>").as("y")), idCol)
       .filter(col("x").isNotNull && col("y").isNotNull &&
         size(col("x")) === size(col("y")) && size(col("x")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mixed dimensionalities across rows would misalign the flattened
     // buffer (or throw in merge); fit on the MAJORITY dim (ties break
-    // to the larger dim), not whatever row head() happens to return.
+    // to the larger dim), not whatever row head() happens to return —
+    // and compute the per-dim cross-covariance in the SAME grouped
+    // pass (one bounded row per distinct dim), so the dim probe and
+    // the XᵀY fit cost one action instead of two.
     // Zero clean pairs (disjoint ids, all-null/ragged vectors) is a
     // data-quality outcome, not a crash: return the empty report.
-    val dOpt = paired.groupBy(size(col("x")).as("_d")).count()
+    val fitRow = paired.groupBy(size(col("x")).as("_d"))
+      .agg(count(lit(1)).as("count"),
+        OuterProductSum(col("x"), col("y")).as("m"))
       .orderBy(col("count").desc, col("_d").desc)
-      .head(1).headOption.map(_.getInt(0))
+      .head(1).headOption
+    val dOpt = fitRow.map(_.getInt(0))
     if (dOpt.isEmpty) {
+      paired.unpersist()
       val sp = oldV.sparkSession
       return sp.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -194,13 +204,14 @@ object Align {
     }
     val d = dOpt.get
     val clean = paired.filter(size(col("x")) === d)
-    val mFlat = clean.agg(OuterProductSum(col("x"), col("y"))).head()
-      .getSeq[Double](0)
+    val mFlat = fitRow.get.getSeq[Double](2)
     val w = procrustesW(mFlat, d)
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
         lit(0.0), (acc, e) => acc + e)
-    clean
+    // the report is a handful of label rows: materialize it eagerly so
+    // the pair cache can be released before return (no-leak contract)
+    val out = clean
       .withColumn("xa", rotate(col("x").cast("array<double>"), w))
       .groupBy(labelCol)
       .agg(count(lit(1)).as("n"),
@@ -208,5 +219,8 @@ object Align {
           col("y").cast("array<double>"))), 6).as("resid_raw"),
         round(avg(sqDist(col("xa"), col("y").cast("array<double>"))), 6)
           .as("resid_aligned"))
+      .localCheckpoint()
+    paired.unpersist()
+    out
   }
 }

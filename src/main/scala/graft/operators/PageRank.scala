@@ -15,9 +15,10 @@ import org.apache.spark.storage.StorageLevel
   * over the node set = every distinct edge endpoint. Self-loops are
   * legal (a node linking itself). Nodes with no out-edges contribute
   * no mass (their (1-d)/N teleport share still arrives everywhere) —
-  * the common "dangling mass dropped" simplification; callers who need
-  * the stochastic-matrix variant can add a sink edge per dangling node
-  * first. Each iteration's ranks are rounded to 12 dp so two engines
+  * the common "dangling mass dropped" simplification; pass
+  * `redistributeDangling = true` for the stochastic-matrix variant
+  * that spreads sink mass uniformly and conserves Σpr = 1.
+  * Each iteration's ranks are rounded to 12 dp so two engines
   * summing partial aggregates in different orders stay bit-identical
   * across iterations (the project's float-determinism rule; final
   * consumers round to 6 dp).
@@ -35,6 +36,18 @@ import org.apache.spark.storage.StorageLevel
 object PageRank {
 
   /** @param edges directed edge list (duplicate edges are collapsed)
+    * @param redistributeDangling false (default) = the classic
+    *        "dangling mass dropped" simplification documented above;
+    *        true = the stochastic-matrix variant: each iteration the
+    *        mass sitting on sink nodes (no out-edges) is redistributed
+    *        uniformly, pr_{k+1}(v) = (1-d)/N + d·(mass(v) + m_k/N)
+    *        with m_k = Σ_{u dangling} pr_k(u), so Σpr stays exactly 1
+    *        (up to the 12-dp rounding) — the form the original paper's
+    *        random surfer actually defines. Costs one bounded scalar
+    *        action per iteration (the dangling total, one double — the
+    *        same driver minimum as [[hits]]' normalization totals),
+    *        with each iteration's ranks persisted and lineage-cut so
+    *        the doubly-referenced rank frame is computed once.
     * @return (`id`, `pr`) for every distinct endpoint, ranks rounded
     *         to 12 dp per iteration. The result is an EAGER local
     *         checkpoint: the helper caches (edge+degree frame, node
@@ -46,9 +59,16 @@ object PageRank {
     *         auto-dropped; that was a leak).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 4, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 4, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // ONE exchange (on src) serves the whole edge-frame build:
+    // hash-partitioning on src satisfies the (src,dst) clustering the
+    // distinct needs, co-locates the out-degree aggregation, and
+    // co-partitions both sides of the degree join — without the
+    // explicit repartition each of the three steps shuffles separately
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — the per-iteration join input, built once
     val eDeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -58,19 +78,53 @@ object PageRank {
     val n = nodes.count() // one bounded scalar; also materializes the caches
     val teleport = (1.0 - damping) / n
 
+    if (!redistributeDangling) {
+      var ranks = nodes.withColumn("pr", round(lit(1.0 / n), 12))
+      for (_ <- 1 to iterations) {
+        val contribs = eDeg
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
+        ranks = nodes
+          .join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            round(lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
+      }
+      val out = ranks.localCheckpoint() // eager: one pass over the unrolled plan
+      eDeg.unpersist(); nodes.unpersist()
+      return out
+    }
+
+    // stochastic-matrix variant: ranks_k is referenced twice per round
+    // (dangling total + contributions), so persist it and cut lineage
+    // the same way [[hits]] does — the cut is backed by the cache just
+    // materialized, costing nothing extra
+    val spark = edges.sparkSession
+    val dangling = nodes.join(deg.select(col("src").as("id")), Seq("id"),
+      "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var ranks = nodes.withColumn("pr", round(lit(1.0 / n), 12))
     for (_ <- 1 to iterations) {
+      val r = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+      cached += r
+      val mDangling = r.join(dangling, "id")
+        .agg(sum(col("pr").cast("decimal(28,18)")).cast("double"))
+        .head().getDouble(0)
+      val rCut = spark.createDataFrame(r.rdd, r.schema)
       val contribs = eDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(rCut.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          round(lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
+          round(lit(teleport) +
+            lit(damping) * (coalesce(col("mass"), lit(0.0)) +
+              lit(mDangling / n)), 12).as("pr"))
     }
-    val out = ranks.localCheckpoint() // eager: one pass over the unrolled plan
-    eDeg.unpersist(); nodes.unpersist()
+    val out = ranks.localCheckpoint()
+    cached.foreach(_.unpersist())
+    eDeg.unpersist(); nodes.unpersist(); dangling.unpersist()
     out
   }
 
@@ -83,44 +137,64 @@ object PageRank {
     * teleport are 1/|S| on seeds, 0 elsewhere; everything else matches
     * [[run]], including the per-iteration 12-dp rounding contract.
     *
-    * Scale shape: identical to [[run]] plus one broadcast-friendly
-    * left join of the O(|V|) node frame against the seed list per
-    * setup (seeds are small by definition — they are manually vetted).
+    * Scale shape: the edge+degree frame is built once and persisted
+    * (as in [[run]]), but the per-iteration frontier is SPARSE — only
+    * nodes with nonzero trust join the edge frame, which on a
+    * seeded web graph is a small fraction of |V| in the early rounds
+    * and never exceeds the reachable set. The O(|V|) node frame is
+    * touched exactly once, by the final zero-fill join.
     */
   def personalized(edges: DataFrame, seeds: DataFrame,
       srcCol: String, dstCol: String, seedCol: String,
       iterations: Int = 4, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // same single-exchange edge build as [[run]]
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seedCol).as("id")).distinct()
     val nS = seedSet.count() // bounded: seeds are a vetted handful
     require(nS > 0, "TrustRank needs at least one seed")
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .join(seedSet.withColumn("_t", round(lit(1.0 / nS), 12)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("_t"), lit(0.0)).as("t"))
+    // the teleport vector is nonzero ONLY on seeds, so it lives as a
+    // small (|S|-row) frame, not a column on the full node set
+    val seedT = seedSet.withColumn("t", round(lit(1.0 / nS), 12))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
 
-    var ranks = nodes.select(col("id"), col("t").as("pr"))
+    // SPARSE iteration: a node with pr = 0 contributes 0/outdeg = 0
+    // mass, so it can be dropped from the rank frontier entirely —
+    // pr_{k+1} = (1-d)·t + d·mass reconstructs it as 0 whenever it
+    // reappears. Early rounds then join only the seed-reachable
+    // frontier against the edge frame instead of all |V| nodes; on a
+    // real web graph (seeds are a vetted handful, spam farms are far
+    // from every seed) most of the graph never enters the frontier at
+    // all. Worst case (everything reachable) degrades gracefully to
+    // the dense plan minus its zero rows. Values are bit-identical:
+    // the decimal partial sums see the same nonzero terms.
+    var ranks = seedT.select(col("id"), col("t").as("pr"))
     for (_ <- 1 to iterations) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
-      ranks = nodes
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"), col("t"),
-          round(lit(1.0 - damping) * col("t") +
+      ranks = seedT
+        .join(contribs, Seq("id"), "full_outer")
+        .select(col("id"),
+          round(lit(1.0 - damping) * coalesce(col("t"), lit(0.0)) +
             lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
-        .select(col("id"), col("t"), col("pr"))
+        .filter(col("pr") =!= 0.0)
     }
+    // the full node universe is only needed once, for the final
+    // zero-fill of never-reached nodes
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
     // eager checkpoint + helper-cache release: same no-leak contract
     // as [[run]]
-    val out = ranks.select(col("id"), col("pr").as("trust")).localCheckpoint()
-    eDeg.unpersist(); nodes.unpersist()
+    val out = nodes
+      .join(ranks, Seq("id"), "left")
+      .select(col("id"), coalesce(col("pr"), lit(0.0)).as("trust"))
+      .localCheckpoint()
+    eDeg.unpersist(); seedT.unpersist()
     out
   }
 
@@ -144,7 +218,12 @@ object PageRank {
     // below 1 iteration the auth frame is never built — fail loudly
     // instead of a downstream NullPointerException
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // partition the cached edge frame on src: the (src,dst) clustering
+    // distinct needs is satisfied, and every hub-side join then reads
+    // the cache in place (the auth-side join still exchanges e — one
+    // exchange per iteration instead of two)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()

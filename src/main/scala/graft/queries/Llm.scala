@@ -35,12 +35,17 @@ object Llm {
   // transitive tournament ordered by a portable quality mix, with the
   // edge between the two lowest response ids FLIPPED in every 5th
   // group (ties break to the lower doc_id — `a` in the pair join).
+  // prompt count scales with the corpus (fixed ~20-row groups, more
+  // prompts as docs grow) — real preference data grows PROMPTS, not
+  // per-prompt judgment lists, so the audits stay linear at 100×
   private val duckPrefs =
-    """sc as (select doc_id, doc_id % 25 as p,
-      |          (doc_id * 2654435761 + 7) % 1048576 as q,
-      |          row_number() over (partition by doc_id % 25
-      |                             order by doc_id) as rk
-      |        from documents),
+    """sc as (select doc_id, p, q,
+      |          row_number() over (partition by p order by doc_id) as rk
+      |        from (select doc_id,
+      |                doc_id % greatest(25,
+      |                  (select count(*) from documents) // 20) as p,
+      |                (doc_id * 2654435761 + 7) % 1048576 as q
+      |              from documents)),
       |pr as (select a.p,
       |         case when a.p % 5 = 0 and a.rk = 1 and b.rk = 2
       |           then case when a.q >= b.q then b.doc_id else a.doc_id end
@@ -56,11 +61,15 @@ object Llm {
     * judgments for the l117/l118 preference audits.
     */
   def plantedPrefs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // one bounded scalar action: the prompt count mirrors duckPrefs'
+    // greatest(25, count(*)//20) so group size stays ~20 at any SF
+    val nPrompts = math.max(25L, docs.count() / 20L)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id") % 25).orderBy(col("doc_id"))
-    val sc = docs.select(col("doc_id"), (col("doc_id") % 25).as("p"),
-      ((col("doc_id") * lit(2654435761L) + 7) % 1048576).as("q"),
-      row_number().over(w).as("rk"))
+      .partitionBy(col("p")).orderBy(col("doc_id"))
+    val sc = docs.select(col("doc_id"),
+        (col("doc_id") % nPrompts).as("p"),
+        ((col("doc_id") * lit(2654435761L) + 7) % 1048576).as("q"))
+      .withColumn("rk", row_number().over(w))
     val a = sc.select(col("p"), col("doc_id").as("ida"),
       col("q").as("qa"), col("rk").as("rka"))
     val b = sc.select(col("p"), col("doc_id").as("idb"),

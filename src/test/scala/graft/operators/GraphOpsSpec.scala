@@ -110,6 +110,60 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("PageRank redistributeDangling conserves mass WITH sinks present") {
+    // node 9 is a pure sink (no out-edges): the default variant leaks
+    // its mass each round; the stochastic-matrix flag must keep Σpr=1
+    val edges = (0L until 9L).map(i => (i, i + 1)) :+ (3L, 9L)
+    val df = edges.toDF("src", "dst")
+    val dropped = PageRank.run(df, "src", "dst", iterations = 5)
+      .agg(sum("pr")).as[Double].head()
+    assert(dropped < 1.0 - 1e-3, s"sink graph should leak mass, got $dropped")
+    val conserved = PageRank.run(df, "src", "dst", iterations = 5,
+        redistributeDangling = true)
+      .agg(sum("pr")).as[Double].head()
+    assert(math.abs(conserved - 1.0) < 1e-6, s"got $conserved")
+  }
+
+  test("PageRank redistributeDangling matches a driver-side stochastic walk") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 1L))
+    val d = 0.85
+    val got = PageRank.run(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 4, damping = d, redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    // reference walk: node 4 is dangling, its mass spreads uniformly
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = nodes.size
+    def rnd(x: Double) = math.rint(x * 1e12) / 1e12
+    var pr = nodes.map(_ -> rnd(1.0 / n)).toMap
+    for (_ <- 1 to 4) {
+      val dangling = nodes.filterNot(out.contains).map(pr).sum
+      val mass = edges.groupBy(_._2).view.mapValues(es =>
+        es.map(e => pr(e._1) / out(e._1).size).sum).toMap
+      pr = nodes.map(v => v -> rnd((1 - d) / n +
+        d * (mass.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - pr(id)) < 1e-9, s"node $id: $v vs ${pr(id)}")
+    }
+  }
+
+  test("personalized (TrustRank) zero-fills unreachable nodes and seeds sum right") {
+    // 0 -> 1 -> 2, isolated pair 10 -> 11; seed = 0. Nodes 10/11 are
+    // unreachable from the seed: trust exactly 0.0, still in output.
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = PageRank.personalized(edges, seeds, "src", "dst", "id",
+        iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 10L, 11L))
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+    assert(got(0L) > got(1L) && got(1L) > got(2L)) // decays with distance
+    // nothing links back to the seed: it keeps exactly its teleport share
+    assert(math.abs(got(0L) - 0.15) < 1e-9)
+  }
+
   test("PageRank ranks a hub above leaf nodes") {
     // star: everyone links node 0; node 0 links node 1
     val edges = (1L until 20L).map(i => (i, 0L)) :+ (0L, 1L)
