@@ -102,6 +102,40 @@ object StreamingBridge {
       }
   }
 
+  /** The NATIVE `session_window` twin of [[sessionize]] — the same
+    * gap-based session semantics expressed through Spark's built-in
+    * session window (dynamic gap merging happens inside the streaming
+    * aggregation's state store instead of custom
+    * `flatMapGroupsWithState` state). Append mode emits a session only
+    * once the watermark passes its end, so every emitted row is final
+    * — the same no-fragments contract [[sessionize]] implements by
+    * hand.
+    *
+    * Output differs from [[sessionize]] in one documented way: the
+    * native window's `session_end` is last-event-time + gap (the
+    * window bound), where [[sessionize]] reports the last event time
+    * itself; `last_event` (= session_end − gap) is projected out so
+    * the two shapes reconcile exactly.
+    *
+    * Scale: state is one (start, end, count) per open session per
+    * user in the state store, merged by the operator; no custom
+    * per-key buffers, and the aggregation is partial-merge capable.
+    */
+  def sessionizeNative(events: DataFrame, tsCol: String, userCol: String,
+      gapMinutes: Int = 30, watermark: String = "2 hours"): DataFrame =
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("_ts"))
+      .withWatermark("_ts", watermark)
+      .groupBy(session_window(col("_ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") -
+          expr(s"interval $gapMinutes minutes")).as("last_event"),
+        col("n_events"))
+
   /** Merge open-session intervals with a batch of event times into
     * gap-separated sessions: everything sorts by interval start, and
     * consecutive intervals merge while the start-to-end gap is within

@@ -74,6 +74,48 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(got.exceptAll(expected.select(got.columns.map(col): _*)).count() == 0)
   }
 
+  test("native session_window drain equals the batch gap sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val root = tmpDir("stream-sess-native")
+    val cat = new Catalog(root)
+    val events = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val src = new TableHandle(spark, cat, "events_src")
+    src.append(events); src.flush()
+
+    val sessions = StreamingBridge.sessionizeNative(
+      StreamingBridge.readStream(spark, cat, "events_src"),
+      tsCol = "ts", userCol = "user_id", gapMinutes = 30)
+    StreamingBridge.drainTo(spark, cat, sessions, "sessions_native", root)
+    val got = new TableHandle(spark, cat, "sessions_native").read
+      .select("user_id", "session_start", "last_event", "n_events")
+
+    // batch oracle: the q16b-shape gap sessionization (same as the
+    // flatMapGroupsWithState twin's oracle — both variants must agree
+    // with it and therefore with each other)
+    val w = Window.partitionBy("u").orderBy("ts")
+    val batch = events
+      .select(col("user_id").cast("long").as("u"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(w))
+      .groupBy("u", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("last_event"),
+        count(lit(1)).as("n_events"))
+    val all = batch.select(col("u").as("user_id"),
+      col("session_start"), col("last_event"), col("n_events"))
+    // append mode emits exactly the watermark-finalized sessions:
+    // native finalization is watermark >= window end = last_event + gap
+    val maxTsMs = events.agg(max("ts")).head().getTimestamp(0).getTime
+    val wmUs = (maxTsMs - 2L * 3600 * 1000) * 1000L
+    val expected = all.filter(
+      unix_micros(col("last_event")) + 30L * 60 * 1000000 <= wmUs)
+    assert(expected.count() > 0)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).count() == 0)
+  }
+
   test("sessionize state merges sessions across micro-batches (no fragments)") {
     import org.apache.spark.sql.expressions.Window
     val dataDir = tmpDir("sess-batches")
