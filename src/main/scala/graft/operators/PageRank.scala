@@ -97,8 +97,10 @@ object PageRank {
 
     // stochastic-matrix variant: ranks_k is referenced twice per round
     // (dangling total + contributions), so persist it and cut lineage
-    // the same way [[hits]] does — the cut is backed by the cache just
-    // materialized, costing nothing extra
+    // the same way [[hits]] does; the dangling total stays IN-PLAN as
+    // a broadcast 1-row frame (as in [[hits]]' normalization), so the
+    // whole recursion executes as one submitted job with no blocking
+    // per-iteration driver actions
     val spark = edges.sparkSession
     val dangling = nodes.join(deg.select(col("src").as("id")), Seq("id"),
       "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
@@ -107,9 +109,9 @@ object PageRank {
     for (_ <- 1 to iterations) {
       val r = ranks.persist(StorageLevel.MEMORY_AND_DISK)
       cached += r
-      val mDangling = r.join(dangling, "id")
-        .agg(sum(col("pr").cast("decimal(28,18)")).cast("double"))
-        .head().getDouble(0)
+      val dm = r.join(dangling, "id")
+        .agg((coalesce(sum(col("pr").cast("decimal(28,18)")), lit(0))
+          .cast("double") / n).as("_dm"))
       val rCut = spark.createDataFrame(r.rdd, r.schema)
       val contribs = eDeg
         .join(rCut.withColumnRenamed("id", "src"), "src")
@@ -117,10 +119,11 @@ object PageRank {
         .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"),
           round(lit(teleport) +
-            lit(damping) * (coalesce(col("mass"), lit(0.0)) +
-              lit(mDangling / n)), 12).as("pr"))
+            lit(damping) * (coalesce(col("mass"), lit(0.0)) + col("_dm")),
+            12).as("pr"))
     }
     val out = ranks.localCheckpoint()
     cached.foreach(_.unpersist())
@@ -240,21 +243,25 @@ object PageRank {
     def normalized(scores: DataFrame, valCol: String): DataFrame = {
       val s = scores.persist(StorageLevel.MEMORY_AND_DISK)
       cached += s
-      // the total is ONE double per half-iteration — the same driver
-      // minimum as ConnectedComponents' changed-count; folding it back
-      // as a literal (instead of a broadcast cross join) keeps each
-      // half's plan a single cached-scan projection, and the lineage
-      // cut stops the halves from stacking into one deep plan
-      val total = s.agg(sum(col(valCol).cast("decimal(28,18)")).cast("double"))
-        .head().getDouble(0)
-      val n = s.select(col("id"), round(col(valCol) / lit(total), 12).as(valCol))
+      // the normalization total is ONE row — keep it IN-PLAN as a
+      // broadcast cross join against the cached half rather than a
+      // driver head(): the whole 4-iteration recursion then executes
+      // as one submitted job (8 fewer blocking driver round-trips);
+      // the broadcast subplans materialize each half's cache in
+      // dependency order, and the division arithmetic is identical to
+      // the folded-literal form (same decimal sum, same 12-dp round)
+      val total = s.agg(
+        sum(col(valCol).cast("decimal(28,18)")).cast("double").as("_tot"))
+      val n = s.crossJoin(broadcast(total))
+        .select(col("id"), round(col(valCol) / col("_tot"), 12).as(valCol))
       // lineage cut via a fresh LogicalRDD over the PERSISTED frame —
       // deliberately NOT localCheckpoint here: the RDD is backed by
-      // the cache entry `s` just materialized, so the cut is free,
-      // while an eager checkpoint would write a SECOND copy of every
-      // half-iteration's scores. (The final result below does use
-      // localCheckpoint — there the extra copy is the output itself
-      // and it lets every intermediate cache be released.)
+      // the cache entry `s` (materialized by the first subplan that
+      // reads it), so the cut is free, while an eager checkpoint would
+      // write a SECOND copy of every half-iteration's scores. (The
+      // final result below does use localCheckpoint — there the extra
+      // copy is the output itself and it lets every intermediate cache
+      // be released.)
       spark.createDataFrame(n.rdd, n.schema)
     }
     var hubs = nodes.withColumn("h", lit(1.0))
