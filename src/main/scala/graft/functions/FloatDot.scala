@@ -82,3 +82,84 @@ object FloatDot {
       GraftShim.toExpression(spark, a), GraftShim.toExpression(spark, b)))
   }
 }
+
+/** Codegen'd squared Euclidean distance Σ(aᵢ−bᵢ)² over numeric array
+  * columns — the elementwise-fold sibling of [[FloatDot]], with the
+  * SAME left-to-right accumulation order as the interpreted
+  * `aggregate(zip_with(a, b, (p,q) => (p−q)²))` formulation it
+  * replaces, so results are bit-identical while the evaluation joins
+  * whole-stage codegen. (Expanding into dot(a,a) − 2·dot(a,b) +
+  * dot(b,b) would be faster still but changes the floating-point
+  * rounding — not worth breaking the determinism contract.)
+  */
+case class FloatSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sqdist needs array<float|double> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, ta, i) - get(b, tb, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType, arr: String, i: String): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(elemType(left).get, a, i)} - ${getter(elemType(right).get, b, i)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatSqDist {
+  def sqDist(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftShim.toColumn(FloatSqDist(
+      GraftShim.toExpression(spark, a), GraftShim.toExpression(spark, b)))
+  }
+}

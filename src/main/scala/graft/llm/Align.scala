@@ -206,9 +206,10 @@ object Align {
     val clean = paired.filter(size(col("x")) === d)
     val mFlat = fitRow.get.getSeq[Double](2)
     val w = procrustesW(mFlat, d)
+    // codegen'd elementwise fold — bit-identical to the interpreted
+    // aggregate(zip_with(...)) formulation (same accumulation order)
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
-        lit(0.0), (acc, e) => acc + e)
+      graft.functions.FloatSqDist.sqDist(a, b)
     // the report is a handful of label rows: materialize it eagerly so
     // the pair cache can be released before return (no-leak contract)
     val out = clean

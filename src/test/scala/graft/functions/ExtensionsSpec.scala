@@ -12,6 +12,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.length == 13)
   }
 
+  test("graft_sqdist equals the interpreted HOF fold bit-for-bit") {
+    graft.GraftExtensions.register(spark)
+    val emb = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(200)
+    // pair each vector with a shifted copy of itself
+    val pairs = emb.select(col("vec_id"),
+      col("embedding").as("a"),
+      transform(col("embedding"), x => x * 2.0f + 1.0f).as("b"))
+    val mismatch = pairs.select(
+        FloatSqDist.sqDist(col("a"), col("b")).as("cg"),
+        aggregate(zip_with(col("a"), col("b"),
+          (p, q) => (p.cast("double") - q.cast("double")) *
+            (p.cast("double") - q.cast("double"))),
+          lit(0.0), (acc, e) => acc + e).as("hof"))
+      .filter(col("cg") =!= col("hof")).count()
+    assert(mismatch == 0)
+    // SQL registration path, identity distance is exactly 0
+    pairs.createOrReplaceTempView("sqdist_ext")
+    val z = spark.sql("select graft_sqdist(a, a) as d from sqdist_ext")
+      .agg(max("d")).head().getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("vector_avg UDAF from SQL and Column API agree") {
     graft.GraftExtensions.register(spark)
     val emb = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")
