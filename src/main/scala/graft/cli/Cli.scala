@@ -52,9 +52,9 @@ object Cli {
   // Values are interpolated into hand-built JSON: escape the two
   // characters that would corrupt it (a title containing `"` must
   // round-trip through meta.json intact).
-  private def jsonEsc(s: String): String =
+  private[graft] def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def jsonUnesc(s: String): String =
+  private[graft] def jsonUnesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
   // String value token tolerant of \" and \\ inside the quotes.
   private val JsonStr = raw""""((?:[^"\\]|\\.)*)""""

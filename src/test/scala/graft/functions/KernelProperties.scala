@@ -29,6 +29,26 @@ object KernelProperties extends Properties("graft.functions.kernels") {
     lead <- Gen.oneOf("", " ", "\t")
   } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
 
+  // arbitrary strings heavy in quotes/backslashes — the characters the
+  // CLI's hand-built JSON must escape
+  private val nastyGen: Gen[String] =
+    Gen.listOfN(16, Gen.oneOf("\"", "\\", "\\\"", "\\\\", "a", "b ",
+      "{", "}", ":", ",", "καί", "")).map(_.mkString)
+
+  property("Cli jsonEsc/jsonUnesc round-trips arbitrary quote/backslash soup") =
+    forAll(nastyGen) { s =>
+      graft.cli.Cli.jsonUnesc(graft.cli.Cli.jsonEsc(s)) == s
+    }
+
+  property("Cli jsonEsc output never contains an unescaped quote") =
+    forAll(nastyGen) { s =>
+      // every " in the escaped form is preceded by an odd run of \
+      val e = graft.cli.Cli.jsonEsc(s)
+      e.zipWithIndex.forall { case (c, i) =>
+        c != '"' || (i - e.lastIndexWhere(_ != '\\', i - 1)) % 2 == 0
+      }
+    }
+
   property("stopword kernel == the HOF formulation it replaced (both semantics)") =
     forAll(Gen.listOfN(5, textGen)) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
