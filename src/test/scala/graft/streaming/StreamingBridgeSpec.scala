@@ -184,6 +184,64 @@ class StreamingBridgeSpec extends SparkSpec {
     assert(got.exceptAll(expected.select(got.columns.map(col): _*)).count() == 0)
   }
 
+  test("native session_window merges sessions across micro-batches (no fragments)") {
+    import org.apache.spark.sql.expressions.Window
+    val dataDir = tmpDir("sess-native-batches")
+    val events = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "user_id")
+    // same split-inside-a-session setup as the custom-state twin: the
+    // state store must merge the partial session across the two files
+    val wPick = Window.partitionBy("u").orderBy("ts")
+    val median = events
+      .select(col("user_id").cast("long").as("u"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(wPick))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(wPick))
+      .groupBy("u", "sid")
+      .agg(min("ts").cast("double").as("s"), max("ts").cast("double").as("e"),
+        count(lit(1)).as("n"))
+      .filter(col("e") > col("s"))
+      .orderBy(col("n").desc, col("u"))
+      .select("s").head().getDouble(0)
+    events.filter(col("ts").cast("double") <= median)
+      .coalesce(1).write.parquet(s"$dataDir/p1")
+    Thread.sleep(1100)
+    events.filter(col("ts").cast("double") > median)
+      .coalesce(1).write.parquet(s"$dataDir/p2")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(s"$dataDir/p*")
+    val root = tmpDir("sess-native-batches-out")
+    val cat = new Catalog(root)
+    val sessions = StreamingBridge.sessionizeNative(
+      stream, "ts", "user_id", gapMinutes = 30)
+    StreamingBridge.drainTo(spark, cat, sessions, "sessions_native", root)
+    val got = new TableHandle(spark, cat, "sessions_native").read
+      .select("user_id", "session_start", "last_event", "n_events")
+
+    val w = Window.partitionBy("u").orderBy("ts")
+    val all = events
+      .select(col("user_id").cast("long").as("u"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(w))
+      .groupBy("u", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("last_event"),
+        count(lit(1)).as("n_events"))
+      .select(col("u").as("user_id"),
+        col("session_start"), col("last_event"), col("n_events"))
+    val maxTsMs = events.agg(max("ts")).head().getTimestamp(0).getTime
+    val wmUs = (maxTsMs - 2L * 3600 * 1000) * 1000L
+    val expected = all.filter(
+      unix_micros(col("last_event")) + 30L * 60 * 1000000 <= wmUs)
+    assert(got.count() > 0)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected.select(got.columns.map(col): _*)).count() == 0)
+  }
+
   test("mergeIntervals: out-of-order and late events keep session bounds honest") {
     val gap = 100L
     // late event within gap BEFORE an open session extends it backwards
