@@ -173,6 +173,7 @@ object Align {
       .filter(col("x").isNotNull && col("y").isNotNull &&
         size(col("x")) === size(col("y")) && size(col("x")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // mixed dimensionalities across rows would misalign the flattened
     // buffer (or throw in merge); fit on the MAJORITY dim (ties break
     // to the larger dim), not whatever row head() happens to return —
@@ -188,7 +189,6 @@ object Align {
       .head(1).headOption
     val dOpt = fitRow.map(_.getInt(0))
     if (dOpt.isEmpty) {
-      paired.unpersist()
       val sp = oldV.sparkSession
       return sp.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -211,8 +211,9 @@ object Align {
     def sqDist(a: Column, b: Column): Column =
       graft.functions.FloatSqDist.sqDist(a, b)
     // the report is a handful of label rows: materialize it eagerly so
-    // the pair cache can be released before return (no-leak contract)
-    val out = clean
+    // the pair cache can be released (exception-safely) before return
+    // — the no-leak contract
+    clean
       .withColumn("xa", rotate(col("x").cast("array<double>"), w))
       .groupBy(labelCol)
       .agg(count(lit(1)).as("n"),
@@ -221,7 +222,6 @@ object Align {
         round(avg(sqDist(col("xa"), col("y").cast("array<double>"))), 6)
           .as("resid_aligned"))
       .localCheckpoint()
-    paired.unpersist()
-    out
+    } finally paired.unpersist()
   }
 }

@@ -75,60 +75,61 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // one bounded scalar; also materializes the caches
-    val teleport = (1.0 - damping) / n
+    // every helper cache registers here and is released in the finally
+    // below — the no-leak contract must hold even when an action throws
+    // mid-computation (executor OOM, cancelled job) in a long session
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](eDeg, nodes)
+    try {
+      val n = nodes.count() // one bounded scalar; also materializes the caches
+      val teleport = (1.0 - damping) / n
 
-    if (!redistributeDangling) {
+      if (!redistributeDangling) {
+        var ranks = nodes.withColumn("pr", round(lit(1.0 / n), 12))
+        for (_ <- 1 to iterations) {
+          val contribs = eDeg
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
+          ranks = nodes
+            .join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              round(lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
+        }
+        return ranks.localCheckpoint() // eager: one pass over the unrolled plan
+      }
+
+      // stochastic-matrix variant: ranks_k is referenced twice per round
+      // (dangling total + contributions), so persist it and cut lineage
+      // the same way [[hits]] does; the dangling total stays IN-PLAN as
+      // a broadcast 1-row frame (as in [[hits]]' normalization), so the
+      // whole recursion executes as one submitted job with no blocking
+      // per-iteration driver actions
+      val spark = edges.sparkSession
+      val dangling = nodes.join(deg.select(col("src").as("id")), Seq("id"),
+        "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+      cached += dangling
       var ranks = nodes.withColumn("pr", round(lit(1.0 / n), 12))
       for (_ <- 1 to iterations) {
+        val r = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        cached += r
+        val dm = r.join(dangling, "id")
+          .agg((coalesce(sum(col("pr").cast("decimal(28,18)")), lit(0))
+            .cast("double") / n).as("_dm"))
+        val rCut = spark.createDataFrame(r.rdd, r.schema)
         val contribs = eDeg
-          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .join(rCut.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
         ranks = nodes
           .join(contribs, Seq("id"), "left")
+          .crossJoin(broadcast(dm))
           .select(col("id"),
-            round(lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
+            round(lit(teleport) +
+              lit(damping) * (coalesce(col("mass"), lit(0.0)) + col("_dm")),
+              12).as("pr"))
       }
-      val out = ranks.localCheckpoint() // eager: one pass over the unrolled plan
-      eDeg.unpersist(); nodes.unpersist()
-      return out
-    }
-
-    // stochastic-matrix variant: ranks_k is referenced twice per round
-    // (dangling total + contributions), so persist it and cut lineage
-    // the same way [[hits]] does; the dangling total stays IN-PLAN as
-    // a broadcast 1-row frame (as in [[hits]]' normalization), so the
-    // whole recursion executes as one submitted job with no blocking
-    // per-iteration driver actions
-    val spark = edges.sparkSession
-    val dangling = nodes.join(deg.select(col("src").as("id")), Seq("id"),
-      "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var ranks = nodes.withColumn("pr", round(lit(1.0 / n), 12))
-    for (_ <- 1 to iterations) {
-      val r = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-      cached += r
-      val dm = r.join(dangling, "id")
-        .agg((coalesce(sum(col("pr").cast("decimal(28,18)")), lit(0))
-          .cast("double") / n).as("_dm"))
-      val rCut = spark.createDataFrame(r.rdd, r.schema)
-      val contribs = eDeg
-        .join(rCut.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
-      ranks = nodes
-        .join(contribs, Seq("id"), "left")
-        .crossJoin(broadcast(dm))
-        .select(col("id"),
-          round(lit(teleport) +
-            lit(damping) * (coalesce(col("mass"), lit(0.0)) + col("_dm")),
-            12).as("pr"))
-    }
-    val out = ranks.localCheckpoint()
-    cached.foreach(_.unpersist())
-    eDeg.unpersist(); nodes.unpersist(); dangling.unpersist()
-    out
+      ranks.localCheckpoint()
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina &
@@ -156,6 +157,7 @@ object PageRank {
       .repartition(col("src")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    try {
     val seedSet = seeds.select(col(seedCol).as("id")).distinct()
     val nS = seedSet.count() // bounded: seeds are a vetted handful
     require(nS > 0, "TrustRank needs at least one seed")
@@ -163,6 +165,7 @@ object PageRank {
     // small (|S|-row) frame, not a column on the full node set
     val seedT = seedSet.withColumn("t", round(lit(1.0 / nS), 12))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // SPARSE iteration: a node with pr = 0 contributes 0/outdeg = 0
     // mass, so it can be dropped from the rank frontier entirely —
@@ -191,14 +194,14 @@ object PageRank {
     // zero-fill of never-reached nodes
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    // eager checkpoint + helper-cache release: same no-leak contract
-    // as [[run]]
-    val out = nodes
+    // eager checkpoint + exception-safe helper-cache release: same
+    // no-leak contract as [[run]]
+    nodes
       .join(ranks, Seq("id"), "left")
       .select(col("id"), coalesce(col("pr"), lit(0.0)).as("trust"))
       .localCheckpoint()
-    eDeg.unpersist(); seedT.unpersist()
-    out
+    } finally seedT.unpersist()
+    } finally eDeg.unpersist()
   }
 
   /** HITS hubs & authorities (Kleinberg 1999): the complementary
@@ -231,6 +234,8 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e, nodes)
+    try {
     nodes.count()
 
     // each half-iteration is PERSISTED before use: its frame is read
@@ -239,7 +244,6 @@ object PageRank {
     // plans replay the whole upstream recursion per reference
     // (measured 18 s vs 1 s at sf0.1 for 2 iterations)
     val spark = edges.sparkSession
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def normalized(scores: DataFrame, valCol: String): DataFrame = {
       val s = scores.persist(StorageLevel.MEMORY_AND_DISK)
       cached += s
@@ -282,12 +286,11 @@ object PageRank {
     }
     // eager checkpoint (not CacheManager persist: those entries are
     // never auto-dropped and leaked across calls), then release every
-    // per-iteration cache — the no-leak contract shared with [[run]]
-    val out = nodes.join(hubs, "id").join(auths, "id")
+    // per-iteration cache exception-safely — the no-leak contract
+    // shared with [[run]]
+    nodes.join(hubs, "id").join(auths, "id")
       .select(col("id"), col("h").as("hub"), col("a").as("authority"))
       .localCheckpoint()
-    cached.foreach(_.unpersist())
-    e.unpersist(); nodes.unpersist()
-    out
+    } finally cached.foreach(_.unpersist())
   }
 }
