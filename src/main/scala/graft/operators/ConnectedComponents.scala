@@ -41,13 +41,23 @@ object ConnectedComponents {
     */
   def run(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
+    // every persisted helper registers in `live` so an exception
+    // mid-iteration (executor OOM, cancelled job) releases them all —
+    // the output frame is removed from the set before return because
+    // the CALLER owns that unpersist
+    val live = scala.collection.mutable.Set.empty[DataFrame]
+    def persisted(f: DataFrame): DataFrame = {
+      f.persist(StorageLevel.MEMORY_AND_DISK); live += f; f
+    }
+    def release(f: DataFrame): Unit = { f.unpersist(); live -= f }
+    try {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // iterated over every round
-    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = persisted(
+      fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
+        .distinct()) // iterated over every round
+    var labels: DataFrame = persisted(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var backing = labels // the cached frame behind `labels`
     // the previous round's propagate cache: released only after the
     // NEXT round's action has materialized the jump built on top of it
@@ -71,19 +81,19 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("component"),
           lit(null).cast(idType).as("prev"))
       val obs = Observation(s"cc_changed_r$round")
-      val propagated = labels.select(col("id"), col("component"), col("component").as("prev"))
-        .union(viaNeighbors)
-        .groupBy("id")
-        .agg(min("component").as("component"), min("prev").as("prev"))
-        .observe(obs, sum(when(col("component") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
-        .select("id", "component")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val propagated = persisted(
+        labels.select(col("id"), col("component"), col("component").as("prev"))
+          .union(viaNeighbors)
+          .groupBy("id")
+          .agg(min("component").as("component"), min("prev").as("prev"))
+          .observe(obs, sum(when(col("component") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+          .select("id", "component"))
       propagated.count() // materialize; metric lands during this one action
       val changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Number].longValue)
       // this count also forced the PREVIOUS round's jump (labels'
       // backing), so the frames it read from are now dead
-      if (prevPropagated != null) prevPropagated.unpersist()
-      backing.unpersist()
+      if (prevPropagated != null) release(prevPropagated)
+      release(backing)
       converged = changed == 0
       if (converged) {
         backing = propagated // already component-constant; no jump needed
@@ -91,12 +101,11 @@ object ConnectedComponents {
         // pointer jump: follow the label one hop
         // (label(v) := label(label(v))) — both sides read the cached
         // propagate result
-        val jumped = propagated.alias("x")
+        val jumped = persisted(propagated.alias("x")
           .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")).alias("y"),
             col("x.component") === col("y.pid"), "left")
           .select(col("x.id").as("id"),
-            coalesce(col("y.pcomp"), col("x.component")).as("component"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+            coalesce(col("y.pcomp"), col("x.component")).as("component")))
         // CUT THE LINEAGE: the jump self-join doubles the logical plan
         // every round (exponential analysis cost / OOM past ~8 rounds —
         // the classic iterative-Spark leak); a fresh LogicalRDD over the
@@ -116,12 +125,16 @@ object ConnectedComponents {
     }
     if (!converged) {
       backing.count() // maxIter exit: materialize the dangling jump
-      if (prevPropagated != null) prevPropagated.unpersist()
+      if (prevPropagated != null) release(prevPropagated)
     }
-    edges.unpersist()
+    release(edges)
     System.err.println(s"[graft] connectedComponents: $round rounds" +
       (if (converged) "" else s" (maxIter=$maxIter hit before fixpoint)"))
+    live -= backing // ownership transfers to the caller
     backing // the persisted frame — caller owns the unpersist
+    } catch {
+      case t: Throwable => live.foreach(_.unpersist()); throw t
+    }
   }
 
   /** Collapse components to survivors: keep the min-id row per
@@ -134,12 +147,17 @@ object ConnectedComponents {
   def collapse(df: DataFrame, pairs: DataFrame, aCol: String, bCol: String,
       idCol: String): DataFrame = {
     val clusters = run(pairs, aCol, bCol)
-    val losers = clusters.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    losers.count()
-    clusters.unpersist()
-    df.join(losers, Seq(idCol), "left_anti")
+    try {
+      // eager localCheckpoint, not persist: the loser set rides the
+      // returned plan indefinitely, and RDD-level storage is dropped by
+      // the ContextCleaner once the result is unreferenced, while a
+      // CacheManager persist entry would outlive it (the leak class
+      // this module documents)
+      val losers = clusters.filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol))
+        .localCheckpoint()
+      df.join(losers, Seq(idCol), "left_anti")
+    } finally clusters.unpersist()
   }
 
   /** Quality-aware collapse: keep the BEST row per component by
@@ -159,11 +177,11 @@ object ConnectedComponents {
   def collapseBest(df: DataFrame, pairs: DataFrame, aCol: String,
       bCol: String, idCol: String, score: Column): DataFrame = {
     val clusters = run(pairs, aCol, bCol)
-    val losers = bestLosers(df, clusters, idCol, score)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    losers.count()
-    clusters.unpersist()
-    df.join(losers, Seq(idCol), "left_anti")
+    try {
+      // same eager-checkpoint loser set as [[collapse]]
+      val losers = bestLosers(df, clusters, idCol, score).localCheckpoint()
+      df.join(losers, Seq(idCol), "left_anti")
+    } finally clusters.unpersist()
   }
 
   /** [[collapse]] over an ALREADY-COMPUTED clusters frame ([[run]]'s

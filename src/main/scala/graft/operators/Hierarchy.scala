@@ -45,12 +45,19 @@ object Hierarchy {
   def rootClosure(nodes: DataFrame, idCol: String, parentCol: String,
       maxIter: Int = 20): DataFrame = {
     val spark = nodes.sparkSession
+    // persisted helpers register in `live` so an exception mid-round
+    // releases them (the returned frame is removed before return — the
+    // caller owns that unpersist)
+    val live = scala.collection.mutable.Set.empty[DataFrame]
+    def persisted(f: DataFrame): DataFrame = {
+      f.persist(StorageLevel.MEMORY_AND_DISK); live += f; f
+    }
+    try {
     // roots point at themselves at depth 0: the doubling fixpoint
-    var labels = nodes.select(
+    var labels = persisted(nodes.select(
         col(idCol).as("id"),
         coalesce(col(parentCol), col(idCol)).as("anc"),
-        when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        when(col(parentCol).isNull, 0L).otherwise(1L).as("depth")))
     var backing = labels
     var round = 0
     var converged = false
@@ -70,10 +77,10 @@ object Hierarchy {
           (coalesce(col("adepth"), lit(0L)) > 0L).as("moved"))
         .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("changed"))
         .select("id", "anc", "depth")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted(jumped)
       jumped.count() // materialize; the metric lands during this action
       val changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Number].longValue)
-      backing.unpersist()
+      backing.unpersist(); live -= backing
       // lineage cut: fresh LogicalRDD over the cached partitions keeps
       // the per-round plan O(1) instead of doubling per round
       labels = spark.createDataFrame(jumped.rdd, jumped.schema)
@@ -83,6 +90,10 @@ object Hierarchy {
     }
     System.err.println(s"[graft] rootClosure: $round rounds" +
       (if (converged) "" else s" (maxIter=$maxIter hit before fixpoint — cycle?)"))
+    live -= backing // ownership transfers to the caller
     backing.select(col("id"), col("anc").as("root"), col("depth"))
+    } catch {
+      case t: Throwable => live.foreach(_.unpersist()); throw t
+    }
   }
 }
