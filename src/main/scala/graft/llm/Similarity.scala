@@ -170,11 +170,7 @@ object Similarity {
     // call in a long-lived session; the checkpoint's RDD blocks are
     // dropped by the ContextCleaner once the result is unreferenced
     if (!cleanup) mined
-    else {
-      val out = mined.localCheckpoint()
-      pairs.unpersist()
-      out
-    }
+    else try mined.localCheckpoint() finally pairs.unpersist()
   }
 
   /** Cluster-balanced (diversity) sampling — the D4/SemDeDup-family
@@ -806,12 +802,16 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b")
     val clusters = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
-    val losers = clusters.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count()
-    clusters.unpersist()
-    emb.join(losers, Seq(idCol), "left_anti")
+    try {
+      // eager checkpoint, not persist: the loser set rides the returned
+      // plan and RDD storage is ContextCleaner-dropped once the result
+      // is unreferenced (a CacheManager entry would leak); the finally
+      // releases the labeling even if the checkpoint action throws
+      val losers = clusters.filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol))
+        .localCheckpoint()
+      emb.join(losers, Seq(idCol), "left_anti")
+    } finally clusters.unpersist()
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage
