@@ -13,6 +13,21 @@ object GraftShim {
   def toExpression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 
+  /** True when the session's CacheManager holds no `persist()` entries
+    * (localCheckpoint RDD blocks are NOT tracked here — the
+    * ContextCleaner manages those). The iterative operators' no-leak
+    * contract is "the manager is as empty after the call as before";
+    * CacheLeakSpec pins it.
+    */
+  def cacheManagerEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
+  /** Drop every CacheManager entry (test isolation helper). */
+  def clearAllCache(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.clearCache()
+
   /** Register a temp SQL function backed by a raw Catalyst expression
     * builder on an already-running session (the extensions path covers
     * new sessions; this covers `SparkSession.active`).
