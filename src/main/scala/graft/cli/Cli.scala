@@ -95,14 +95,19 @@ object Cli {
       latest: Int)
   private def metaPath(org: String, slug: String): Path =
     registryRoot.resolve(org).resolve(slug).resolve("meta.json")
+  /** Flat JSON object (string/bool/int values) → map, tolerant of
+    * escaped quotes/backslashes in string values.
+    */
+  private def readJsonMap(p: Path): Map[String, String] =
+    (JsonStr + raw"""\s*:\s*($JsonStr|true|false|\d+)""").r
+      .findAllMatchIn(Files.readString(p))
+      .map(x => jsonUnesc(x.group(1)) ->
+        Option(x.group(3)).map(jsonUnesc).getOrElse(x.group(2))).toMap
   private def readMeta(org: String, slug: String): Option[Meta] = {
     val p = metaPath(org, slug)
     if (!Files.exists(p)) None
     else {
-      val m = (JsonStr + raw"""\s*:\s*($JsonStr|true|false|\d+)""").r
-        .findAllMatchIn(Files.readString(p))
-        .map(x => jsonUnesc(x.group(1)) ->
-          Option(x.group(3)).map(jsonUnesc).getOrElse(x.group(2))).toMap
+      val m = readJsonMap(p)
       Some(Meta(m.getOrElse("title", slug), m.getOrElse("slug", slug),
         m.getOrElse("public", "false") == "true",
         m.getOrElse("latest", "0").toInt))
@@ -200,10 +205,36 @@ object Cli {
     "-o" -> "organization", "-f" -> "force", "-d" -> "diff",
     "-n" -> "title", "-t" -> "type", "-a" -> "app", "-c" -> "component")
   private val commonValued = Set("organization", "title", "type", "app",
-    "component", "node-id", "name")
+    "component", "node-id", "name", "description")
 
   private def parse(raw: Seq[String]): Args =
     new Args(raw, commonAliases, commonValued)
+
+  // ---------------------------------------------------------------- secrets
+
+  /** `create secret [--sensitive] [--description D] NAME VALUE`
+    * (create.py:209-226) against the local registry: a secret is an
+    * org-scoped `<registry>/<org>/.secrets/<name>.json` record in the
+    * meta.json flat shape. (The reference's `-d` short alias collides
+    * with the global `--diff` flag here; use `--description`.)
+    */
+  private def createSecret(a: Args): Unit = {
+    val org = defaultOrg(a.opt("organization"))
+    val name = a.positional.headOption.getOrElse(abort(
+      "usage: graft create secret [--sensitive] [--description D] NAME VALUE"))
+    val value = a.positional.drop(1).headOption.getOrElse(
+      abort("pass the secret value"))
+    // the name becomes a file name: refuse traversal/separator chars
+    if (!name.matches("[A-Za-z0-9_.-]+") || name == "." || name == "..")
+      abort(s"secret name '$name' must match [A-Za-z0-9_.-]+")
+    val p = registryRoot.resolve(org).resolve(".secrets").resolve(s"$name.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      s"""{"name": "${jsonEsc(name)}", "value": "${jsonEsc(value)}", """ +
+        s""""sensitive": ${a.flag("sensitive")}, """ +
+        s""""description": "${jsonEsc(a.opt("description"))}"}""" + "\n")
+    println(s"Created secret $name")
+  }
 
   // ---------------------------------------------------------------- create
 
@@ -434,8 +465,30 @@ object Cli {
             .map(d => Seq("slug" -> d.getFileName.toString))
         }
       printObjects("organizations", orgs, a.flag("json"))
+    case "secrets" =>
+      // list.py:52-66 — the platform API omits sensitive values from
+      // the listing; mirror that by masking them
+      val org = defaultOrg(a.opt("organization"))
+      val dir = registryRoot.resolve(org).resolve(".secrets")
+      val secrets =
+        if (!Files.isDirectory(dir)) Nil
+        else {
+          val stream = Files.list(dir)
+          val files = try stream.iterator().asScala.toList finally stream.close()
+          files.filter(_.getFileName.toString.endsWith(".json"))
+            .sortBy(_.getFileName.toString).map { f =>
+              val m = readJsonMap(f)
+              val sensitive = m.getOrElse("sensitive", "false") == "true"
+              Seq("name" -> m.getOrElse("name", ""),
+                "value" -> (if (sensitive) "" else m.getOrElse("value", "")),
+                "sensitive" -> sensitive.toString,
+                "description" -> m.getOrElse("description", ""))
+            }
+        }
+      printObjects("secrets", secrets, a.flag("json"))
     case other => abort(
-      s"unknown list type '$other' — expected apps, webhooks, or organizations")
+      s"unknown list type '$other' — expected apps, webhooks, " +
+        "organizations, or secrets")
   }
 
   private def printObjects(name: String, rows: Seq[Seq[(String, String)]],
@@ -576,9 +629,10 @@ object Cli {
        |Commands:
        |  create app [--name NAME] DIRECTORY
        |  create node [--app DIR] [--title T] [--type function|component|webhook|table] LOCATION
+       |  create secret [--sensitive] [--description D] NAME VALUE
        |  upload [--force] [--diff] [--publish-component] [APP]
        |  download [--force] [--diff] [APP] [DIR]
-       |  list apps|webhooks|organizations [--json]
+       |  list apps|webhooks|organizations|secrets [--json]
        |  trigger [--app DIR] [--node-id ID] [NODE_PATH]
        |  delete [--force] APP
        |  update app [--public|--private] [APP]
@@ -597,8 +651,9 @@ object Cli {
           println("graft devkit CLI version 0.1.0"); 0
         case "create" :: "app" :: rest => createApp(parse(rest)); 0
         case "create" :: "node" :: rest => createNode(parse(rest)); 0
+        case "create" :: "secret" :: rest => createSecret(parse(rest)); 0
         case "create" :: _ =>
-          abort("usage: graft create app|node ...")
+          abort("usage: graft create app|node|secret ...")
         case "upload" :: rest => upload(parse(rest)); 0
         case "download" :: rest => download(parse(rest)); 0
         case "list" :: rest => list(parse(rest)); 0

@@ -176,6 +176,37 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("create/list secrets: org scoping, sensitive masking, name validation") {
+    withSandbox { (_, work) =>
+      assert(run("create", "secret", "API_KEY", "sk-12345") == 0)
+      assert(run("create", "secret", "--sensitive",
+        "--description", "db password", "DB_PASS", "hunter2") == 0)
+      assert(run("create", "secret", "-o", "acme", "OTHER", "v") == 0)
+      // traversal-shaped names refuse
+      assert(run("create", "secret", "../evil", "x") == 1)
+      assert(run("create", "secret", "a/b", "x") == 1)
+      def captured(args: String*): String = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          run(args: _*)
+        }
+        buf.toString("UTF-8")
+      }
+      val out = captured("list", "secrets")
+      // non-sensitive value listed; sensitive value masked (list.py
+      // mirrors the platform API omitting sensitive values)
+      assert(out.contains("API_KEY") && out.contains("sk-12345"))
+      assert(out.contains("DB_PASS") && out.contains("db password"))
+      assert(!out.contains("hunter2"))
+      // the default org doesn't see acme's secret, -o does
+      assert(!out.contains("OTHER"))
+      assert(captured("list", "secrets", "-o", "acme").contains("OTHER"))
+      // json shape parses as a flat object per line
+      val js = captured("list", "secrets", "--json")
+      assert(js.linesIterator.count(_.startsWith("{")) == 2)
+    }
+  }
+
   test("app uids are deterministic 8-char base32") {
     withSandbox { (_, work) =>
       val app = work.resolve("uid-app").toString
