@@ -92,7 +92,7 @@ object Cli {
   }
 
   private case class Meta(title: String, slug: String, public: Boolean,
-      latest: Int)
+      latest: Int, deprecated: Boolean = false)
   private def metaPath(org: String, slug: String): Path =
     registryRoot.resolve(org).resolve(slug).resolve("meta.json")
   /** Flat JSON object (string/bool/int values) → map, tolerant of
@@ -110,14 +110,16 @@ object Cli {
       val m = readJsonMap(p)
       Some(Meta(m.getOrElse("title", slug), m.getOrElse("slug", slug),
         m.getOrElse("public", "false") == "true",
-        m.getOrElse("latest", "0").toInt))
+        m.getOrElse("latest", "0").toInt,
+        m.getOrElse("deprecated", "false") == "true"))
     }
   }
   private def writeMeta(org: String, slug: String, meta: Meta): Unit = {
     Files.createDirectories(metaPath(org, slug).getParent)
     Files.writeString(metaPath(org, slug),
       s"""{"title": "${jsonEsc(meta.title)}", "slug": "${jsonEsc(meta.slug)}", """ +
-        s""""public": ${meta.public}, "latest": ${meta.latest}}""" + "\n")
+        s""""public": ${meta.public}, "latest": ${meta.latest}, """ +
+        s""""deprecated": ${meta.deprecated}}""" + "\n")
   }
   private def versionZip(org: String, slug: String, v: Int): Path =
     registryRoot.resolve(org).resolve(slug).resolve(s"v$v.zip")
@@ -587,10 +589,10 @@ object Cli {
     println("App deleted from the registry.")
   }
 
-  /** `update app [--public|--private] [APP]` (update.py). */
+  /** `update app [--public|--private] [--deprecated|--no-deprecated] [APP]` (update.py). */
   private def update(a: Args): Unit = {
     if (!a.positional.headOption.contains("app"))
-      abort("usage: graft update app [--public|--private] [APP]")
+      abort("usage: graft update app [--public|--private] [--deprecated|--no-deprecated] [APP]")
     val org = defaultOrg(a.opt("organization"))
     val appArg = a.positional.drop(1).headOption.getOrElse("")
     val slug =
@@ -602,8 +604,19 @@ object Cli {
       if (a.flag("public")) Some(true)
       else if (a.flag("private")) Some(false)
       else None
-    pub.foreach(p => writeMeta(org, slug, meta.copy(public = p)))
-    if (pub.isDefined) println("Updated app successfully")
+    // --deprecated/--no-deprecated (update.py:29-31): the component-
+    // registry deprecation flag, stored on the same meta record
+    val dep =
+      if (a.flag("deprecated")) Some(true)
+      else if (a.flag("no-deprecated")) Some(false)
+      else None
+    val updated = meta.copy(
+      public = pub.getOrElse(meta.public),
+      deprecated = dep.getOrElse(meta.deprecated))
+    if (pub.isDefined || dep.isDefined) {
+      writeMeta(org, slug, updated)
+      println("Updated app successfully")
+    }
   }
 
   /** `config [--organization SLUG] [--json]` (config.py). */
@@ -635,7 +648,7 @@ object Cli {
        |  list apps|webhooks|organizations|secrets [--json]
        |  trigger [--app DIR] [--node-id ID] [NODE_PATH]
        |  delete [--force] APP
-       |  update app [--public|--private] [APP]
+       |  update app [--public|--private] [--deprecated|--no-deprecated] [APP]
        |  config [--organization SLUG] [--json]
        |  version
        |""".stripMargin

@@ -256,6 +256,17 @@ class CliSpec extends SparkSpec {
       assert(Files.readString(
         Paths.get(home.toString, "registry", "local", "meta-app", "meta.json"))
         .contains(""""public": true"""))
+      // --deprecated flips the component-deprecation flag and keeps
+      // --public intact; --no-deprecated flips it back
+      assert(run("update", "app", "--deprecated", "meta-app") == 0)
+      val metaDep = Files.readString(
+        Paths.get(home.toString, "registry", "local", "meta-app", "meta.json"))
+      assert(metaDep.contains(""""deprecated": true"""))
+      assert(metaDep.contains(""""public": true"""))
+      assert(run("update", "app", "--no-deprecated", "meta-app") == 0)
+      assert(Files.readString(
+        Paths.get(home.toString, "registry", "local", "meta-app", "meta.json"))
+        .contains(""""deprecated": false"""))
       assert(run("list", "apps") == 0)
       assert(run("list", "apps", "--json") == 0)
       // delete requires --force, then removes the registry entry
