@@ -9,8 +9,15 @@ replica-specific token substitutions so cross-replica text pairs fall
 BELOW the 0.8 jaccard near-dup threshold — near-dup structure grows
 linearly with corpus size (as in a real crawl), not quadratically as
 naive cloning would force. embeddings: small replica-specific affine
-perturbation for the same reason. All other fixture tables are copied
-unchanged so the full Bench registry still runs against the directory.
+perturbation for the same reason.
+
+Relational tables (round-11 addition): customer/supplier/part/orders/
+lineitem/events replicate with EVERY key column shifted by r*10^7 in
+lockstep (custkey, suppkey, partkey, orderkey, event_id, user_id), so
+each replica is a self-contained TPC-H-ish world: per-key join fan-out
+and per-user event-session shape are constant while table sizes grow
+Nx — the same "more customers, not bigger customers" scaling TPC-H
+itself uses. nation/region stay fixed (as in TPC-H at every SF).
 """
 import sys, shutil
 import duckdb
@@ -41,12 +48,34 @@ def main():
       from read_parquet('{src}/embeddings.parquet'), range({n}) t(r)
     ) to '{dst}/embeddings.parquet' (format parquet)
     """)
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+    for t in ["region", "nation"]:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    # keyed replication: shift every key column by r*10^7 in lockstep so
+    # each replica is a self-contained join world (constant fan-out per key)
+    S = 10_000_000
+    keyed = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part":     ["p_partkey"],
+        "orders":   ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events":   ["event_id", "user_id"],
+    }
+    for t, keys in keyed.items():
+        cols = [c[0] for c in con.execute(
+            f"describe select * from read_parquet('{src}/{t}.parquet')").fetchall()]
+        sel = ", ".join(
+            f"{c} + r*{S} as {c}" if c in keys else c for c in cols)
+        con.execute(f"""
+        copy (
+          select {sel}
+          from read_parquet('{src}/{t}.parquet'), range({n}) t(r)
+        ) to '{dst}/{t}.parquet' (format parquet)
+        """)
     d = con.execute(f"select count(*), count(distinct doc_id) from read_parquet('{dst}/documents.parquet')").fetchone()
     e = con.execute(f"select count(*), count(distinct vec_id) from read_parquet('{dst}/embeddings.parquet')").fetchone()
-    print(f"documents: {d}, embeddings: {e} -> {dst}")
+    li = con.execute(f"select count(*), count(distinct l_orderkey) from read_parquet('{dst}/lineitem.parquet')").fetchone()
+    print(f"documents: {d}, embeddings: {e}, lineitem: {li} -> {dst}")
 
 if __name__ == "__main__":
     main()
