@@ -49,13 +49,45 @@ object Cli {
     * file — the reference stores the same shape (config.py
     * read/write_devkit_config).
     */
-  // Values are interpolated into hand-built JSON: escape the two
-  // characters that would corrupt it (a title containing `"` must
-  // round-trip through meta.json intact).
-  private[graft] def jsonEsc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private[graft] def jsonUnesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  // Values are interpolated into hand-built JSON: escape quotes and
+  // backslashes (a title containing `"` must round-trip through
+  // meta.json intact) plus control characters (a secret value with an
+  // embedded newline must not leave a raw newline — invalid JSON —
+  // inside the quoted string).
+  private[graft] def jsonEsc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+  private[graft] def jsonUnesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(h => Character.digit(h, 16) >= 0) =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          // `\"`, `\\`, and (tolerantly) any other escape: the literal
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
   // String value token tolerant of \" and \\ inside the quotes.
   private val JsonStr = raw""""((?:[^"\\]|\\.)*)""""
 

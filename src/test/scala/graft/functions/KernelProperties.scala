@@ -33,7 +33,13 @@ object KernelProperties extends Properties("graft.functions.kernels") {
   // CLI's hand-built JSON must escape
   private val nastyGen: Gen[String] =
     Gen.listOfN(16, Gen.oneOf("\"", "\\", "\\\"", "\\\\", "a", "b ",
-      "{", "}", ":", ",", "καί", "")).map(_.mkString)
+      "{", "}", ":", ",", "καί", "", "\n", "\r", "\t", "\u0001", "\u001f"))
+      .map(_.mkString)
+
+  property("Cli jsonEsc leaves no raw control characters in the escaped form") =
+    forAll(nastyGen) { s =>
+      graft.cli.Cli.jsonEsc(s).forall(_ >= ' ')
+    }
 
   property("Cli jsonEsc/jsonUnesc round-trips arbitrary quote/backslash soup") =
     forAll(nastyGen) { s =>
