@@ -588,13 +588,31 @@ object TableHandle {
       }
   }
 
+  /** Nullability-normalized type: parquet reads arrays/maps/structs
+    * back with nullable elements (`containsNull=true`) even when the
+    * writing frame declared them non-null, so any schema comparison
+    * between a stored version and a fresh incoming frame MUST ignore
+    * nullability at every nesting level — before this normalization,
+    * the second append of an `array<bigint>` column silently collapsed
+    * it to StringType via the widen path (found by the round-11
+    * streaming scale probe: the near-dup index's `sig` column).
+    */
+  private[core] def normNull(t: DataType): DataType = t match {
+    case ArrayType(e, _) => ArrayType(normNull(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(normNull(k), normNull(v), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = normNull(f.dataType), nullable = true)))
+    case other => other
+  }
+
   private[core] def sameColumns(a: StructType, b: StructType): Boolean =
-    a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).sameElements(
-      b.fields.map(f => (f.name, f.dataType)).sortBy(_._1))
+    a.fields.map(f => (f.name, normNull(f.dataType))).sortBy(_._1).sameElements(
+      b.fields.map(f => (f.name, normNull(f.dataType))).sortBy(_._1))
 
   /** Widen-only union: missing columns become nulls; numeric types are
-    * promoted (int→long→double); incompatible types promote to string
-    * (SURVEY.md §7.4.4).
+    * promoted (int→long→double); arrays widen element-wise;
+    * incompatible types promote to string (SURVEY.md §7.4.4).
     */
   private[core] def unionWiden(a: DataFrame, b: DataFrame): DataFrame = {
     val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
@@ -612,10 +630,12 @@ object TableHandle {
   }
 
   private[core] def widen(x: DataType, y: DataType): DataType =
-    if (x == y) x
+    if (normNull(x) == normNull(y)) normNull(x)
     else (x, y) match {
       case (a, b) if num(a) && num(b) =>
         if (rank(a) >= rank(b)) a else b
+      case (ArrayType(ex, _), ArrayType(ey, _)) =>
+        ArrayType(widen(ex, ey), containsNull = true)
       case _ => StringType
     }
   private def num(t: DataType) = rank(t) >= 0

@@ -1,0 +1,135 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, TableHandle}
+import graft.streaming.StreamingBridge
+
+/** Streaming scale probe (SCALING.md evidence): measures the drain
+  * wall-clock of each streaming ingest operator for a FIXED-SIZE
+  * batch against a pre-existing corpus of varying size, plus the
+  * native session_window drain over a varying event volume.
+  *
+  * The claim under test is the one VERDICT graded: per-batch ingest
+  * cost is O(batch + collisions), not O(history) — exact dedup's
+  * corpus side collapses to distinct fingerprints, near-dup's corpus
+  * side derives band keys arithmetically from the PERSISTED index
+  * (history is never re-shingled). If either were secretly
+  * O(history · batch), the fixed-batch drain time would grow ~10×
+  * when the corpus does; the floor-plus-scan regime predicts a much
+  * smaller slope (one cheap corpus fingerprint/index scan per
+  * micro-batch).
+  *
+  * Usage: runMain graft.tools.StreamProbe [corpusDir] [batchDir] [runs]
+  *   corpusDir — pre-existing corpus documents + events (default sf0.1)
+  *   batchDir  — the FIXED ingest batch documents (default sf0.01,
+  *               500 docs, ids shifted +1e9 so they never collide)
+  *   runs      — median-of-N with a fresh catalog/checkpoint per run
+  *               (a reused checkpoint would make reruns no-ops)
+  *
+  * Prints one JSON line; prep (corpus append, one-time near-dup index
+  * build — the cost [[graft.llm.TextDedup.buildNearDupIndex]] pays
+  * once per corpus, not per batch) is reported separately from drain.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val corpusDocs = graft.Fixtures.table(spark, corpusDir, "documents")
+    // ids shifted out of every corpus range (scaled replicas shift by
+    // r·10⁷, far below 10⁹) so batch rows are genuinely new documents
+    val batchDocs = graft.Fixtures.table(spark, batchDir, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val events = graft.Fixtures.table(spark, corpusDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val corpusRows = corpusDocs.count()
+    val batchRows = batchDocs.count()
+    val eventRows = events.count()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    def freshRoot(): String =
+      Files.createTempDirectory("streamprobe").toString
+
+    /** (prep seconds, drain seconds) medians for one ingest mode. */
+    def probeIngest(mode: String): (Double, Double) = {
+      val pairs = (1 to runs).map { _ =>
+        val root = freshRoot()
+        val cat = new Catalog(root)
+        val corpus = new TableHandle(spark, cat, "corpus")
+        corpus.append(corpusDocs); corpus.flush()
+        val staging = new TableHandle(spark, cat, "staging")
+        // 4 files → 4 micro-batches at maxFilesPerTrigger=1: the drain
+        // exercises the steady-state per-batch path, not one giant batch
+        staging.append(batchDocs.repartition(4)); staging.flush()
+        val prep = timed {
+          if (mode == "neardup") {
+            // the one-time index build the first drain's self-heal
+            // would otherwise fold into batch 1 — pay it off the clock,
+            // as a long-lived pipeline does
+            val index = new TableHandle(spark, cat, "corpus_ndindex")
+            index.append(graft.llm.TextDedup.buildNearDupIndex(
+              corpus.read, "doc_id", "text"))
+            index.flush()
+          }
+        }
+        val drain = timed {
+          mode match {
+            case "dedup" => StreamingBridge.dedupedIngest(
+              spark, cat, "staging", corpus, "text", root, Some(1))
+            case "curated" => StreamingBridge.curatedIngest(
+              spark, cat, "staging", corpus, "doc_id", "text", root, Some(1))
+            case "neardup" => StreamingBridge.nearDupedIngest(
+              spark, cat, "staging", corpus, "doc_id", "text", root, Some(1))
+          }
+        }
+        (prep, drain)
+      }
+      (median(pairs.map(_._1)), median(pairs.map(_._2)))
+    }
+
+    def probeSession(): Double = median((1 to runs).map { _ =>
+      val root = freshRoot()
+      val cat = new Catalog(root)
+      val src = new TableHandle(spark, cat, "events_src")
+      src.append(events); src.flush()
+      timed {
+        StreamingBridge.drainTo(spark, cat,
+          StreamingBridge.sessionizeNative(
+            StreamingBridge.readStream(spark, cat, "events_src"),
+            "ts", "user_id"),
+          "sessions", root)
+      }
+    })
+
+    val (_, dedupS) = probeIngest("dedup")
+    val (_, curatedS) = probeIngest("curated")
+    val (ndPrepS, ndDrainS) = probeIngest("neardup")
+    val sessionS = probeSession()
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    println(s"""{"probe":"streaming","corpus":"$corpusDir","corpus_rows":$corpusRows,"batch_rows":$batchRows,"event_rows":$eventRows,"runs":$runs,"dedup_drain_s":${num(dedupS)},"curated_drain_s":${num(curatedS)},"neardup_index_build_s":${num(ndPrepS)},"neardup_drain_s":${num(ndDrainS)},"session_drain_s":${num(sessionS)}}""")
+    System.out.flush()
+  }
+}

@@ -209,6 +209,35 @@ class TableHandleSpec extends SparkSpec {
     assert(df.where(col("extra").isNull).count() == 1)
   }
 
+  test("second append of an array column keeps the array type (parquet nullability round-trip)") {
+    import spark.implicits._
+    // parquet reads arrays back with containsNull=true while a fresh
+    // frame declares containsNull=false — the schema compare must not
+    // see that as a change (it used to widen array<bigint> to STRING,
+    // destroying every near-dup index on its second extension)
+    val h = handle(tmpDir("tbl"))
+    val mk = (id: Long) => Seq((id, Seq(id, id + 1))).toDF("id", "sig")
+    h.append(mk(1L)); h.flush()
+    val v1 = h.meta.activeVersion.get
+    h.append(mk(2L)); h.flush()
+    assert(h.meta.activeVersion.get == v1, "no widen-rewrite for a nullability-only delta")
+    val df = h.read
+    assert(df.schema("sig").dataType.typeName == "array")
+    assert(df.count() == 2)
+    assert(df.where(col("id") === 2L).select(element_at(col("sig"), 2))
+      .head().getLong(0) == 3L)
+  }
+
+  test("array columns widen element-wise, not to string") {
+    import spark.implicits._
+    val h = handle(tmpDir("tbl"))
+    h.append(Seq((1L, Seq(1, 2))).toDF("id", "a")); h.flush()         // array<int>
+    h.append(Seq((2L, Seq(5L, 6L))).toDF("id", "a")); h.flush()       // array<bigint>
+    val t = h.read.schema("a").dataType
+    assert(t.simpleString == "array<bigint>", t.simpleString)
+    assert(h.read.count() == 2)
+  }
+
   test("chunked record reads (chunksize semantics)") {
     import spark.implicits._
     val h = handle(tmpDir("tbl"))

@@ -337,10 +337,28 @@ class StreamingBridgeSpec extends SparkSpec {
     val index = new TableHandle(spark, cat, "corpus_ndindex")
     assert(index.read.count() == 3) // one signature row per survivor
     assert(index.read.columns.toSet == Set("doc_id", "sh", "sig"))
+    // the batch-2 index EXTENSION must keep the stored types: parquet
+    // reads arrays back containsNull=true while the fresh build frame
+    // says containsNull=false, and that delta once triggered the
+    // widen-to-string rewrite, silently destroying every signature
+    assert(index.read.schema("sig").dataType.simpleString == "array<bigint>",
+      index.read.schema("sig").dataType.simpleString)
+    assert(index.read.schema("sh").dataType.simpleString == "array<string>")
     // exactly-once: a drain with nothing staged changes nothing
     StreamingBridge.nearDupedIngest(spark, cat, "staging", corpus,
       "doc_id", "text", root)
     assert(corpus.read.count() == 3 && index.read.count() == 3)
+    // batch 3: a fuzzy copy of the batch-2 survivor — the dedup
+    // decision now rides signature rows written by the EXTENSION
+    // append, which the corrupted index used to crash on
+    staging.append(Seq(
+      (9L, "oh genuinely novel content that matches nothing ingested before")
+    ).toDF("doc_id", "text"))
+    staging.flush()
+    StreamingBridge.nearDupedIngest(spark, cat, "staging", corpus,
+      "doc_id", "text", root)
+    assert(corpus.read.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 8L)) // doc 9 dropped against doc 8's extended signature
   }
 
   test("near-duped ingest self-heals: pre-existing corpus without an index is indexed before dedup") {
