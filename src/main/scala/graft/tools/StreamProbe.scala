@@ -66,8 +66,21 @@ object StreamProbe {
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    def freshRoot(): String =
-      Files.createTempDirectory("streamprobe").toString
+    val roots = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+    def freshRoot(): String = {
+      val p = Files.createTempDirectory("streamprobe")
+      roots += p
+      p.toString
+    }
+    // each run stages a full corpus copy (1.7 GB of parquet at the
+    // 100x corpus) — delete them on exit or 9 runs fill /tmp
+    def cleanup(): Unit = roots.foreach { r =>
+      import java.nio.file.{Files => F}
+      val s = F.walk(r)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => F.deleteIfExists(p))
+      finally s.close()
+    }
 
     /** (prep seconds, drain seconds) medians for one ingest mode. */
     def probeIngest(mode: String): (Double, Double) = {
@@ -120,10 +133,14 @@ object StreamProbe {
       }
     })
 
-    val (_, dedupS) = probeIngest("dedup")
-    val (_, curatedS) = probeIngest("curated")
-    val (ndPrepS, ndDrainS) = probeIngest("neardup")
-    val sessionS = probeSession()
+    val (dedupS, curatedS, ndPrepS, ndDrainS, sessionS) =
+      try {
+        val (_, d) = probeIngest("dedup")
+        val (_, c) = probeIngest("curated")
+        val (ndP, ndD) = probeIngest("neardup")
+        val s = probeSession()
+        (d, c, ndP, ndD, s)
+      } finally cleanup()
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
