@@ -1374,15 +1374,18 @@ object Llm {
     },
 
     // L5g — perceptual image dedup, decode-verified AND hash-checked:
-    // payloads are noise PNGs keyed by doc_id % 37 (byte-identical
-    // within a group, uncorrelated across groups), Spark decodes real
-    // pixels → 64-bit dHash → banded Hamming pair join (<= 2 bits);
-    // the oracle is the planted group structure (identical bytes MUST
-    // pair at distance 0; cross-group noise collides at ~2^-59).
+    // payloads are noise PNGs keyed by doc_id % imgGroups (byte-
+    // identical within a group, uncorrelated across groups; fixed
+    // ~14-doc groups past the 37-group sf0.01 floor — see imgGroups),
+    // Spark decodes real pixels → 64-bit dHash → banded Hamming pair
+    // join (<= 2 bits); the oracle is the planted group structure
+    // (identical bytes MUST pair at distance 0; cross-group noise
+    // collides at ~2^-59).
     QuerySpec.df("l47_image_dedup",
-      """select a.doc_id as id_a, b.doc_id as id_b, cast(0 as int) as hamming
+      s"""select a.doc_id as id_a, b.doc_id as id_b, cast(0 as int) as hamming
         |from documents a join documents b
-        |  on a.doc_id % 37 = b.doc_id % 37 and a.doc_id < b.doc_id""".stripMargin) {
+        |  on a.doc_id % $imgGroupsSql = b.doc_id % $imgGroupsSql
+        | and a.doc_id < b.doc_id""".stripMargin) {
       (s, d) =>
         // decode once: the shared code table (id, 64-bit hash) is tiny
         // and localCheckpoint'd — the self-join reads the cache per
@@ -1391,11 +1394,12 @@ object Llm {
     },
 
     // L5h — perceptual image near-dup CLUSTERS: dHash pairs → connected
-    // components, the image sibling of l13/l30. The planted 37-group
-    // fixture makes the expected components exactly doc_id % 37's
-    // min-id representative — decode-verified AND hash-checked.
+    // components, the image sibling of l13/l30. The planted grouped
+    // fixture makes the expected components exactly the group residue
+    // (doc ids are 0-based contiguous, so the min id in residue class
+    // g IS g) — decode-verified AND hash-checked.
     QuerySpec.df("l62_image_clusters",
-      """select doc_id, doc_id % 37 as component
+      s"""select doc_id, doc_id % $imgGroupsSql as component
         |from documents""".stripMargin) {
       (s, d) =>
         graft.operators.ConnectedComponents.run(imgPairs(s, d), "id_a", "id_b")
@@ -2387,16 +2391,17 @@ object Llm {
     // (median thresholding survives global brightness shifts that
     // break gradient codes; MediaSpec proves that contrast).
     QuerySpec.df("l89_image_phash",
-      """select cast(doc_id % 37 as bigint) as grp,
+      s"""select cast(doc_id % $imgGroupsSql as bigint) as grp,
         |  cast(count(*) as bigint) as n_docs,
         |  cast(1 as bigint) as n_distinct_codes
         |from documents group by 1""".stripMargin) {
       (s, d) =>
         Multimodal.imagePHash(
           mediaPayloads(s, d, "imggroup",
-            Multimodal.attachGroupedImagePayload(_, "doc_id", groups = 37)),
+            Multimodal.attachGroupedImagePayload(_, "doc_id",
+              groups = imgGroups(s, d))),
           "payload")
-          .groupBy((col("doc_id") % 37).as("grp"))
+          .groupBy((col("doc_id") % imgGroups(s, d)).as("grp"))
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("phash")).as("n_distinct_codes"))
     },
@@ -4516,6 +4521,27 @@ object Llm {
         plantedCorpus(Fixtures.table(s, d, "embeddings")),
         "vec_id", "embedding", minCos = 0.99))
 
+  /** Planted image-group count: fixed ~14-doc groups past the
+    * 37-group floor, so the grouped-PNG fixture grows the NUMBER of
+    * duplicate groups with the corpus while each group stays
+    * small — real image dup clusters are bounded (a re-crawled logo,
+    * not half the corpus). The old constant 37 made the within-group
+    * pair population QUADRATIC in the corpus (the l117-fixture
+    * artifact class): at the 100× probe, 13.5k-image groups → ~3.4G
+    * planted pairs and an OOM'd localCheckpoint. At sf0.01 (500 docs)
+    * greatest(37, 500/14) = 37, so the gate-scale oracle hashes are
+    * unchanged; the oracle SQL carries the same formula.
+    */
+  private val imgGroupCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def imgGroups(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    imgGroupCounts.computeIfAbsent(d, _ =>
+      math.max(37L, Fixtures.table(s, d, "documents").count() / 14L).toInt)
+  // def, not val: the registry vals earlier in the file interpolate
+  // this into their oracle SQL during object init
+  private def imgGroupsSql: String =
+    "greatest(37, (select count(*) from documents) // 14)"
+
   /** The verified banded-Hamming near-dup pair list over the decoded
     * dHash codes — shared by l47 (the pairs ARE its output) and l62
     * (clusters over them). */
@@ -4533,7 +4559,8 @@ object Llm {
     sharedFrame(s, s"imgcodes|$d")(
       Multimodal.imageDHash(
         mediaPayloads(s, d, "imggroup",
-          Multimodal.attachGroupedImagePayload(_, "doc_id", groups = 37)),
+          Multimodal.attachGroupedImagePayload(_, "doc_id",
+            groups = imgGroups(s, d))),
         "payload")
         .select("doc_id", "dhash"))
 
