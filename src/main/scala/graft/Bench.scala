@@ -162,9 +162,45 @@ object Bench {
     // per-query entries — slowest first, the ones worth eyeballing —
     // as fit a hard 1500-char budget; the complete map lives in
     // BENCH_FULL.json.
-    val budget = 1500
+    val line = renderLine(results, divergent, sfDir)
+    if (line.length > 1850) System.err.println(
+      s"[bench] WARNING stdout line is ${line.length} chars — may exceed the driver's 2000-char tail capture")
+    println(line)
+    System.out.flush()
+  }
+
+  /** Builds the single stdout JSON line, budgeted BY CONSTRUCTION to
+    * fit the driver's ~2000-char tail capture: a fixed self-contained
+    * core plus only as many per-query entries (slowest first) as fit
+    * the 1500-char budget. Pure so BenchFramingSpec can pin the
+    * invariant (≤ budget, single line, valid JSON) against adversarial
+    * registries without running Spark.
+    */
+  private[graft] val lineBudget = 1500
+
+  private[graft] def renderLine(results: Seq[(String, Double)],
+      divergent: Seq[String], sfDir: String): String = {
+    def num(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    // divergent is the only unbounded core field (normally empty; a
+    // sustained-load round could list dozens) — cap it at 400 chars
+    // with an explicit overflow marker so the core can never eat the
+    // whole budget
+    val divShown = {
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      var used = 0
+      divergent.foreach { n =>
+        val ent = "\"" + n + "\""
+        if (used + ent.length + 1 <= 400) { buf += ent; used += ent.length + 1 }
+      }
+      if (buf.size < divergent.size)
+        buf += "\"...+" + (divergent.size - buf.size) + "\""
+      buf.toSeq
+    }
+    val div = divShown.mkString("[", ",", "]")
+    val totalS = num(results.map(_._2).filter(_ >= 0).sum, 3)
     val core = s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_FULL.json","queries_shown":NNN,"queries":{}}"""
-    var room = budget - core.length
+    var room = lineBudget - core.length
     val bySlowest = results.sortBy(-_._2)
     val shown = scala.collection.mutable.ListBuffer.empty[String]
     bySlowest.foreach { case (k, v) =>
@@ -172,10 +208,6 @@ object Bench {
       val cost = ent.length + (if (shown.nonEmpty) 1 else 0)
       if (room - cost >= 0) { shown += ent; room -= cost }
     }
-    val line = s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_FULL.json","queries_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}}"""
-    if (line.length > 1850) System.err.println(
-      s"[bench] WARNING stdout line is ${line.length} chars — may exceed the driver's 2000-char tail capture")
-    println(line)
-    System.out.flush()
+    s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_FULL.json","queries_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}}"""
   }
 }

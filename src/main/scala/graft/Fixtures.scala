@@ -55,4 +55,33 @@ object Fixtures {
   def registerAll(spark: SparkSession, dir: String): Unit =
     if (registered.add((System.identityHashCode(spark), dir)))
       tableNames.foreach { n => table(spark, dir, n).createOrReplaceTempView(n) }
+
+  /** On-disk bytes of a fixture table (file or directory) — the same
+    * statistic Spark's own planner compares against
+    * `spark.sql.autoBroadcastJoinThreshold` for a plain parquet scan,
+    * so size-gated broadcast hints (see Relational's dimIfSmall) stay
+    * consistent with what the auto-threshold would decide.
+    */
+  def onDiskBytes(dir: String, name: String): Long = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  /** The session's broadcast threshold in bytes; ≤0 (disabled) means
+    * "never hint".
+    */
+  def broadcastThresholdBytes(spark: SparkSession): Long = {
+    val v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    try {
+      if (v.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    } catch { case _: Exception => -1L }
+  }
 }

@@ -529,7 +529,7 @@ object Cli {
       json: Boolean): Unit =
     if (rows.isEmpty) { if (!json) println(s"No $name found") }
     else if (json) rows.foreach { r =>
-      println(r.map { case (k, v) => s""""$k": "$v"""" }
+      println(r.map { case (k, v) => s""""${jsonEsc(k)}": "${jsonEsc(v)}"""" }
         .mkString("{", ", ", "}"))
     } else {
       val headers = rows.head.map(_._1)
@@ -661,7 +661,7 @@ object Cli {
       "registry" -> registryRoot.toString,
       "config file" -> configPath.toString)
     if (a.flag("json"))
-      println(rows.map { case (k, v) => s""""$k": "$v"""" }
+      println(rows.map { case (k, v) => s""""${jsonEsc(k)}": "${jsonEsc(v)}"""" }
         .mkString("{", ", ", "}"))
     else rows.foreach { case (k, v) => println(s"$k: $v") }
   }

@@ -16,11 +16,19 @@ import org.apache.spark.sql.types._
   * while the evaluation moves from the interpreted CodegenFallback
   * higher-order-function path into whole-stage codegen (~4× on the
   * brute-force KNN scan; see BASELINE.md).
+  *
+  * NULL semantics match the zip_with formulation exactly: a length
+  * mismatch (zip_with pads the shorter side with null) or a null
+  * element propagates NULL — never a silently-truncated number.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Ragged lengths / null elements yield NULL even when the array
+  // columns themselves are non-nullable.
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -43,10 +51,14 @@ case class FloatDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left).get, elemType(right).get)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += get(a, ta, i) * get(b, tb, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, ta, i) * get(b, tb, i); i += 1
+    }
     acc
   }
 
@@ -60,10 +72,14 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(elemType(left).get, a, i)} * ${getter(elemType(right).get, b, i)};
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${getter(elemType(left).get, a, i)} * ${getter(elemType(right).get, b, i)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -91,11 +107,16 @@ object FloatDot {
   * whole-stage codegen. (Expanding into dot(a,a) − 2·dot(a,b) +
   * dot(b,b) would be faster still but changes the floating-point
   * rounding — not worth breaking the determinism contract.)
+  *
+  * NULL semantics match the zip_with formulation exactly: a length
+  * mismatch or a null element propagates NULL (see [[FloatDot]]).
   */
 case class FloatSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -118,10 +139,12 @@ case class FloatSqDist(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left).get, elemType(right).get)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = get(a, ta, i) - get(b, tb, i)
       acc += d * d
       i += 1
@@ -140,11 +163,15 @@ case class FloatSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${getter(elemType(left).get, a, i)} - ${getter(elemType(right).get, b, i)};
-         |  $acc += $d * $d;
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${getter(elemType(left).get, a, i)} - ${getter(elemType(right).get, b, i)};
+         |    $acc += $d * $d;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

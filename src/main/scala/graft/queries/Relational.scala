@@ -64,6 +64,22 @@ object Relational {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Fixtures.table(s, d, n)
 
+  /** Size-gated broadcast hint for a dimension table: hint only while
+    * the table's on-disk size is under the session's broadcast
+    * threshold — past it (customer is ~50 MB at the 100× probe scale
+    * and grows decade-over-decade) the hint is dropped so
+    * AQE + autoBroadcastJoinThreshold pick SMJ/SHJ instead of being
+    * forced to materialize an executor-OOM-sized broadcast. At every
+    * bench/verify scale the dims are well under 10 MB, so the hinted
+    * (all-BHJ) plan is unchanged — pinned by PLAN_DIGESTS.json; the
+    * past-threshold SMJ shape is pinned by BroadcastGateSpec.
+    */
+  private def dimIfSmall(s: SparkSession, d: String, n: String): DataFrame = {
+    val df = t(s, d, n)
+    val thresh = Fixtures.broadcastThresholdBytes(s)
+    if (thresh > 0 && Fixtures.onDiskBytes(d, n) <= thresh) broadcast(df) else df
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // Q1 — projection / column pruning (only 4 of 11 lineitem columns read)
@@ -111,9 +127,9 @@ object Relational {
       (s, d) =>
         t(s, d, "lineitem")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .join(dimIfSmall(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(dimIfSmall(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(dimIfSmall(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name")
           .agg(c2d(sumMoney(netE4), 4).as("rev"), count(lit(1)).as("cnt"))
     },

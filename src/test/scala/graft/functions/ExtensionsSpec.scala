@@ -35,6 +35,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("graft_dot / graft_sqdist propagate NULL on ragged or null-element input") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),        // ragged
+      (3, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),  // null elem
+      (4, null, Seq[java.lang.Double](3.0, 4.0)))                              // null array
+      .toDF("id", "a", "b")
+    df.createOrReplaceTempView("nullprop_ext")
+    // the zip_with/aggregate formulation the docstrings claim equivalence with
+    val hof = aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+      lit(0.0), (acc, e) => acc + e)
+    val rows = spark.sql(
+        "select id, graft_dot(a, b) as d, graft_sqdist(a, b) as s from nullprop_ext")
+      .join(df.select(col("id"), hof.as("hof")), "id")
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getDouble(1) == 11.0)
+    rows.drop(1).foreach { r =>
+      assert(r.isNullAt(1), s"graft_dot row ${r.getInt(0)} should be NULL")
+      assert(r.isNullAt(2), s"graft_sqdist row ${r.getInt(0)} should be NULL")
+      assert(r.isNullAt(3), s"HOF reference row ${r.getInt(0)} should be NULL")
+    }
+    // non-codegen (interpreted) path agrees: eval via a filter on the driver
+    val lit2 = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val lit1 = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Seq(1.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    assert(FloatDot(lit2, lit1).eval(null) == null)
+    assert(FloatSqDist(lit2, lit1).eval(null) == null)
+    assert(FloatDot(lit2, lit2).eval(null) == 5.0)
+  }
+
   test("vector_avg UDAF from SQL and Column API agree") {
     graft.GraftExtensions.register(spark)
     val emb = graft.Fixtures.table(spark, "/root/testdata/sf0.001", "embeddings")

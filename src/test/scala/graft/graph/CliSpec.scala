@@ -207,6 +207,40 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("--json output stays valid JSON for quoted titles and descriptions") {
+    withSandbox { (_, work) =>
+      def captured(args: String*): String = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          run(args: _*)
+        }
+        buf.toString("UTF-8")
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def parsedLines(out: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+        out.linesIterator.filter(_.startsWith("{")).map(mapper.readTree).toSeq
+
+      // app title with a quote and a backslash must survive list --json
+      val q = work.resolve("qt-app").toString
+      run("create", "app", "--name", """say "hi"\now""", q)
+      assert(run("upload", q) == 0)
+      val apps = parsedLines(captured("list", "apps", "--json"))
+      assert(apps.exists(n => n.get("title") != null &&
+        n.get("title").asText() == """say "hi"\now"""))
+
+      // secret description with quotes/control chars must survive too
+      assert(run("create", "secret", "--description", "the \"db\"\tpass",
+        "QSEC", "v") == 0)
+      val secrets = parsedLines(captured("list", "secrets", "--json"))
+      assert(secrets.exists(n => n.get("description") != null &&
+        n.get("description").asText() == "the \"db\"\tpass"))
+
+      // config --json parses as one object
+      val cfg = parsedLines(captured("config", "--json"))
+      assert(cfg.size == 1 && cfg.head.get("organization") != null)
+    }
+  }
+
   test("app uids are deterministic 8-char base32") {
     withSandbox { (_, work) =>
       val app = work.resolve("uid-app").toString
