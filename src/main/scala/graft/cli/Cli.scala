@@ -651,19 +651,25 @@ object Cli {
     }
   }
 
-  /** `config [--organization SLUG] [--json]` (config.py). */
+  /** `config [--organization SLUG] [--json]` (config.py:18-52 — text
+    * mode leads with the config-file location line and prints the k/v
+    * rows; JSON mode folds the location in as a "config file" key).
+    */
   private def config(a: Args): Unit = {
     val org = a.opt("organization")
     if (org.nonEmpty) writeConfig(readConfig() + ("organization" -> org))
     val cfg = readConfig()
     val rows = Seq(
       "organization" -> cfg.getOrElse("organization", "local"),
-      "registry" -> registryRoot.toString,
-      "config file" -> configPath.toString)
+      "registry" -> registryRoot.toString)
     if (a.flag("json"))
-      println(rows.map { case (k, v) => s""""${jsonEsc(k)}": "${jsonEsc(v)}"""" }
+      println((rows :+ ("config file" -> configPath.toString))
+        .map { case (k, v) => s""""${jsonEsc(k)}": "${jsonEsc(v)}"""" }
         .mkString("{", ", ", "}"))
-    else rows.foreach { case (k, v) => println(s"$k: $v") }
+    else {
+      println(s"Your graft config is located at $configPath")
+      rows.foreach { case (k, v) => println(s"$k: $v") }
+    }
   }
 
   // ------------------------------------------------------------------ main

@@ -238,6 +238,39 @@ class CliSpec extends SparkSpec {
       // config --json parses as one object
       val cfg = parsedLines(captured("config", "--json"))
       assert(cfg.size == 1 && cfg.head.get("organization") != null)
+      assert(cfg.head.get("config file") != null) // JSON folds the path in
+    }
+  }
+
+  test("config and list webhooks text goldens (config.py / list.py shapes)") {
+    withSandbox { (home, work) =>
+      def captured(args: String*): String = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          run(args: _*)
+        }
+        buf.toString("UTF-8")
+      }
+      // config text mode: location line first (config.py:50), then rows
+      val cfgOut = captured("config").linesIterator.toList
+      assert(cfgOut.head == s"Your graft config is located at ${home.resolve("config.json")}")
+      assert(cfgOut.exists(_.startsWith("organization: ")))
+
+      // list webhooks: per-app listing (list.py:70-78) with the
+      // endpoint name and serving URL columns
+      val app = work.resolve("hook-app")
+      run("create", "app", "--name", "hook-app", app.toString)
+      assert(run("create", "node", "--app", app.toString,
+        "--type", "webhook", "ingest") == 0)
+      val hooks = captured("list", "webhooks", app.toString)
+      assert(hooks.linesIterator.next().matches("webhook\\s+id\\s+url\\s*"),
+        s"header line was: ${hooks.linesIterator.next()}")
+      assert(hooks.contains("ingest") && hooks.contains("/webhooks/ingest"))
+      // and the JSON shape parses
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val js = captured("list", "webhooks", app.toString, "--json")
+        .linesIterator.filter(_.startsWith("{")).map(mapper.readTree).toList
+      assert(js.nonEmpty && js.head.get("webhook").asText() == "ingest")
     }
   }
 
