@@ -29,6 +29,7 @@ object GraftExtensions {
     "graft_base32" -> (exprs => Base32Fixed(exprs.head)),
     "graft_dot" -> (exprs => graft.functions.FloatDot(exprs(0), exprs(1))),
     "graft_sqdist" -> (exprs => graft.functions.FloatSqDist(exprs(0), exprs(1))),
+    "graft_cosine" -> (exprs => graft.functions.FloatCosine(exprs(0), exprs(1))),
     "graft_shingles" -> (exprs => graft.functions.WordShingles(
       exprs.head, exprs.lift(1).map(foldToInt).getOrElse(3))),
     "graft_minhash" -> (exprs => graft.functions.MinHashSig(

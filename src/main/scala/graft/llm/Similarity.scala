@@ -59,7 +59,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass kernel (graft.functions.FloatCosine) —
+    * bit-identical to `dot(a,b) / (norm(a) * norm(b))` (same per-sum
+    * fold order, same sqrt/division) but one array pass instead of
+    * three; on the all-pairs verify scans the element loads are the
+    * workload. KernelProperties pins the bit-equality.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.FloatCosine.cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector: the O(Q×N)
     * baseline. The corpus side stays distributed; the (small) query set

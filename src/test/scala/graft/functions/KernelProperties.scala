@@ -114,6 +114,110 @@ object KernelProperties extends Properties("graft.functions.kernels") {
       fps(1L).intersect(fps(2L)).nonEmpty
     }
 
+  // --- vector-kernel NULL semantics across representation boundaries ---
+  //
+  // The codegen'd null scan word-reads UnsafeArrayData's null bitmap
+  // directly (VectorKernels.anyNullFn), so sizes MUST cross the 64-bit
+  // word boundary (63/64/65/128/130) and nulls must land on first/last/
+  // middle positions. The same expression is also pushed through a
+  // parquet round-trip so the vectorized-scan ColumnarArray fallback
+  // path is exercised, not just the post-LocalTableScan unsafe path.
+  private val optVecGen: Gen[Seq[Option[Float]]] = for {
+    n <- Gen.oneOf(0, 1, 7, 63, 64, 65, 128, 130)
+    vs <- Gen.listOfN(n, Gen.chooseNum(-5f, 5f))
+    nullAt <- Gen.oneOf[Seq[Int]](
+      Seq(Seq.empty[Int], Seq.empty[Int]) ++
+        (if (n > 0) Seq(Seq(0), Seq(n - 1), Seq(n / 2), Seq(0, n - 1)) else Nil))
+  } yield vs.zipWithIndex.map { case (v, i) =>
+    if (nullAt.contains(i)) None else Some(v)
+  }
+
+  private def refDot(a: Seq[Option[Float]], b: Seq[Option[Float]]): Option[Double] =
+    if (a.length != b.length || a.exists(_.isEmpty) || b.exists(_.isEmpty)) None
+    else Some(a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      acc + x.get.toDouble * y.get.toDouble })
+
+  private def refSqDist(a: Seq[Option[Float]], b: Seq[Option[Float]]): Option[Double] =
+    if (a.length != b.length || a.exists(_.isEmpty) || b.exists(_.isEmpty)) None
+    else Some(a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      val d = x.get.toDouble - y.get.toDouble; acc + d * d })
+
+  private def checkKernels(rows: Array[org.apache.spark.sql.Row],
+      data: Seq[(Long, Seq[Option[Float]], Seq[Option[Float]])]): Boolean =
+    rows.sortBy(_.getLong(0)).zip(data.sortBy(_._1)).forall { case (r, (_, a, b)) =>
+      val gotDot = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val gotSq = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      gotDot == refDot(a, b) && gotSq == refSqDist(a, b)
+    }
+
+  property("vector kernels propagate NULL exactly (unsafe rows, word boundaries)") =
+    forAll(Gen.listOfN(6, Gen.zip(optVecGen, optVecGen))) { pairs =>
+      val data = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val df = data.toDF("id", "a", "b")
+      val rows = df.select(col("id"),
+          FloatDot.dot(col("a"), col("b")).as("dot"),
+          FloatSqDist.sqDist(col("a"), col("b")).as("sq"))
+        .collect()
+      checkKernels(rows, data)
+    }
+
+  property("vector kernels propagate NULL exactly (parquet scan / columnar path)") =
+    forAll(Gen.listOfN(4, Gen.zip(optVecGen, optVecGen))) { pairs =>
+      val data = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val path = java.nio.file.Files.createTempDirectory("graft_kern_").toString
+      try {
+        data.toDF("id", "a", "b").write.mode("overwrite").parquet(path)
+        val rows = spark.read.parquet(path).select(col("id"),
+            FloatDot.dot(col("a"), col("b")).as("dot"),
+            FloatSqDist.sqDist(col("a"), col("b")).as("sq"))
+          .collect()
+        checkKernels(rows, data)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      }
+    }
+
+  // Reference is a Scala IEEE fold with the kernel's exact op order —
+  // NOT the Column-level dot/(norm*norm) composition, whose division
+  // can never express a zero-norm vector: under Spark 4's default ANSI
+  // mode it THROWS DIVIDE_BY_ZERO, and with ANSI off Spark's Divide
+  // returns NULL on a zero divisor. The fused kernel deliberately uses
+  // IEEE double division (NaN/Inf, like the DuckDB list-fold oracle) —
+  // a per-row crash class removed (vecAudit counts n_zero_norm for
+  // exactly this hazard). On nonzero-norm null-free inputs the three
+  // accumulators and final expression are the composition's, so values
+  // are bit-identical there by construction; this property pins the
+  // full semantics including zero-norm, ragged, and null cases.
+  private def refCosine(a: Seq[Option[Float]], b: Seq[Option[Float]]): Option[Double] =
+    if (a.length != b.length || a.exists(_.isEmpty) || b.exists(_.isEmpty)) None
+    else {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        val xd = x.get.toDouble; val yd = y.get.toDouble
+        ab += xd * yd; aa += xd * xd; bb += yd * yd
+      }
+      Some(ab / (math.sqrt(aa) * math.sqrt(bb)))
+    }
+
+  property("fused cosine kernel is bit-identical to the IEEE dot/norm reference") =
+    forAll(Gen.listOfN(6, Gen.zip(optVecGen, optVecGen))) { pairs =>
+      val data = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val df = data.toDF("id", "a", "b")
+      val rows = df.select(col("id"),
+          FloatCosine.cosine(col("a"), col("b")).as("fused"))
+        .collect()
+      rows.sortBy(_.getLong(0)).zip(data.sortBy(_._1)).forall { case (r, (_, a, b)) =>
+        val got = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+        (got, refCosine(a, b)) match {
+          case (None, None) => true
+          case (Some(g), Some(e)) =>
+            java.lang.Double.doubleToLongBits(g) ==
+              java.lang.Double.doubleToLongBits(e)
+          case _ => false
+        }
+      }
+    }
+
   property("shard assignment equals the naive prefix sum for random weights") =
     forAll(Gen.listOfN(40, Gen.chooseNum(0, 50))) { weights =>
       val df = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
