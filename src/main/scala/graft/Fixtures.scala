@@ -56,6 +56,26 @@ object Fixtures {
     if (registered.add((System.identityHashCode(spark), dir)))
       tableNames.foreach { n => table(spark, dir, n).createOrReplaceTempView(n) }
 
+  /** First value of `df`'s single string column, or "" when the frame
+    * is empty or the value is NULL. The planted-probe queries derive
+    * their plant strings from specific doc_ids; on a degenerate corpus
+    * (empty, or null-heavy — both real at 100 TB: a filter that matched
+    * nothing, a crawl with null text) the empty plant flows through the
+    * planting expressions and the query returns empty/unplanted results
+    * instead of crashing the driver with head-of-empty-array or an NPE
+    * (RobustnessProbe sweeps).
+    */
+  def headTextOrEmpty(df: DataFrame): String =
+    df.head(1).headOption.flatMap(r => Option(r.getString(0))).getOrElse("")
+
+  /** First value of `df`'s single long column, or 0 when the frame is
+    * empty or the value is NULL (an aggregate like max/sum over zero
+    * rows) — see [[headTextOrEmpty]].
+    */
+  def headLongOrZero(df: DataFrame): Long =
+    df.head(1).headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+      .getOrElse(0L)
+
   /** On-disk bytes of a fixture table (file or directory) — the same
     * statistic Spark's own planner compares against
     * `spark.sql.autoBroadcastJoinThreshold` for a plain parquet scan,

@@ -17,6 +17,9 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doubl
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    // NULL vectors are ignored, matching SQL avg() semantics — a
+    // null-text crawl row must not NPE a corpus-wide centroid job.
+    if (v == null) return b
     val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
     var i = 0
     while (i < v.length) { sums(i) += v(i); i += 1 }

@@ -227,10 +227,18 @@ object Corpus {
     val spark = batch.sparkSession
     val fp = TextAnalysis.fingerprint(col(textCol))
     val corpusFps = corpus.select(fp.as("fp"))
-    val expected = math.max(corpusFps.count(), 1L)
-    val filter = corpusFps.stat.bloomFilter("fp", expected, fpp)
+    val nCorpus = corpusFps.count()
+    // Empty corpus: stat.bloomFilter NPEs on zero rows (its aggregate
+    // merges a null buffer), and the answer needs no filter anyway —
+    // with nothing to collide against, the whole batch is novel.
+    if (nCorpus == 0)
+      return batch.withColumn("fp", fp)
+    val filter = corpusFps.stat.bloomFilter("fp", nCorpus, fpp)
     val bc = spark.sparkContext.broadcast(filter)
-    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    // null fingerprint (null text) → not a dup candidate; the filter
+    // itself NPEs on null input
+    val mightContain =
+      udf((s: String) => s != null && bc.value.mightContainString(s))
     val fpBatch = batch.withColumn("_bd_fp", fp)
     val candidates = fpBatch.filter(mightContain(col("_bd_fp")))
     val confirmed = candidates
@@ -658,12 +666,17 @@ object Corpus {
   def writeShards(docs: DataFrame, idCol: String, weight: Column,
       tokensPerShard: Long, dir: String, orderBuckets: Int = 256): DataFrame = {
     val assigned = assignShards(docs, idCol, weight, tokensPerShard, orderBuckets)
-    docs.join(assigned.select(col(idCol), col("n_tokens"), col("shard")), Seq(idCol))
+    val toWrite = docs
+      .join(assigned.select(col(idCol), col("n_tokens"), col("shard")), Seq(idCol))
+    toWrite
       .repartition(col("shard"))
       .sortWithinPartitions(
         pmod(col(idCol) * lit(2654435761L), lit(1048576L)), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
-    docs.sparkSession.read.parquet(dir)
+    // Explicit schema on the read-back: an EMPTY corpus writes only
+    // _SUCCESS (no parquet footers to infer from), and the round-trip
+    // read should then return zero summary rows, not fail analysis.
+    docs.sparkSession.read.schema(toWrite.schema).parquet(dir)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"))
@@ -684,8 +697,10 @@ object Corpus {
       budget: Int, partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
       else docs.sparkSession.sparkContext.defaultParallelism
+    // null text packs as 0 tokens (the row still gets a bin) instead of
+    // failing the encoder with a null n_tokens
     val sized = docs.select(col(idCol).as("id"),
-        size(split(col(textCol), " ")).as("n_tokens"))
+        coalesce(size(split(col(textCol), " ")), lit(0)).as("n_tokens"))
       .repartition(n, col("id"))
       .sortWithinPartitions("id")
     val schema = StructType(Seq(

@@ -1262,15 +1262,16 @@ object Multimodal {
       // real pipeline: initialize decoder ONCE per partition here
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val mime = mimeIdx.map(r.getString).getOrElse("")
+        val mime = Option(mimeIdx.map(r.getString).orNull).getOrElse("")
         val feats =
-          if (mime.startsWith("image/")) imageFeatures(bytes, dim)
+          if (bytes == null) null // null payload (crawl gap) → null features
+          else if (mime.startsWith("image/")) imageFeatures(bytes, dim)
           else if (mime == "audio/wav" || mime == "audio/x-wav")
             wavFeatures(bytes, dim)
           else fakeFeatures(bytes, dim) // <- STUB: real video FRAME decode
                                         // goes here (mvhd timing parses
                                         // for real via videoMeta)
-        Row.fromSeq(r.toSeq :+ feats.toSeq)
+        Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq))
       }
     }(encoder)
   }

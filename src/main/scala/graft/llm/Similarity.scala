@@ -430,11 +430,24 @@ object Similarity {
         case f: Float => f.toDouble
         case d: Double => d
       })
+    // NULL vectors (real in a crawl) can't seed or pull a centroid —
+    // the quantizer trains on present vectors only. Query-side
+    // assignment of a null vector is already null-safe (NearestCells
+    // is null-propagating), so null rows simply fall out of cells.
+    val present = corpus.filter(col(cVec).isNotNull)
     // deterministic seed sample: lowest hash wins, stable under shuffle
     var centroids = Ivf.normalize(collectCentroids(
-      corpus.orderBy(xxhash64(col(cId)), col(cId)).limit(nCentroids), cVec))
+      present.orderBy(xxhash64(col(cId)), col(cId)).limit(nCentroids), cVec))
+    // EMPTY corpus (a filter that matched nothing, a tenant with no
+    // data yet): return a degenerate single zero centroid instead of an
+    // empty quantizer. The plan then still RESOLVES (NearestCells
+    // requires >=1 centroids at ANALYSIS time, which fires even when
+    // zero rows would flow), every corpus row — there are none — lands
+    // in cell 0, and the query returns empty instead of crashing.
+    // RobustnessProbe's empty-corpus sweep pins this for the IVF family.
+    if (centroids.isEmpty) return Array(Array(0.0))
     (1 to lloydIters).foreach { _ =>
-      val byCell = corpus
+      val byCell = present
         .withColumn("_ivf_cell",
           element_at(Ivf.nearestCells(col(cVec), centroids, 1), 1))
         .groupBy("_ivf_cell")
@@ -559,11 +572,17 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, cId: String, cVec: String,
       m: Int, ksub: Int, lloydIters: Int): Array[Array[Array[Double]]] = {
     import graft.functions.Pq
-    val dim = corpus.select(size(col(cVec))).head().getInt(0)
+    // NULL vectors train nothing (see trainIvfCentroids); empty corpus
+    // → degenerate one-zero-centroid book per subspace, the same
+    // plan-must-resolve convention as trainIvfCentroids.
+    val present = corpus.filter(col(cVec).isNotNull)
+    val dim = present.select(size(col(cVec))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) return Array.fill(m)(Array(Array(0.0)))
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     (0 until m).map { j =>
-      val sub = corpus.select(col(cId).as("_pq_id"),
+      val sub = present.select(col(cId).as("_pq_id"),
         slice(col(cVec), j * dsub + 1, dsub).as("_pq_sub"))
       var cents = sub.orderBy(xxhash64(col("_pq_id")), col("_pq_id"))
         .limit(ksub).select("_pq_sub").collect()

@@ -160,7 +160,15 @@ object PageRank {
     try {
     val seedSet = seeds.select(col(seedCol).as("id")).distinct()
     val nS = seedSet.count() // bounded: seeds are a vetted handful
-    require(nS > 0, "TrustRank needs at least one seed")
+    // No seeds (empty graph, or a seed filter that matched nothing):
+    // the teleport vector is identically zero, so every node's trust is
+    // zero — return the zero-filled node frame instead of crashing the
+    // job. On an empty graph that frame is itself empty.
+    if (nS == 0) {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      return nodes.select(col("id"), lit(0.0).as("trust")).localCheckpoint()
+    }
     // the teleport vector is nonzero ONLY on seeds, so it lives as a
     // small (|S|-row) frame, not a column on the full node set
     val seedT = seedSet.withColumn("t", round(lit(1.0 / nS), 12))

@@ -66,8 +66,8 @@ object EngineQueries {
           .select("event_id", "user_id", "event_type"))
         h.flush()
         val cursor = StreamCursor.forTable(h, new State(root, "qnode"))
-        val mid = Fixtures.table(s, d, "events")
-          .agg(max("event_id")).head().getLong(0) / 2
+        val mid = Fixtures.headLongOrZero(Fixtures.table(s, d, "events")
+          .agg(max("event_id"))) / 2
         cursor.seek(mid)
         cursor.df().select("event_id", "user_id", "event_type")
     },

@@ -631,7 +631,8 @@ object Llm {
          |from cg c join bg b on len(list_intersect(c.grams, b.grams)) > 0""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
+        val d0 = Fixtures.headTextOrEmpty(
+          docs.filter(col("doc_id") === 0).select("text"))
         val corpus = docs.filter(col("doc_id") % 50 =!= 0)
           .withColumn("text", when(col("doc_id") % 7 === 3,
             concat(col("text"), lit(" " + d0))).otherwise(col("text")))
@@ -767,7 +768,8 @@ object Llm {
         |       from corpus)""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val t3 = docs.filter(col("doc_id") === 3).select("text").head().getString(0)
+        val t3 = Fixtures.headTextOrEmpty(
+          docs.filter(col("doc_id") === 3).select("text"))
         val corpus = docs.filter(col("doc_id") % 3 === 0)
         val batch = docs.filter(col("doc_id") % 3 =!= 0)
           .withColumn("text",
@@ -877,8 +879,10 @@ object Llm {
          |from j group by doc_id, eval_set""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
-        val d25 = docs.filter(col("doc_id") === 25).select("text").head().getString(0)
+        val d0 = Fixtures.headTextOrEmpty(
+          docs.filter(col("doc_id") === 0).select("text"))
+        val d25 = Fixtures.headTextOrEmpty(
+          docs.filter(col("doc_id") === 25).select("text"))
         val corpus = docs.filter(col("doc_id") % 25 =!= 0)
           .withColumn("text",
             when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + d0)))
@@ -1091,7 +1095,8 @@ object Llm {
          |where doc_id not in (select doc_id from hits)""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
+        val d0 = Fixtures.headTextOrEmpty(
+          docs.filter(col("doc_id") === 0).select("text"))
         val corpus = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
         val batch = docs.filter(col("doc_id") % 3 =!= 0)
           .select(col("doc_id"),
@@ -1586,7 +1591,8 @@ object Llm {
         |       from corpus)""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val t3 = docs.filter(col("doc_id") === 3).select("text").head().getString(0)
+        val t3 = Fixtures.headTextOrEmpty(
+          docs.filter(col("doc_id") === 3).select("text"))
         val corpus = docs.filter(col("doc_id") % 3 === 0)
         val batch = docs.filter(col("doc_id") % 3 =!= 0)
           .withColumn("text",
@@ -1713,7 +1719,8 @@ object Llm {
          |where doc_id not in (select doc_id from hits)""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val d0 = docs.filter(col("doc_id") === 0).select("text").head().getString(0)
+        val d0 = Fixtures.headTextOrEmpty(
+          docs.filter(col("doc_id") === 0).select("text"))
         val batch = docs.filter(col("doc_id") % 3 =!= 0)
           .select(col("doc_id"),
             when(col("doc_id") % 10 === 1, concat(lit("dup "), lit(d0)))
@@ -3551,9 +3558,8 @@ object Llm {
         |from tok, tot""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val target = 3L * docs.select(
-          sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")))
-          .head().getLong(0)
+        val target = 3L * Fixtures.headLongOrZero(docs.select(
+          sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"))))
         Corpus.tokenBudget(docs, "text", "source", target, tau = 0.7)
     },
 
@@ -3718,8 +3724,8 @@ object Llm {
         val docs = Fixtures.table(s, d, "documents")
         val prev = docs.select((col("doc_id") + 1).as("doc_id"),
           col("text").as("_prev"))
-        val d0 = docs.filter(col("doc_id") === 0)
-          .select("text").head().getString(0)
+        val d0 = Fixtures.headTextOrEmpty(docs
+          .filter(col("doc_id") === 0).select("text"))
         val corpus = docs.join(prev, Seq("doc_id"), "left")
           .filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"),
@@ -4280,8 +4286,8 @@ object Llm {
         |from dup group by doc_id""".stripMargin) {
       (s, d) =>
         val docs = Fixtures.table(s, d, "documents")
-        val w0 = docs.filter(col("doc_id") === 0)
-          .select("text").head().getString(0).trim.split("\\s+")
+        val w0 = Fixtures.headTextOrEmpty(docs
+          .filter(col("doc_id") === 0).select("text")).trim.split("\\s+")
         val (u0, a0) = (w0.slice(0, 3).mkString(" "),
           w0.slice(3, 6).mkString(" "))
         val ws = split(trim(col("text")), "\\s+")
