@@ -8,39 +8,56 @@ import org.apache.spark.sql.functions.udaf
   * typed-Aggregator extension surface (SURVEY.md §2.5 U5). Used for
   * centroid computation (IVF coarse quantizers, cluster summaries).
   *
-  * Buffer is (element-wise double sums, count); merge is element-wise —
-  * map-side partial aggregation applies, so a 100 TB groupBy shuffles
-  * one (dim+1)-double buffer per group per partition, not raw vectors.
+  * Semantics are PER-INDEX: the mean at index i averages the vectors
+  * that HAVE an index i — exactly what the SQL formulation
+  * (`unnest` + `generate_subscripts` → group by index → avg) computes,
+  * so uniform-dim input (the normal case) gets the plain element-wise
+  * mean and a ragged mixed-dim input (embedding-model version drift —
+  * the schema can't prevent it) aggregates deterministically instead
+  * of indexing past a first-row-sized buffer. NULL vectors are
+  * ignored, like SQL `avg`. The result length is the max dim seen.
+  *
+  * Buffer is (per-index double sums, per-index counts); merge is
+  * element-wise over the longer of the two — map-side partial
+  * aggregation applies, so a 100 TB groupBy shuffles two dim-sized
+  * arrays per group per partition, not raw vectors.
   */
-object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Array[Long]), Seq[Double]] {
 
-  override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+  override def zero: (Array[Double], Array[Long]) =
+    (Array.emptyDoubleArray, Array.emptyLongArray)
 
-  override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-    // NULL vectors are ignored, matching SQL avg() semantics — a
-    // null-text crawl row must not NPE a corpus-wide centroid job.
+  private def grown(sums: Array[Double], counts: Array[Long], n: Int)
+      : (Array[Double], Array[Long]) =
+    if (sums.length >= n) (sums, counts)
+    else (java.util.Arrays.copyOf(sums, n), java.util.Arrays.copyOf(counts, n))
+
+  override def reduce(b: (Array[Double], Array[Long]), v: Seq[Float])
+      : (Array[Double], Array[Long]) = {
     if (v == null) return b
-    val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    val (sums, counts) = grown(b._1, b._2, v.length)
     var i = 0
-    while (i < v.length) { sums(i) += v(i); i += 1 }
-    (sums, b._2 + 1)
+    while (i < v.length) { sums(i) += v(i); counts(i) += 1; i += 1 }
+    (sums, counts)
   }
 
-  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) b
-    else if (b._1.isEmpty) a
-    else {
-      var i = 0
-      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-      (a._1, a._2 + b._2)
-    }
+  override def merge(a: (Array[Double], Array[Long]), b: (Array[Double], Array[Long]))
+      : (Array[Double], Array[Long]) = {
+    if (b._1.isEmpty) return a
+    if (a._1.isEmpty) return b
+    val (sums, counts) = grown(a._1, a._2, b._1.length)
+    var i = 0
+    while (i < b._1.length) { sums(i) += b._1(i); counts(i) += b._2(i); i += 1 }
+    (sums, counts)
   }
 
-  override def finish(r: (Array[Double], Long)): Seq[Double] =
-    if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
+  override def finish(r: (Array[Double], Array[Long])): Seq[Double] =
+    if (r._1.isEmpty) Seq.empty
+    else r._1.indices.map(i => r._1(i) / r._2(i))
 
-  override def bufferEncoder: Encoder[(Array[Double], Long)] =
-    Encoders.tuple(Encoders.javaSerialization[Array[Double]], Encoders.scalaLong)
+  override def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+    Encoders.tuple(Encoders.javaSerialization[Array[Double]],
+      Encoders.javaSerialization[Array[Long]])
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 

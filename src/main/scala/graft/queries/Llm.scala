@@ -4430,6 +4430,10 @@ object Llm {
     * angle 0.3·(k+1): the planted "embedder refresh" l107 aligns away.
     */
   def blockRotate(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // undersized vectors (ragged corpus) rotate to NULL — ANSI
+    // element_at past the end would throw per row; a null vector is
+    // instead dropped by procrustesReport's corrupt-pair filter
+    when(size(vec) < 64, lit(null)).otherwise(
     transform(sequence(lit(0), lit(63)), i => {
       val k = (i / 2).cast("int")
       val theta = k.cast("double") * lit(0.3) + lit(0.3)
@@ -4437,7 +4441,7 @@ object Llm {
       val even = element_at(vec, (k * 2 + 1).cast("int")).cast("double")
       val odd = element_at(vec, (k * 2 + 2).cast("int")).cast("double")
       when(i % 2 === 0, c * even - sn * odd).otherwise(sn * even + c * odd)
-    })
+    }))
 
   /** Near-dup index fixture (l61): the persisted corpus index,
     * materialized once per sfDir — index BUILD cost is the one-time

@@ -18,8 +18,8 @@ object SemiStructured {
         |  size(embedding) as dim,
         |  round(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
         |                  cast(0 as double), (a, x) -> a + x), 4) as norm2,
-        |  round(cast(element_at(embedding, 1) as double), 4) as e0,
-        |  round(cast(element_at(embedding, 64) as double), 4) as e63,
+        |  round(cast(try_element_at(embedding, 1) as double), 4) as e0,
+        |  round(cast(try_element_at(embedding, 64) as double), 4) as e63,
         |  round(cast(array_max(embedding) as double), 4) as mx,
         |  round(cast(array_min(embedding) as double), 4) as mn,
         |  size(filter(embedding, x -> x > 0)) as n_pos,

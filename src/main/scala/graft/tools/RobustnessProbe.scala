@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *     null embeddings; operators must drop or propagate, never throw.
   *     (The vector kernels' NULL propagation — FloatDot/FloatSqDist —
   *     is exactly the behavior this corpus exercises end-to-end.)
+  *  3. a RAGGED-embeddings corpus — a deterministic 10 % of vectors at
+  *     half dimension (embedding-model version drift; the schema can't
+  *     prevent it). Vector kernels define ragged pairs as NULL,
+  *     VectorAvg aggregates per index, quantizers train on what they
+  *     see — nothing may index past a first-row-sized buffer.
   *
   * Pass criterion is NO EXCEPTION (results may legitimately be empty
   * or differ from the clean corpus — correctness vs the oracle is the
@@ -24,7 +29,7 @@ import org.apache.spark.sql.functions._
   * ScalaTest spec (DegenerateCorpusSpec) over the same corpus builders
   * so regressions fail `sbt test`, not a probe someone has to re-run.
   *
-  * Usage: runMain graft.tools.RobustnessProbe [empty|nulls|both]
+  * Usage: runMain graft.tools.RobustnessProbe [empty|nulls|ragged|both]
   */
 object RobustnessProbe {
 
@@ -60,6 +65,27 @@ object RobustnessProbe {
     }
   }
 
+  /** Ragged-embedding corpus: a deterministic 10 % of vectors truncate
+    * to half dimension (a mixed-model-version embedding table — the
+    * schema can't prevent it, so the operators must tolerate it). Only
+    * `embeddings` changes; pass criterion is still no exception — the
+    * vector kernels define ragged pairs as NULL, quantizers see the
+    * dims they see.
+    */
+  def buildRagged(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    graft.Fixtures.tableNames.foreach { t =>
+      val df = graft.Fixtures.table(spark, baseDir, t)
+      val out =
+        if (t != "embeddings") df
+        else df.withColumn("embedding",
+          when(pmod(col("vec_id"), lit(10)) === 0,
+            slice(col("embedding"), lit(1), greatest(lit(1),
+              (size(col("embedding")) / 2).cast("int"))))
+            .otherwise(col("embedding")))
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   /** Runs every registry query against `dir`; returns (name, error). */
   def sweep(spark: SparkSession, dir: String,
       onProgress: String => Unit = _ => ()): Seq[(String, String)] = {
@@ -81,7 +107,7 @@ object RobustnessProbe {
     if (e.getCause == null || (e.getCause eq e)) e else rootCause(e.getCause)
 
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.getOrElse("both")
+    val mode = args.headOption.getOrElse("both") // empty | nulls | ragged | both
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -111,6 +137,11 @@ object RobustnessProbe {
       val dir = "/tmp/graft_degen/nulls"
       buildNulls(spark, base, dir)
       total += report("NULL-heavy corpus", dir)
+    }
+    if (mode == "ragged" || mode == "both") {
+      val dir = "/tmp/graft_degen/ragged"
+      buildRagged(spark, base, dir)
+      total += report("RAGGED-embeddings corpus", dir)
     }
     spark.stop()
     if (total > 0) sys.exit(1)

@@ -38,6 +38,27 @@ class DegenerateCorpusSpec extends SparkSpec {
       s"empty-corpus crashes: ${fails.map { case (n, e) => s"$n [$e]" }.mkString("; ")}")
   }
 
+  test("ragged-embeddings corpus: mixed-dim vectors aggregate, never index OOB") {
+    val dir = tmpDir("graft_ragged_spec")
+    RobustnessProbe.buildRagged(spark, base, dir)
+    val names = Set(
+      // the 8 round-12 ragged-sweep failures
+      "q28_arrays", "l11_centroids", "l15_ivf_ann", "l35_ivfpq_ann",
+      "l72_ivf_index", "l48_semdedup", "l100_cluster_sample",
+      "l107_procrustes_align",
+      // neighbors on the same code paths
+      "l05_cosine_knn", "l12_embed_neardup", "l94_pq_ann", "l27_quantize")
+    val fails = graft.SparkEntry.registry.filter(q => names(q.name)).flatMap { q =>
+      try {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save(); None
+      } catch { case e: Throwable =>
+        Some(q.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      }
+    }
+    assert(fails.isEmpty,
+      s"ragged-corpus crashes: ${fails.map { case (n, e) => s"$n [$e]" }.mkString("; ")}")
+  }
+
   test("null-heavy corpus: the round-12 crash sites and the ANN family stay fixed") {
     val dir = tmpDir("graft_nulls_spec")
     RobustnessProbe.buildNulls(spark, base, dir)
