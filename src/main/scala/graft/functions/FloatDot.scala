@@ -8,8 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Codegen'd dot product over numeric array columns (float or double
-  * elements per side), accumulating in double with a sequential
+/** Codegen'd dot product over numeric array columns (float, double,
+  * or tinyint elements per side — the int8 posting codes of the IVF
+  * index score WITHOUT a per-pair cast-to-double array allocation,
+  * which would also rebuild the array as a generic one and forfeit
+  * the word-level null scan), accumulating in double with a sequential
   * left-to-right fold — the same order `aggregate(zip_with(...))`
   * folds in and the same order DuckDB's `list_sum(list_transform(
   * list_zip(...)))` oracle folds in, so results stay bit-identical
@@ -33,6 +36,7 @@ case class FloatDot(left: Expression, right: Expression)
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(ByteType, _) => Some(ByteType)
     case _ => None
   }
 
@@ -40,11 +44,12 @@ case class FloatDot(left: Expression, right: Expression)
     if (elemType(left).isDefined && elemType(right).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot needs array<float|double> inputs, got " +
+      s"graft_dot needs array<float|double|tinyint> inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
 
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble
+    case ByteType => a.getByte(i).toDouble
     case _ => a.getDouble(i)
   }
 
@@ -65,6 +70,7 @@ case class FloatDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(t: DataType, arr: String, i: String): String = t match {
       case FloatType => s"(double) $arr.getFloat($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
       case _ => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -202,6 +208,7 @@ case class FloatSqDist(left: Expression, right: Expression)
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(ByteType, _) => Some(ByteType)
     case _ => None
   }
 
@@ -209,11 +216,12 @@ case class FloatSqDist(left: Expression, right: Expression)
     if (elemType(left).isDefined && elemType(right).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sqdist needs array<float|double> inputs, got " +
+      s"graft_sqdist needs array<float|double|tinyint> inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
 
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble
+    case ByteType => a.getByte(i).toDouble
     case _ => a.getDouble(i)
   }
 
@@ -236,6 +244,7 @@ case class FloatSqDist(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(t: DataType, arr: String, i: String): String = t match {
       case FloatType => s"(double) $arr.getFloat($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
       case _ => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -312,6 +321,7 @@ case class FloatCosine(left: Expression, right: Expression)
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(ByteType, _) => Some(ByteType)
     case _ => None
   }
 
@@ -319,11 +329,12 @@ case class FloatCosine(left: Expression, right: Expression)
     if (elemType(left).isDefined && elemType(right).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine needs array<float|double> inputs, got " +
+      s"graft_cosine needs array<float|double|tinyint> inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
 
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble
+    case ByteType => a.getByte(i).toDouble
     case _ => a.getDouble(i)
   }
 
@@ -346,6 +357,7 @@ case class FloatCosine(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(t: DataType, arr: String, i: String): String = t match {
       case FloatType => s"(double) $arr.getFloat($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
       case _ => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
