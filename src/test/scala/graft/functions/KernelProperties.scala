@@ -199,6 +199,57 @@ object KernelProperties extends Properties("graft.functions.kernels") {
       Some(ab / (math.sqrt(aa) * math.sqrt(bb)))
     }
 
+  // int8 posting codes (the IVF scan path): float query side × tinyint
+  // code side, same null/word-boundary coverage as the float pairs —
+  // the byte getter must produce the exact doubles the old
+  // cast("array<double>") produced.
+  private val optByteVecGen: Gen[Seq[Option[Byte]]] = for {
+    n <- Gen.oneOf(0, 1, 7, 63, 64, 65, 128)
+    vs <- Gen.listOfN(n, Gen.chooseNum(-127, 127).map(_.toByte))
+    nullAt <- Gen.oneOf[Seq[Int]](
+      Seq(Seq.empty[Int], Seq.empty[Int]) ++
+        (if (n > 0) Seq(Seq(0), Seq(n - 1), Seq(n / 2)) else Nil))
+  } yield vs.zipWithIndex.map { case (v, i) =>
+    if (nullAt.contains(i)) None else Some(v)
+  }
+
+  property("mixed float x tinyint kernels match the IEEE reference (IVF int8 scan path)") =
+    forAll(Gen.listOfN(6, Gen.zip(optVecGen, optByteVecGen))) { pairs =>
+      // align lengths half the time so non-null results actually occur
+      val data = pairs.zipWithIndex.map { case ((a, b), i) =>
+        val bAligned = if (i % 2 == 0 && a.length != b.length)
+          Seq.tabulate(a.length)(j => b.lift(j).flatten.map(identity)) else b
+        (i.toLong, a, bAligned)
+      }
+      val df = data.toDF("id", "a", "b")
+      val rows = df.select(col("id"),
+          FloatDot.dot(col("a"), col("b")).as("dot"),
+          FloatCosine.cosine(col("a"), col("b")).as("cos"))
+        .collect()
+      def refB(a: Seq[Option[Float]], b: Seq[Option[Byte]]): (Option[Double], Option[Double]) =
+        if (a.length != b.length || a.exists(_.isEmpty) || b.exists(_.isEmpty)) (None, None)
+        else {
+          var ab = 0.0; var aa = 0.0; var bb = 0.0
+          a.zip(b).foreach { case (x, y) =>
+            val xd = x.get.toDouble; val yd = y.get.toDouble
+            ab += xd * yd; aa += xd * xd; bb += yd * yd
+          }
+          (Some(ab), Some(ab / (math.sqrt(aa) * math.sqrt(bb))))
+        }
+      rows.sortBy(_.getLong(0)).zip(data.sortBy(_._1)).forall { case (r, (_, a, b)) =>
+        val (eDot, eCos) = refB(a, b)
+        val gDot = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+        val gCos = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+        def same(g: Option[Double], e: Option[Double]) = (g, e) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) =>
+            java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+          case _ => false
+        }
+        same(gDot, eDot) && same(gCos, eCos)
+      }
+    }
+
   property("fused cosine kernel is bit-identical to the IEEE dot/norm reference") =
     forAll(Gen.listOfN(6, Gen.zip(optVecGen, optVecGen))) { pairs =>
       val data = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
