@@ -148,6 +148,18 @@ private[functions] object VectorKernels {
     * the interpreted eval across word boundaries (n = 63/64/65…).
     */
   def anyNullFn(ctx: CodegenContext): String = {
+    // The word-OR fast path below hard-codes UnsafeArrayData's byte
+    // layout (null-bitmap words at baseOffset+8, tail bits beyond
+    // numElements zero-initialized by UnsafeArrayWriter). That holds
+    // for every Spark 4.x writer and is pinned at runtime by
+    // KernelProperties' word-boundary tests (n = 63/64/65…) — but a
+    // Spark major upgrade could change the format or leave garbage
+    // tail bits and silently flip results to spurious NULLs. Fail
+    // LOUDLY on an unvalidated Spark line instead.
+    require(org.apache.spark.SPARK_VERSION.startsWith("4."),
+      s"VectorKernels.anyNullFn assumes the Spark 4.x UnsafeArrayData " +
+        s"layout; re-validate KernelProperties against Spark " +
+        s"${org.apache.spark.SPARK_VERSION} before lifting this check")
     // freshName per expression instance: addNewFunction does not dedupe
     // by name, so a plan with several kernels would otherwise generate
     // duplicate methods.

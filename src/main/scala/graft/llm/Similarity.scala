@@ -365,7 +365,12 @@ object Similarity {
     val vb = base.select(col("_nd_id").as("id_b"), col("_nd_vec").as("v_b"))
     cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
-      .filter(col("cos") >= minCos)
+      // NaN (zero-norm vector) compares GREATER than every double in
+      // Spark, so an unguarded `cos >= minCos` would declare a zero
+      // vector a near-dup of everything in its bucket — silent data
+      // loss once a dedup drops the "losers". Threshold sites need the
+      // same guard as the ranking sites.
+      .filter(!isnan(col("cos")) && col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
@@ -445,6 +450,10 @@ object Similarity {
     // zero rows would flow), every corpus row — there are none — lands
     // in cell 0, and the query returns empty instead of crashing.
     // RobustnessProbe's empty-corpus sweep pins this for the IVF family.
+    // CONTRACT: the sentinel is a plan-resolution device for THIS query
+    // only — it must never be frozen/persisted as a real quantizer
+    // (appendToIvfIndex rejects it; a dim-1 centroid against real
+    // vectors would yield ragged dots -> NULL cells -> dropped rows).
     if (centroids.isEmpty) return Array(Array(0.0))
     (1 to lloydIters).foreach { _ =>
       val byCell = present
@@ -667,6 +676,14 @@ object Similarity {
     require(qrows.iterator.map(_.getInt(0)).sameElements(qrows.indices.iterator),
       s"quantizer cells must be contiguous 0..${qrows.length - 1}")
     val centroids = qrows.map(_.getSeq[Double](1).toArray)
+    // a quantizer trained on an EMPTY corpus is the dim-1 sentinel
+    // [[0.0]] (see trainIvfCentroids). Appending real vectors against
+    // it would compute a ragged dot -> NULL cell and silently drop
+    // every posting from the index — fail fast and demand a retrain.
+    require(!(centroids.length == 1 && centroids(0).length == 1
+        && centroids(0)(0) == 0.0),
+      "quantizer is the empty-corpus sentinel ([[0.0]]) — it must not be " +
+        "frozen/persisted; retrain on the non-empty corpus before appending")
     val vd = transform(col(cVec), x => x.cast("double"))
     val scale = array_max(transform(vd, a => abs(a)))
     batch
@@ -829,7 +846,11 @@ object Similarity {
     val pairs = lhs.join(rhs, Seq("_sd_cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
-      .filter(col("cos") >= minCos)
+      // !isnan: a zero-norm embedding yields NaN cosine, which Spark
+      // orders above every double — without the guard it would join a
+      // component with everything in its cell and semDedup would drop
+      // real documents (silent data loss)
+      .filter(!isnan(col("cos")) && col("cos") >= minCos)
       .select("id_a", "id_b")
     val clusters = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
     try {

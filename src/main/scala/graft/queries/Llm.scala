@@ -377,14 +377,17 @@ object Llm {
          |    ${duckDot.format("a.embedding", "b.embedding")} /
          |    (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) as cos
          |  from embeddings a join embeddings b on b.vec_id > a.vec_id
-         |) t where cos >= 0.4""".stripMargin) {
+         |) t where not isnan(cos) and cos >= 0.4""".stripMargin) {
       (s, d) =>
         val emb = Fixtures.table(s, d, "embeddings")
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
         val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
         a.join(b, col("id_b") > col("id_a"))
           .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
-          .filter(col("cos") >= 0.4)
+          // NaN (zero-norm) sorts above every double in BOTH engines, so
+          // an unguarded threshold silently admits zero vectors as
+          // near-dups of everything; guard mirrored in the oracle SQL
+          .filter(!isnan(col("cos")) && col("cos") >= 0.4)
           .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     },
 

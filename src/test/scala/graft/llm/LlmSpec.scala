@@ -177,6 +177,51 @@ class LlmSpec extends SparkSpec {
     assert(keptIds() == kept, "semDedup output is not deterministic")
   }
 
+  test("zero-norm vectors (NaN cosine) never pass similarity thresholds or dedup real rows") {
+    // A zero-norm embedding (all-zeros vector — real in degenerate crawl
+    // data) yields NaN cosine, and BOTH Spark and DuckDB order NaN above
+    // every double — so an unguarded `cos >= minCos` silently declares
+    // the zero vector a near-dup of everything sharing its LSH bucket /
+    // IVF cell, and a dedup then drops real documents. Pin the guards at
+    // the three threshold sites (nearDupPairs, semDedup, l12's filter).
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val corpus = graft.queries.Llm.plantedCorpus(emb).select("vec_id", "embedding")
+    val zero = spark.range(1).select(lit(900000L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"))
+    val withZero = corpus.unionByName(zero)
+    val pairs = Similarity.nearDupPairs(withZero, "vec_id", "embedding", minCos = 0.99)
+    assert(pairs.filter(col("id_a") === 900000L || col("id_b") === 900000L).count() == 0,
+      "zero-norm vector leaked through the nearDupPairs threshold")
+    val kept = Similarity.semDedup(withZero, "vec_id", "embedding", minCos = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(900000L),
+      "semDedup silently dropped the zero-norm vector as a 'near-dup'")
+    assert((0L until 500L).forall(kept.contains), "an original was dropped")
+    // the l12 brute-force shape: NaN rows must be filtered, not admitted
+    val a = withZero.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = withZero.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val l12 = a.join(b, col("id_b") > col("id_a"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(!isnan(col("cos")) && col("cos") >= 0.4)
+    assert(l12.filter(col("id_a") === 900000L || col("id_b") === 900000L).count() == 0)
+  }
+
+  test("appendToIvfIndex rejects the empty-corpus sentinel quantizer") {
+    // A quantizer trained on an empty corpus is the dim-1 sentinel
+    // [[0.0]]; freezing it and appending real vectors would compute a
+    // ragged dot -> NULL cell and silently drop every posting. The
+    // append path must fail fast instead.
+    val none = emb.filter(lit(false))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val (quantizer, _) = Similarity.buildIvfIndex(none, "c_id", "c_vec")
+    val batch = emb.limit(5)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(batch, quantizer, "c_id", "c_vec")
+    }
+    assert(ex.getMessage.contains("sentinel"))
+  }
+
   test("IVF ANN: planted near-dup queries retrieve their originals; output deterministic") {
     // corpus = raw float fixture; queries = the planted noisy copies
     // (true NN of planted vec_id i+100000 is original i at cos≈0.9997,
