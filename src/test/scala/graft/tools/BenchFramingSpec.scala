@@ -27,7 +27,10 @@ class BenchFramingSpec extends AnyFunSuite {
     assert(node.get("n_queries").asInt() == results.size)
     assert(node.get("queries_shown").asInt() == node.get("queries").size())
     assert(node.get("queries_shown").asInt() <= results.size)
-    assert(node.get("full").asText() == "BENCH_FULL.json")
+    assert(node.get("full").asText() == "BENCH_LAST.json")
+    // calibration fields must always be present for cross-run compare
+    assert(node.has("calibration_sec") && node.has("calib_factor")
+      && node.has("value_norm"), s"$label: calibration fields missing")
     // the shown subset is the slowest queries — worth eyeballing first
     if (results.nonEmpty && node.get("queries_shown").asInt() > 0) {
       val slowest = results.maxBy(_._2)._1
@@ -47,6 +50,34 @@ class BenchFramingSpec extends AnyFunSuite {
     check(long, long.take(80).map(_._1), "80 divergent")
     check(Nil, Nil, "empty")
     check(Seq("q1" -> 1234567.89), Nil, "one huge value")
+  }
+
+  test("calibration normalization: value_norm = value x ref/measured") {
+    val results = Seq("q1" -> 10.0, "q2" -> 20.0)
+    // a host exactly 2x slower than the reference
+    val line = graft.Bench.renderLine(results, Nil, "sf",
+      calibrationSec = graft.Bench.calibrationRef * 2.0)
+    val node = mapper.readTree(line)
+    assert(math.abs(node.get("value").asDouble() - 30.0) < 1e-9)
+    assert(math.abs(node.get("value_norm").asDouble() - 15.0) < 1e-6,
+      "normalized total should halve on a 2x-slower host")
+    assert(math.abs(node.get("calib_factor").asDouble() - 0.5) < 1e-6)
+  }
+
+  test("quiet reference BENCH_FULL.json is written only on explicit opt-in") {
+    import graft.Bench.quietCommitAllowed
+    assert(!quietCommitAllowed(subset = false, env = Map.empty),
+      "a default full run must NOT clobber the committed quiet artifact")
+    assert(!quietCommitAllowed(subset = true,
+      env = Map("SPARK_GRAFT_COMMIT_QUIET" -> "1")),
+      "a subset run must never refresh the quiet artifact")
+    assert(quietCommitAllowed(subset = false,
+      env = Map("SPARK_GRAFT_COMMIT_QUIET" -> "1")))
+  }
+
+  test("calibration kernel is deterministic work and returns a sane time") {
+    val t = graft.Bench.calibrationOnce()
+    assert(t > 0.01 && t < 30.0, s"calibration kernel took $t s")
   }
 
   test("divergent overflow is marked, never silently dropped") {
