@@ -856,6 +856,67 @@ object Multimodal {
     out.toArray
   }
 
+  /** Per-thread cached image decode — the SPI-registry bypass for the
+    * pixel-decode hot paths ([[videoFrames]], [[imageDHash]],
+    * [[imagePHash]], [[imageFeatures]]). `ImageIO.read` performs a
+    * synchronized IIORegistry service lookup (stream SPI + reader SPI)
+    * PER CALL; at 32 decode threads the round-12 100× multimodal probe
+    * measured that contention as a ~1.2× overage on 2.5 M frame
+    * decodes (SCALING round-12). Instead: sniff the container from its
+    * magic bytes, lease a per-thread per-format [[javax.imageio.ImageReader]]
+    * (readers are stateful and NOT thread-safe — hence the
+    * ThreadLocal), and feed it a directly-constructed
+    * MemoryCacheImageInputStream, so the steady-state decode touches no
+    * global registry at all. Unrecognized containers fall back to stock
+    * `ImageIO.read`. Decode failures return null (= skip row), matching
+    * the callers' undecodable-payload contract.
+    */
+  private[llm] object ThreadLocalImageDecoder {
+    private val readers =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+        override def initialValue() =
+          new java.util.HashMap[String, javax.imageio.ImageReader]()
+      }
+
+    private def sniff(bytes: Array[Byte]): String =
+      if (bytes == null || bytes.length < 8) null
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N'
+        && bytes(3) == 'G') "png"
+      else null
+
+    def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val fmt = sniff(bytes)
+      if (fmt == null) {
+        if (bytes == null) return null
+        // exotic container: the stock registry path, null on failure
+        return try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      }
+      val m = readers.get()
+      var rd = m.get(fmt)
+      if (rd == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (!it.hasNext) return null // no reader installed for a sniffed format
+        rd = it.next()
+        m.put(fmt, rd)
+      }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        rd.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+        rd.read(0)
+      } catch { case _: Exception => null }
+      finally {
+        // drop the reference to the dead stream; the reader itself is
+        // reused (setInput fully resets its state)
+        try rd.setInput(null) catch { case _: Exception => () }
+        iis.close()
+      }
+    }
+  }
+
   /** Per-frame video decode: explode each MJPEG AVI payload into one
     * row per frame with REAL ImageIO-decoded width/height and the
     * 64-level luma bucket `round((mean_gray − 32) / 64)` (quantization-
@@ -880,8 +941,7 @@ object Multimodal {
         val frames = aviFrames(r.getAs[Array[Byte]](payloadIdx))
         if (frames == null) Iterator.empty
         else frames.iterator.zipWithIndex.flatMap { case (fb, idx) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(fb))
+          val img = ThreadLocalImageDecoder.read(fb)
           if (img == null) Iterator.empty
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -1024,8 +1084,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val img = ThreadLocalImageDecoder.read(bytes)
         val extra: Any = if (img == null) null else {
           val (w, h) = (img.getWidth, img.getHeight)
           if (w < 9 || h < 8) null else {
@@ -1090,8 +1149,7 @@ object Multimodal {
         math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val img = ThreadLocalImageDecoder.read(bytes)
         val extra: Any = if (img == null) null else {
           val (w, h) = (img.getWidth, img.getHeight)
           if (w < N || h < N) null else {
@@ -1280,7 +1338,7 @@ object Multimodal {
     * from decoded pixels (0-255 scale), byte-fold tail past index 4.
     */
   def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = ThreadLocalImageDecoder.read(bytes)
     if (img == null) return fakeFeatures(bytes, dim)
     val (w, h) = (img.getWidth, img.getHeight)
     var (sr, sg, sb) = (0L, 0L, 0L)

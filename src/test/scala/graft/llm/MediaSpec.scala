@@ -340,6 +340,42 @@ class MediaSpec extends SparkSpec {
     assert(ham(h(1L), h(3L)) > 8, "independent noise images should be far apart")
   }
 
+  test("ThreadLocalImageDecoder decodes pixel-identically to ImageIO.read; null on junk") {
+    // the SPI-registry-bypassing decoder must be a drop-in: same pixels
+    // for PNG and JPEG, reader state fully reset between reuses (decode
+    // the same thread twice with DIFFERENT images), null for garbage
+    def pixels(img: java.awt.image.BufferedImage): Seq[Int] =
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y)
+    val png1 = Multimodal.noisePngBytes(17, 13, seed = 3L)
+    val png2 = Multimodal.noisePngBytes(9, 21, seed = 4L)
+    val jpg = Multimodal.grayJpegBytes(24, 24, gray = 96)
+    for (bytes <- Seq(png1, png2, jpg, png1)) { // png1 twice: reader reuse
+      val got = Multimodal.ThreadLocalImageDecoder.read(bytes)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(got != null && ref != null)
+      assert(got.getWidth == ref.getWidth && got.getHeight == ref.getHeight)
+      assert(pixels(got) == pixels(ref), "decoded pixels diverge from ImageIO.read")
+    }
+    assert(Multimodal.ThreadLocalImageDecoder.read(null) == null)
+    assert(Multimodal.ThreadLocalImageDecoder.read(Array[Byte](1, 2, 3)) == null)
+    // sniffed-as-JPEG but truncated: must yield null, not throw
+    assert(Multimodal.ThreadLocalImageDecoder.read(
+      jpg.take(20).toArray) == null)
+    // concurrent decode from many threads (the contention scenario)
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 16).map(_ => new Thread(() => {
+      var i = 0
+      while (i < 20) {
+        val img = Multimodal.ThreadLocalImageDecoder.read(png1)
+        if (img != null && img.getWidth == 17) ok.incrementAndGet()
+        i += 1
+      }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ok.get() == 16 * 20, s"concurrent decodes: ${ok.get()}/320 succeeded")
+  }
+
   test("hammingPairs equals brute force at radius 0..3") {
     val codes = Seq(
       1L -> 0x0123456789abcdefL,

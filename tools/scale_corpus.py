@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Build the 10x scaled corpus used by SCALING.md's probes.
 
-Usage: python3 tools/scale_corpus.py [srcDir] [dstDir] [replicas]
-       (defaults: /root/testdata/sf0.1 /tmp/sf1x10 10)
+Usage: python3 tools/scale_corpus.py [srcDir] [dstDir] [replicas] [tables]
+       (defaults: /root/testdata/sf0.1 /tmp/sf1x10 10 all-tables;
+        tables = comma list to restrict, e.g. lineitem,orders,events —
+        the 1000x relational probe skips the 20 GB of embeddings it
+        would never read)
 
 documents: replicated with ids shifted by r*10^7; replicas r>0 get two
 replica-specific token substitutions so cross-replica text pairs fall
@@ -27,29 +30,35 @@ def main():
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x10"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     import os
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    def want(t):
+        return only is None or t in only
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"""
-    copy (
-      select doc_id + r*10000000 as doc_id,
-             case when r = 0 then text
-                  else replace(replace(text, 'the', 'the'||r), 'and', 'and'||r)
-             end as text,
-             lang, source, n_chars
-      from read_parquet('{src}/documents.parquet'), range({n}) t(r)
-    ) to '{dst}/documents.parquet' (format parquet)
-    """)
-    con.execute(f"""
-    copy (
-      select vec_id + r*10000000 as vec_id,
-             list_transform(embedding,
-               x -> cast(x * (1 + 0.003*r) + 0.001*r as float)) as embedding,
-             label
-      from read_parquet('{src}/embeddings.parquet'), range({n}) t(r)
-    ) to '{dst}/embeddings.parquet' (format parquet)
-    """)
+    if want("documents"):
+        con.execute(f"""
+        copy (
+          select doc_id + r*10000000 as doc_id,
+                 case when r = 0 then text
+                      else replace(replace(text, 'the', 'the'||r), 'and', 'and'||r)
+                 end as text,
+                 lang, source, n_chars
+          from read_parquet('{src}/documents.parquet'), range({n}) t(r)
+        ) to '{dst}/documents.parquet' (format parquet)
+        """)
+    if want("embeddings"):
+        con.execute(f"""
+        copy (
+          select vec_id + r*10000000 as vec_id,
+                 list_transform(embedding,
+                   x -> cast(x * (1 + 0.003*r) + 0.001*r as float)) as embedding,
+                 label
+          from read_parquet('{src}/embeddings.parquet'), range({n}) t(r)
+        ) to '{dst}/embeddings.parquet' (format parquet)
+        """)
     for t in ["region", "nation"]:
-        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        if want(t):
+            shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
     # keyed replication: shift every key column by r*10^7 in lockstep so
     # each replica is a self-contained join world (constant fan-out per key)
     S = 10_000_000
@@ -62,6 +71,8 @@ def main():
         "events":   ["event_id", "user_id"],
     }
     for t, keys in keyed.items():
+        if not want(t):
+            continue
         cols = [c[0] for c in con.execute(
             f"describe select * from read_parquet('{src}/{t}.parquet')").fetchall()]
         sel = ", ".join(
@@ -72,9 +83,9 @@ def main():
           from read_parquet('{src}/{t}.parquet'), range({n}) t(r)
         ) to '{dst}/{t}.parquet' (format parquet)
         """)
-    d = con.execute(f"select count(*), count(distinct doc_id) from read_parquet('{dst}/documents.parquet')").fetchone()
-    e = con.execute(f"select count(*), count(distinct vec_id) from read_parquet('{dst}/embeddings.parquet')").fetchone()
-    li = con.execute(f"select count(*), count(distinct l_orderkey) from read_parquet('{dst}/lineitem.parquet')").fetchone()
+    d = con.execute(f"select count(*), count(distinct doc_id) from read_parquet('{dst}/documents.parquet')").fetchone() if want("documents") else None
+    e = con.execute(f"select count(*), count(distinct vec_id) from read_parquet('{dst}/embeddings.parquet')").fetchone() if want("embeddings") else None
+    li = con.execute(f"select count(*), count(distinct l_orderkey) from read_parquet('{dst}/lineitem.parquet')").fetchone() if want("lineitem") else None
     print(f"documents: {d}, embeddings: {e}, lineitem: {li} -> {dst}")
 
 if __name__ == "__main__":
