@@ -159,7 +159,24 @@ final class Catalog(val root: String) {
     v <- m.versions.find(_.id == a)
   } yield v.recordCount).getOrElse(0L)
 
-  /** GC: delete non-active version directories older than `keepMs`. */
+  /** GC: delete non-active version directories older than `keepMs`.
+    *
+    * Interaction with hardlinked upsert chains (TableHandle's bucket-
+    * pruned upsert hardlinks untouched partition files from the
+    * previous version into the new one): deleting an old version's
+    * directory only UNLINKS its names — a file's inode survives as
+    * long as the active version still links it, so the active version
+    * stays byte-identical readable while all non-shared space is
+    * reclaimed (pinned by TableHandleSpec's upsert-chain vacuum test).
+    * OBJECT-STORE NOTE: S3-class stores have no hardlinks; the
+    * equivalent layout is a per-version MANIFEST that lists object
+    * keys, where "link" = re-list the key and vacuum = delete only
+    * objects referenced by NO live manifest (refcount over manifests,
+    * the Iceberg/Delta GC rule). Deleting old manifests without the
+    * refcount sweep would orphan shared objects; deleting objects by
+    * version prefix would corrupt the active version. This local-FS
+    * implementation is the hardlink specialization of that contract.
+    */
   def vacuum(name: String, keepMs: Long = 0L): Seq[String] = {
     val now = System.currentTimeMillis()
     meta(name).toSeq.flatMap { m =>

@@ -413,6 +413,52 @@ class TableHandleSpec extends SparkSpec {
     intercept[IllegalArgumentException](r.append(Seq(2L).toDF("id")))
   }
 
+  test("vacuum after a hardlinked upsert chain: active intact, non-shared space reclaimed") {
+    import spark.implicits._
+    // The bucket-pruned upsert HARDLINKS untouched partition files from
+    // the previous version into the new one, so after a chain of
+    // upserts the active version's files are link-shared with many dead
+    // versions. The vacuum contract (Catalog.vacuum scaladoc): deleting
+    // every dead version must leave the active version byte-identical
+    // readable (inodes survive while the active name links them) AND
+    // reclaim all non-shared space.
+    val root = tmpDir("vac")
+    val cat = new Catalog(root)
+    val h = new TableHandle(spark, cat, "t")
+      .init(uniqueOn = Seq("id"), hashBuckets = Some(8))
+    h.append((0L until 400L).map(i => (i, s"v$i")).toDF("id", "s")); h.flush()
+    // 20 single-key upserts: each rewrites ~1 bucket, hardlinks the rest
+    (1 to 20).foreach { k =>
+      h.upsert(Seq((k.toLong * 17 % 400, s"u$k")).toDF("id", "s")); h.flush()
+    }
+    val expected = h.read.orderBy("id").collect().map(_.toSeq).toSeq
+    val m = h.meta
+    val active = m.activeVersion.get
+    assert(m.versions.size == 21, s"expected 21 versions, got ${m.versions.size}")
+    def parquetFiles(dir: java.nio.file.Path): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      if (!java.nio.file.Files.exists(dir)) Set.empty
+      else java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val tableDir = java.nio.file.Paths.get(cat.versionPath("t", active)).getParent
+    val activeDir = java.nio.file.Paths.get(cat.versionPath("t", active))
+    val filesBefore = parquetFiles(tableDir)
+    val activeFiles = parquetFiles(activeDir)
+    // the chain actually shares files: dead versions hold MORE parquet
+    // names than the active one alone
+    assert(filesBefore.size > activeFiles.size)
+    val dead = cat.vacuum("t")
+    assert(dead.size == 20, s"expected 20 dead versions, got ${dead.size}")
+    // all non-shared space reclaimed: only the active version's files remain
+    assert(parquetFiles(tableDir) == activeFiles)
+    // active version still byte-identical readable through the catalog
+    assert(h.meta.activeVersion.contains(active))
+    assert(h.read.orderBy("id").collect().map(_.toSeq).toSeq == expected)
+    assert(h.recordCount == 400)
+  }
+
   test("time travel: a replaced-away version stays readable until vacuum") {
     import spark.implicits._
     val h = handle(tmpDir("tt"))
