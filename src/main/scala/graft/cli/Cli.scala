@@ -239,7 +239,7 @@ object Cli {
     "-o" -> "organization", "-f" -> "force", "-d" -> "diff",
     "-n" -> "title", "-t" -> "type", "-a" -> "app", "-c" -> "component")
   private val commonValued = Set("organization", "title", "type", "app",
-    "component", "node-id", "name", "description")
+    "component", "node-id", "name", "description", "due")
 
   private def parse(raw: Seq[String]): Args =
     new Args(raw, commonAliases, commonValued)
@@ -544,11 +544,17 @@ object Cli {
 
   // --------------------------------------------------------------- trigger
 
-  /** `trigger [--app DIR] [--node-id ID] [NODE_PATH]`
+  /** `trigger [--app DIR] [--node-id ID] [--due NOW] [NODE_PATH]`
     * (trigger.py:18-56): run one node of a local app immediately on a
-    * local Spark session.
+    * local Spark session. With `--due <ISO datetime|now>` instead of a
+    * node, evaluate every node's `trigger:` cron against the app's
+    * last-run ledger ([[graft.graph.GraphScheduler]]) and run the due
+    * ones — the G2 poll step, injectable-clock testable (cron.yml's
+    * `trigger: 1 * * * *` field finally selects nodes at runtime).
     */
   private def trigger(a: Args): Unit = {
+    val dueAt = Option(a.opt("due")).filter(_.nonEmpty)
+    if (dueAt.isDefined) { triggerDue(a, dueAt.get); return }
     val nodePath = a.positional.headOption
     val nodeId = Option(a.opt("node-id")).filter(_.nonEmpty)
     if (nodePath.isDefined && nodeId.isDefined)
@@ -594,6 +600,53 @@ object Cli {
           Packaging.componentResolverFromZips(registryRoot.toString))
       runner.runNode(id)
       println(s"Triggered node ${nodePath.getOrElse(id)}")
+    } finally if (existing.isEmpty) spark.stop()
+  }
+
+  /** The `--due` poll: run every cron-due node (catch-up rule,
+    * GraphScheduler scaladoc) and advance the last-run ledger to the
+    * poll instant. Exposed with an explicit `now` so specs drive it
+    * with an injected clock; `--due now` uses the wall clock.
+    */
+  private def triggerDue(a: Args, at: String): Unit = {
+    val dir =
+      if (a.opt("app").nonEmpty) resolveAppDir(a.opt("app"))
+      else nearestGraphDir(Paths.get("."))
+    val manifest = GraphManifest.load(dir.toString)
+    val now =
+      if (at == "now") java.time.LocalDateTime.now()
+      else java.time.LocalDateTime.parse(at)
+    val warehouse = sys.env.getOrElse("GRAFT_WAREHOUSE",
+      dir.resolve(".graft-warehouse").toString)
+    val ledger = Paths.get(warehouse).resolve("_scheduler")
+      .resolve("last_runs.tsv")
+    val lastRuns = graft.graph.GraphScheduler.loadLastRuns(ledger)
+    val due = graft.graph.GraphScheduler.due(manifest, lastRuns, now)
+    if (due.isEmpty) { println("No nodes due."); return }
+    val existing = org.apache.spark.sql.SparkSession.getDefaultSession
+    val spark = existing.getOrElse {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("graft-trigger-due")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    try {
+      val runner = new GraphRunner(spark, manifest, warehouse,
+        componentResolver =
+          Packaging.componentResolverFromZips(registryRoot.toString))
+      due.foreach(runner.runNode)
+      // ledger advances to the POLL instant (not each node's cron
+      // minute): nextAfter(now) is the next real firing either way,
+      // and a crash between runs re-runs at most this poll's nodes
+      graft.graph.GraphScheduler.saveLastRuns(ledger,
+        lastRuns ++ due.map(_ -> now))
+      println(s"Triggered ${due.size} due node(s): ${due.mkString(", ")}")
     } finally if (existing.isEmpty) spark.stop()
   }
 
@@ -684,7 +737,7 @@ object Cli {
        |  upload [--force] [--diff] [--publish-component] [APP]
        |  download [--force] [--diff] [APP] [DIR]
        |  list apps|webhooks|organizations|secrets [--json]
-       |  trigger [--app DIR] [--node-id ID] [NODE_PATH]
+       |  trigger [--app DIR] [--node-id ID] [--due ISO_DATETIME|now] [NODE_PATH]
        |  delete [--force] APP
        |  update app [--public|--private] [--deprecated|--no-deprecated] [APP]
        |  config [--organization SLUG] [--json]

@@ -314,6 +314,39 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("trigger --due runs cron-due nodes with an injected clock and advances the ledger") {
+    withSandbox { (_, work) =>
+      val app = work.resolve("cronapp")
+      run("create", "app", "--name", "cronapp", app.toString)
+      Files.writeString(app.resolve("gen.sql"), "select 7 as answer\n")
+      GraphConfigEditor(app.resolve("graph.yml"))
+        .addTable("out_t")
+        .addNode("gen.sql", trigger = "1 * * * *",
+          outputs = Seq("result" -> "out_t"), id = "cron01")
+        .write()
+      def due(at: String): String = {
+        val out = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+          assert(run("trigger", "--app", app.toString, "--due", at) == 0)
+        }
+        out.toString("UTF-8")
+      }
+      // first poll: never-run node is due (catch-up), runs end-to-end
+      assert(due("2026-01-01T05:01").contains("cron01"))
+      val runner = new GraphRunner(spark, GraphManifest.load(app.toString),
+        app.resolve(".graft-warehouse").toString)
+      assert(runner.tableHandle("out_t").read.collect().map(_.getInt(0)).toSeq
+        == Seq(7))
+      // same period: nothing due; past the next boundary: due again
+      assert(due("2026-01-01T05:30").contains("No nodes due"))
+      assert(due("2026-01-01T06:01").contains("cron01"))
+      // the ledger is the documented TSV under the warehouse
+      val ledger = app.resolve(".graft-warehouse")
+        .resolve("_scheduler").resolve("last_runs.tsv")
+      assert(Files.readString(ledger).startsWith("cron01\t2026-01-01T06:01"))
+    }
+  }
+
   test("update app --public, list --json, delete, config") {
     withSandbox { (home, work) =>
       val app = work.resolve("meta-app").toString
