@@ -63,7 +63,7 @@ object Bench {
 
   private val excluded = Set(
     "s05_upsert", "t01_stream_seek", "g01_graph_slice", "s09_monotonic_id",
-    "q32b_xxhash", "q12_approx_distinct",
+    "q32b_xxhash",
     "l05b_cosine_ann", "l10b_multimodal_features",
     "l15_ivf_ann", "l22_pack_sequences", "l35_ivfpq_ann", "l72_ivf_index",
     "l38_compress_ratio", "l48_semdedup", "l49_bpe_train", "l50_bpe_encode",

@@ -302,12 +302,31 @@ object Relational {
         |  cast(sum(distinct cast(l_quantity as bigint)) as bigint) as sd_qty
         |from lineitem group by l_returnflag""".stripMargin),
 
-    // Q12 — approx_count_distinct (HLL): nondeterministic vs DuckDB's
-    // different sketch → rows-only check; exactness covered by q11.
-    QuerySpec.unchecked("q12_approx_distinct") { (s, d) =>
+    // Q12 — approx_count_distinct (HLL), checked WITH TOLERANCE (the
+    // SURVEY §2.3 Q12 method: "verify with exact count instead"):
+    // Spark's HLL++ value can't hash-match DuckDB's different sketch,
+    // so the query emits the exact distinct count (hash-checked) plus
+    // the VERDICT that the sketch landed within its documented error —
+    // |approx − exact| ≤ max(5, 3·rsd·exact), rsd = 0.05 (3 standard
+    // errors ≈ 99.7%; the small absolute slack covers tiny groups where
+    // relative rsd under-states HLL's integer granularity). The oracle
+    // asserts the verdict is `true`: a sketch drifting out of bounds
+    // flips the boolean and fails the driver's hash compare.
+    QuerySpec.df("q12_approx_distinct",
+      """select event_type,
+        |  count(distinct user_id) as exact_users,
+        |  count(*) as cnt,
+        |  true as approx_ok
+        |from events group by event_type""".stripMargin) { (s, d) =>
       t(s, d, "events").groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           count(lit(1)).as("cnt"))
+        .withColumn("approx_ok",
+          abs(col("approx_users") - col("exact_users")).cast("double") <=
+            greatest(lit(5.0), lit(0.15) * col("exact_users")))
+        .select("event_type", "exact_users", "cnt", "approx_ok")
     },
 
     // Q13 — rollup + grouping()
@@ -362,16 +381,36 @@ object Relational {
         |  array_to_string(list_sort(list_distinct(list(substring(c_name, 10, 1)))), ',') as digits
         |from customer group by c_mktsegment""".stripMargin),
 
-    // Q14c — approx percentile sketch (engine-specific sketch → rows-only;
-    // exactness is covered by q14_stats' exact percentile)
-    QuerySpec.unchecked("q14c_approx_percentile") { (s, d) =>
+    // Q14c — approx percentile sketch, checked WITH RANK-ERROR BOUNDS
+    // (engine-specific sketch values can't hash-match, but Spark's
+    // GK-sketch contract — rank error ≤ n/accuracy, here 1e-4·n — CAN
+    // be asserted): the approx value must lie between the exact
+    // percentiles at p ± 0.005 (50× the guaranteed rank error; still a
+    // meaningful bound — at 0.5 it pins the approx median inside the
+    // central 1% of the distribution). The hash-checked anchor column
+    // is the exact integral-quantity median (midpoint interpolation
+    // exact in both engines, as in q14_stats); the bound verdicts are
+    // booleans the oracle asserts true, so a sketch escaping its rank
+    // guarantee fails the driver's hash compare.
+    QuerySpec.df("q14c_approx_percentile",
+      """select l_returnflag,
+        |  cast(quantile_cont(l_quantity, 0.5) as double) as med_qty,
+        |  true as med_ok, true as q1_ok, true as q3_ok
+        |from lineitem group by l_returnflag""".stripMargin) { (s, d) =>
       Fixtures.registerAll(s, d)
       // Scalar columns only: the driver canonicalizes results via pandas
       // sort/hash, which cannot handle array-typed cells.
       s.sql("""select l_returnflag,
-              |  percentile_approx(l_quantity, 0.5, 10000) as approx_med,
-              |  percentile_approx(l_extendedprice, array(0.25, 0.75), 10000)[0] as approx_q1,
-              |  percentile_approx(l_extendedprice, array(0.25, 0.75), 10000)[1] as approx_q3
+              |  cast(percentile(l_quantity, 0.5) as double) as med_qty,
+              |  percentile_approx(l_quantity, 0.5, 10000)
+              |    between percentile(l_quantity, 0.495)
+              |        and percentile(l_quantity, 0.505) as med_ok,
+              |  percentile_approx(l_extendedprice, 0.25, 10000)
+              |    between percentile(l_extendedprice, 0.245)
+              |        and percentile(l_extendedprice, 0.255) as q1_ok,
+              |  percentile_approx(l_extendedprice, 0.75, 10000)
+              |    between percentile(l_extendedprice, 0.745)
+              |        and percentile(l_extendedprice, 0.755) as q3_ok
               |from lineitem group by l_returnflag""".stripMargin)
     },
 
