@@ -677,13 +677,18 @@ object Similarity {
       s"quantizer cells must be contiguous 0..${qrows.length - 1}")
     val centroids = qrows.map(_.getSeq[Double](1).toArray)
     // a quantizer trained on an EMPTY corpus is the dim-1 sentinel
-    // [[0.0]] (see trainIvfCentroids). Appending real vectors against
+    // [[0.0]] (see trainIvfCentroids). Appending REAL vectors against
     // it would compute a ragged dot -> NULL cell and silently drop
     // every posting from the index — fail fast and demand a retrain.
-    require(!(centroids.length == 1 && centroids(0).length == 1
-        && centroids(0)(0) == 0.0),
-      "quantizer is the empty-corpus sentinel ([[0.0]]) — it must not be " +
-        "frozen/persisted; retrain on the non-empty corpus before appending")
+    // An empty batch is the one legitimate case (the degenerate-corpus
+    // sweep: empty index + empty append must compose to empty, not
+    // crash), so the check spends one cheap isEmpty action only when
+    // the sentinel is actually present.
+    if (centroids.length == 1 && centroids(0).length == 1
+        && centroids(0)(0) == 0.0)
+      require(batch.isEmpty,
+        "quantizer is the empty-corpus sentinel ([[0.0]]) — it must not be " +
+          "frozen/persisted; retrain on the non-empty corpus before appending")
     val vd = transform(col(cVec), x => x.cast("double"))
     val scale = array_max(transform(vd, a => abs(a)))
     batch
