@@ -37,4 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // At 32 threads the parquet snappy path holds JNI critical sections
+  // (GCLocker) while shuffle sorters make humongous (>half-region)
+  // pointer-array allocations; with the JDK default of 2 retries an
+  // allocation can spuriously OOM while memory is reclaimable
+  // ("Retried waiting for GCLocker too often", hit by the round-13
+  // 1000x probe on a 600M-row shuffle at 8g). Raising the retry count
+  // is the documented mitigation (JDK-8192647).
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 )
