@@ -398,20 +398,26 @@ object Relational {
         |  true as med_ok, true as q1_ok, true as q3_ok
         |from lineitem group by l_returnflag""".stripMargin) { (s, d) =>
       Fixtures.registerAll(s, d)
-      // Scalar columns only: the driver canonicalizes results via pandas
-      // sort/hash, which cannot handle array-typed cells.
+      // Scalar output columns only: the driver canonicalizes results via
+      // pandas sort/hash, which cannot handle array-typed cells. The
+      // exact percentiles ride ARRAY-percentage calls — ONE counts-map
+      // aggregation buffer per column instead of one per bound (the
+      // six-scalar-agg formulation measured 4.3 s vs q14_stats' 0.5 s
+      // at sf0.1; this one is back at the family's floor).
       s.sql("""select l_returnflag,
-              |  cast(percentile(l_quantity, 0.5) as double) as med_qty,
-              |  percentile_approx(l_quantity, 0.5, 10000)
-              |    between percentile(l_quantity, 0.495)
-              |        and percentile(l_quantity, 0.505) as med_ok,
-              |  percentile_approx(l_extendedprice, 0.25, 10000)
-              |    between percentile(l_extendedprice, 0.245)
-              |        and percentile(l_extendedprice, 0.255) as q1_ok,
-              |  percentile_approx(l_extendedprice, 0.75, 10000)
-              |    between percentile(l_extendedprice, 0.745)
-              |        and percentile(l_extendedprice, 0.755) as q3_ok
-              |from lineitem group by l_returnflag""".stripMargin)
+              |  cast(pq[1] as double) as med_qty,
+              |  aq between pq[0] and pq[2] as med_ok,
+              |  ae[0] between pe[0] and pe[1] as q1_ok,
+              |  ae[1] between pe[2] and pe[3] as q3_ok
+              |from (
+              |  select l_returnflag,
+              |    percentile(l_quantity, array(0.495, 0.5, 0.505)) as pq,
+              |    percentile_approx(l_quantity, 0.5, 10000) as aq,
+              |    percentile(l_extendedprice,
+              |      array(0.245, 0.255, 0.745, 0.755)) as pe,
+              |    percentile_approx(l_extendedprice,
+              |      array(0.25, 0.75), 10000) as ae
+              |  from lineitem group by l_returnflag)""".stripMargin)
     },
 
     // Q15 — ranking window functions, total tie-break order
