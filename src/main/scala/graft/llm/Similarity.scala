@@ -637,12 +637,18 @@ object Similarity {
     val cb = trainPqCodebooks(corpus, cId, cVec, m, ksub, lloydIters)
     val codes = corpus.select(col(cId),
       Pq.encode(col(cVec), cb).as("_pq_code"))
+    // query norm computed ONCE on the broadcast side; a zero-norm
+    // query (degenerate corpus) maps to NaN — same semantics as the
+    // FloatCosine kernel — instead of raising ANSI DIVIDE_BY_ZERO per
+    // candidate (found by the round-13 zero-vector ragged sweep)
     val qt = queries.select(col(qId), col(qVec),
-      Pq.adcTable(col(qVec), cb).as("_pq_tbl"))
+      Pq.adcTable(col(qVec), cb).as("_pq_tbl"),
+      when(norm(col(qVec)) === 0.0, lit(Double.NaN))
+        .otherwise(norm(col(qVec))).as("_pq_qnorm"))
     val cand = codes.crossJoin(broadcast(qt))
       .filter(col(qId) =!= col(cId))
       .withColumn("acos",
-        Pq.score(col("_pq_tbl"), col("_pq_code"), cb) / norm(col(qVec)))
+        Pq.score(col("_pq_tbl"), col("_pq_code"), cb) / col("_pq_qnorm"))
       .filter(!isnan(col("acos")))
     val ws = Window.partitionBy(col(qId))
       .orderBy(round(col("acos"), 6).desc, col(cId).asc)

@@ -94,10 +94,22 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // Verify joins ship the RAW TEXT (~300 B/doc) and recompute
+    // shingles per candidate, instead of shuffling the shingle arrays
+    // (~2 KB/doc as UnsafeArrayData of strings): identical semantics —
+    // same shingles kernel either way — but the dominant shuffle/sort
+    // volume drops ~6×. At 5 M docs that is the difference between
+    // ~60 GB of sort-merge scratch (which filled the round-13 probe
+    // VM's disk) and ~10 GB; candidates are band-bucketed and few, so
+    // the per-pair re-shingling is noise.
+    val txtA = docs.select(col(idCol).as("id_a"), col(textCol).as("_t_a"))
+    val txtB = docs.select(col(idCol).as("id_b"), col(textCol).as("_t_b"))
     candidates
-      .join(shA, "id_a").join(shB, "id_b")
+      .join(txtA, "id_a").join(txtB, "id_b")
+      .withColumn("sh_a",
+        graft.functions.TextShingles.shingles(col("_t_a"), shingleK))
+      .withColumn("sh_b",
+        graft.functions.TextShingles.shingles(col("_t_b"), shingleK))
       // materialize the intersection size once: jaccard() would otherwise
       // evaluate array_intersect twice per candidate
       .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))

@@ -67,10 +67,14 @@ object RobustnessProbe {
 
   /** Ragged-embedding corpus: a deterministic 10 % of vectors truncate
     * to half dimension (a mixed-model-version embedding table — the
-    * schema can't prevent it, so the operators must tolerate it). Only
+    * schema can't prevent it, so the operators must tolerate it), and
+    * — since round 13 — a further 10 % become ALL-ZERO vectors
+    * (zero-norm ⇒ NaN cosine, the class behind the ADVICE r12
+    * threshold bug: NaN orders above every double, so an unguarded
+    * `cos >= min` silently admits the zero vector everywhere). Only
     * `embeddings` changes; pass criterion is still no exception — the
     * vector kernels define ragged pairs as NULL, quantizers see the
-    * dims they see.
+    * dims they see, thresholds must nanvl-guard.
     */
   def buildRagged(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     graft.Fixtures.tableNames.foreach { t =>
@@ -81,6 +85,8 @@ object RobustnessProbe {
           when(pmod(col("vec_id"), lit(10)) === 0,
             slice(col("embedding"), lit(1), greatest(lit(1),
               (size(col("embedding")) / 2).cast("int"))))
+            .when(pmod(col("vec_id"), lit(10)) === 5,
+              transform(col("embedding"), _ => lit(0.0f)))
             .otherwise(col("embedding")))
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }

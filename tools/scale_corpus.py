@@ -36,11 +36,26 @@ def main():
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     if want("documents"):
+        # Replica texts must fall below the LSH *candidate* floor
+        # (~0.35 jaccard for 2-row bands), not just the 0.8 verify
+        # threshold. The old recipe (two token substitutions) left
+        # cross-replica jaccard at ~0.91 for docs poor in 'the'/'and' —
+        # every base doc became a TRUE near-dup clique of n replicas and
+        # pair counts grew quadratically (found by the round-13 1000x
+        # probe: billions of real pairs, "No space left on device").
+        # Tag ~half the words per replica, keyed on the WORD ITSELF
+        # (hash(w) % 2), so any within-replica pair structure is
+        # preserved exactly (both members transform identically) while
+        # a cross-replica 3-shingle survives only if all 3 words are
+        # untagged: (1/2)^3 = 12.5% shared shingles, jaccard ~= 0.07.
         con.execute(f"""
         copy (
           select doc_id + r*10000000 as doc_id,
                  case when r = 0 then text
-                      else replace(replace(text, 'the', 'the'||r), 'and', 'and'||r)
+                      else array_to_string(list_transform(
+                        string_split(text, ' '),
+                        w -> case when hash(w) % 2 = 0 then w || r else w end
+                      ), ' ')
                  end as text,
                  lang, source, n_chars
           from read_parquet('{src}/documents.parquet'), range({n}) t(r)
