@@ -290,7 +290,13 @@ object Corpus {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits must be non-empty with positive weights")
     val total = splits.map(_._2).sum
-    val frac = pmod(col(idCol) * lit(2654435761L), lit(1048576L)) /
+    // All Knuth-hash sites reduce the id by the OUTER modulus before
+    // the multiply: (c·id) mod m = (c·(id mod m)) mod m, so the result
+    // is bit-identical to the oracle's unbounded-int math for every id
+    // while the product stays < 2^52 — the naive id·2654435761 raised
+    // ANSI ARITHMETIC_OVERFLOW at id ≳ 3.5e9 (found by the round-13
+    // 1000× probe, where replica ids reach 1e10).
+    val frac = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)) /
       lit(1048576.0)
     val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail.init // cumulative upper bounds, last split catches the rest
@@ -334,7 +340,7 @@ object Corpus {
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
       weight: Column, k: Int, seed: Long = 42L): DataFrame = {
     // u ∈ (0,1]: 20-bit integer mix, never exactly 0
-    val u = (pmod(col(idCol) * lit(2654435761L) + lit(seed), lit(1048576L)) + 1) /
+    val u = (pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L) + lit(seed), lit(1048576L)) + 1) /
       lit(1048577.0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
@@ -350,7 +356,7 @@ object Corpus {
       k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
-      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(1048576L)), col(idCol))
+      .orderBy(pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)), col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -401,7 +407,7 @@ object Corpus {
       when(col(sourceCol) === s, lit(f)).otherwise(acc)
     }
     df.filter(
-      pmod(col(idCol) * lit(2654435761L), lit(1048576L)) <
+      pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)) <
         frac * lit(1048576.0))
   }
 
@@ -460,7 +466,7 @@ object Corpus {
     */
   def interleaveSources(docs: DataFrame, idCol: String, srcCol: String,
       seed: Long = 42L): DataFrame = {
-    val key = pmod(col(idCol) * lit(2654435761L) + lit(seed), lit(1048576L))
+    val key = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L) + lit(seed), lit(1048576L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(srcCol)).orderBy(key, col(idCol))
     val seqd = docs.select(col(idCol), col(srcCol))
@@ -508,7 +514,7 @@ object Corpus {
         round(least(lit(1.0), col("_tm_b") * col("_tm_p") / col("_tm_n")), 6)
           .as("_tm_frac"))
     df.join(broadcast(fracs), sourceCol)
-      .filter(pmod(col(idCol) * lit(2654435761L), lit(1048576L)) <
+      .filter(pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)) <
         col("_tm_frac") * lit(1048576.0))
       .drop("_tm_frac")
   }
@@ -549,7 +555,7 @@ object Corpus {
     // through the prefix sums
     val base = docs.select(col(idCol),
         coalesce(weight.cast("long"), lit(0L)).as("n_tokens"),
-        pmod(col(idCol) * lit(2654435761L), lit(1048576L)).as("_sh_hk"))
+        pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)).as("_sh_hk"))
       .withColumn("_sh_bkt", floor(col("_sh_hk") / lit(width.toDouble)))
     // pass 1: per-bucket totals -> exclusive bucket offsets. The
     // unpartitioned window is over at most `orderBuckets` rows.
@@ -671,7 +677,7 @@ object Corpus {
     toWrite
       .repartition(col("shard"))
       .sortWithinPartitions(
-        pmod(col(idCol) * lit(2654435761L), lit(1048576L)), col(idCol))
+        pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
     // Explicit schema on the read-back: an EMPTY corpus writes only
     // _SUCCESS (no parquet footers to infer from), and the round-trip
@@ -741,7 +747,7 @@ object Corpus {
     require(k >= 1, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(1048576L)), col(idCol))
+      .orderBy(pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)), col(idCol))
     df.withColumn("_sk_rn", row_number().over(w))
       .filter(col("_sk_rn") <= k)
       .withColumn("sample_rank", col("_sk_rn").cast("long"))
@@ -810,7 +816,7 @@ object Corpus {
     val contaminated = decontaminate(docs, benchmark, idCol, textCol, k = 8)
       .select(col(idCol).as("id")).distinct()
       .withColumn("_cont", lit(true))
-    val bucket = pmod(col("id") * lit(2654435761L) + lit(13L), lit(100L))
+    val bucket = pmod(pmod(col("id"), lit(100L)) * lit(2654435761L) + lit(13L), lit(100L))
     base
       .withColumn("n_words",
         TextAnalysis.tokenCount(col("text")).cast("double"))

@@ -68,7 +68,7 @@ object Llm {
       .partitionBy(col("p")).orderBy(col("doc_id"))
     val sc = docs.select(col("doc_id"),
         (col("doc_id") % nPrompts).as("p"),
-        ((col("doc_id") * lit(2654435761L) + 7) % 1048576).as("q"))
+        ((pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L) + 7) % 1048576).as("q"))
       .withColumn("rk", row_number().over(w))
     val a = sc.select(col("p"), col("doc_id").as("ida"),
       col("q").as("qa"), col("rk").as("rka"))
