@@ -205,7 +205,10 @@ object Bench {
     val div = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalS = num(total, 3)
-    val full = s"""{"metric":"total","value":$totalS,"value_norm":${num(total * calibFactor, 3)},"calibration_sec":${num(calib, 4)},"calibration_ref":${num(calibrationRef, 4)},"calib_factor":${num(calibFactor, 4)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"queries_min":$qsMin,"sf":"$sfDir","runs":$runsPerQuery,"agg":"median","divergent":$div,"subset":${only.nonEmpty}}"""
+    // runs=1 decade probes report the lone sample, not a median —
+    // label honestly so artifact consumers don't mix the two (ADVICE r13)
+    val agg = if (runsPerQuery == 1) "single" else "median"
+    val full = s"""{"metric":"total","value":$totalS,"value_norm":${num(total * calibFactor, 3)},"calibration_sec":${num(calib, 4)},"calibration_ref":${num(calibrationRef, 4)},"calib_factor":${num(calibFactor, 4)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"queries_min":$qsMin,"sf":"$sfDir","runs":$runsPerQuery,"agg":"$agg","divergent":$div,"subset":${only.nonEmpty}}"""
     // every run writes its full map to the RUN-SCOPED artifact; the
     // committed quiet reference BENCH_FULL.json is refreshed ONLY by an
     // explicit opt-in — the driver's per-round run and a judge's subset
@@ -285,8 +288,9 @@ object Bench {
     val normS = num(total * factor, 3)
     val calibS = num(calibrationSec, 3)
     val factorS = num(factor, 3)
+    val agg = if (runs == 1) "single" else "median"
     def frame(shownQs: String, nShown: Int): String =
-      s"""{"metric":"total","value":$totalS,"value_norm":$normS,"calibration_sec":$calibS,"calib_factor":$factorS,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"median","n_queries":${results.size},"divergent":$div,"full":"BENCH_LAST.json","queries_shown":$nShown,"queries":$shownQs}"""
+      s"""{"metric":"total","value":$totalS,"value_norm":$normS,"calibration_sec":$calibS,"calib_factor":$factorS,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"$agg","n_queries":${results.size},"divergent":$div,"full":"BENCH_LAST.json","queries_shown":$nShown,"queries":$shownQs}"""
     var room = lineBudget - frame("{}", results.size).length
     val bySlowest = results.sortBy(-_._2)
     val shown = scala.collection.mutable.ListBuffer.empty[String]

@@ -554,7 +554,15 @@ object Cli {
     */
   private def trigger(a: Args): Unit = {
     val dueAt = Option(a.opt("due")).filter(_.nonEmpty)
-    if (dueAt.isDefined) { triggerDue(a, dueAt.get); return }
+    if (dueAt.isDefined) {
+      // --due selects nodes by cron schedule; a positional node path or
+      // --node-id would be silently ignored — refuse the combination,
+      // mirroring the node-path/node-id conflict guard below (ADVICE r13)
+      if (a.positional.nonEmpty || a.opt("node-id").nonEmpty)
+        abort("Cannot combine --due with a NODE path or --node-id " +
+          "(--due runs every cron-due node)")
+      triggerDue(a, dueAt.get); return
+    }
     val nodePath = a.positional.headOption
     val nodeId = Option(a.opt("node-id")).filter(_.nonEmpty)
     if (nodePath.isDefined && nodeId.isDefined)

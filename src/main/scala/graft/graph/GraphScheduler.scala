@@ -40,9 +40,21 @@ object GraphScheduler {
     */
   def loadLastRuns(path: Path): Map[String, LocalDateTime] =
     if (!Files.exists(path)) Map.empty
-    else Files.readAllLines(path).asScala.filter(_.contains("\t")).map { l =>
+    else Files.readAllLines(path).asScala.filter(_.contains("\t")).flatMap { l =>
+      // a corrupt / hand-edited line must not brick every subsequent
+      // poll (ADVICE r13): skip it with a warning naming the ledger.
+      // Treating the node as never-run makes it immediately due —
+      // the catch-up rule's safe direction (one extra run, never a
+      // silently skipped schedule).
       val Array(id, ts) = l.split("\t", 2)
-      id -> LocalDateTime.parse(ts)
+      try Some(id -> LocalDateTime.parse(ts))
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          System.err.println(
+            s"[graft] WARNING: skipping unparsable last-run line for '$id' " +
+              s"in ledger $path (${e.getMessage}); node treated as never run")
+          None
+      }
     }.toMap
 
   def saveLastRuns(path: Path, runs: Map[String, LocalDateTime]): Unit = {

@@ -912,7 +912,10 @@ object Multimodal {
         // drop the reference to the dead stream; the reader itself is
         // reused (setInput fully resets its state)
         try rd.setInput(null) catch { case _: Exception => () }
-        iis.close()
+        // swallow close failures too: an IOException escaping the
+        // finally would override the null-on-decode-failure contract
+        // and fail the whole Spark task (ADVICE r13)
+        try iis.close() catch { case _: Exception => () }
       }
     }
   }

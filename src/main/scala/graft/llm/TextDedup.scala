@@ -55,17 +55,28 @@ object TextDedup {
     *  4. verify candidates with exact Jaccard on the shingle sets and
     *     keep pairs ≥ `threshold`.
     *
-    * With numHashes=16, bands=8 (r=2): P(candidate | j=0.8) ≈ 0.9997,
-    * so post-verification output ≈ the exact ≥0.8 pair set. At larger
-    * scale raise r to cut false candidates (they cost shuffle volume,
-    * not correctness — the verify step filters them).
+    * DEFAULT BANDING = the production s-curve (numHashes=128,
+    * bands=16, r=8): candidate floor (50 % collision) at j ≈ (1/16)^(1/8)
+    * ≈ 0.70, so near-nothing below ~0.6 ever reaches the verify join.
+    * The round-13 probe measured the alternative on the same 5 M-doc
+    * corpus: the old fixture default (16, 8, r=2 — floor j ≈ 0.35)
+    * leaked 8.1 M candidates on a 200 k slice and ran 2,085.8 s
+    * end-to-end vs 65.4 s at this banding — 32× — purely from
+    * below-threshold candidates paying shuffle + exact-Jaccard verify
+    * (SCALING round-13). Candidate recall at the default 0.8
+    * threshold: P(candidate | j=0.8) = 1−(1−0.8⁸)¹⁶ ≈ 0.95, ≈ 0.994
+    * at j=0.85, ≈ 1 above 0.9 — the standard LSH trade (verify cost
+    * is exact; recall at the floor edge is probabilistic). Callers
+    * needing near-exact recall AT the 0.8 boundary on small corpora
+    * (the sf0.01 oracle entries do) pass the fixture banding (16, 8)
+    * explicitly and pay the candidate flood knowingly.
     */
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
@@ -128,8 +139,8 @@ object TextDedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame =
     graft.operators.ConnectedComponents.run(
@@ -177,8 +188,8 @@ object TextDedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame =
     graft.operators.ConnectedComponents.collapse(docs,
@@ -192,10 +203,10 @@ object TextDedup {
     * ([[nearDupAgainstIndex]]) derives band keys from the stored
     * signature ARITHMETICALLY (no re-shingling, no re-hashing of
     * corpus text): per-ingest corpus cost drops from O(corpus text)
-    * to a scan of (id, shingles, 16 longs).
+    * to a scan of (id, shingles, `numHashes` longs).
     */
   def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
+      numHashes: Int = 128, shingleK: Int = 3): DataFrame = {
     val sh = withShingles(
       corpus.select(col(idCol), col(textCol)), textCol, "sh", shingleK)
     sh.select(col(idCol), col("sh"),
@@ -225,8 +236,8 @@ object TextDedup {
       index: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
@@ -272,8 +283,8 @@ object TextDedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame =
     nearDupAgainstIndex(batch,
@@ -298,8 +309,8 @@ object TextDedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame =
     // localCheckpoint: the index feeds two plan subtrees (band keys +
@@ -320,8 +331,8 @@ object TextDedup {
       idx: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 8,
+      numHashes: Int = 128,
+      bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")

@@ -1108,7 +1108,8 @@ object Llm {
           .select(col("doc_id"),
             when(col("doc_id") % 10 === 1, concat(lit("dup "), lit(d0)))
               .otherwise(col("text")).as("text"))
-        TextDedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+        TextDedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text",
+          numHashes = 16, bands = 8)
           .select("doc_id")
     },
 
@@ -1737,12 +1738,12 @@ object Llm {
           TextDedup.buildNearDupIndex(
             docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
               .repartition(s.sparkContext.defaultParallelism),
-            "doc_id", "text")
+            "doc_id", "text", numHashes = 16)
             .write.mode("overwrite").parquet(out)
           out
         })
         TextDedup.nearDupAgainstIndex(batch, s.read.parquet(indexPath),
-          "doc_id", "text")
+          "doc_id", "text", numHashes = 16, bands = 8)
           .select("doc_id")
     },
 
@@ -2029,7 +2030,8 @@ object Llm {
             when(col("doc_id") % 7 === 1 && col("_mp_text").isNotNull,
               concat(col("_mp_text"), lit(" xtra")))
               .otherwise(col("text")).as("text"))
-        TextDedup.crossCorpusMatches(batch, corpus, "doc_id", "text")
+        TextDedup.crossCorpusMatches(batch, corpus, "doc_id", "text",
+          numHashes = 16, bands = 8)
     },
 
     // L4w — BM25 keyword retrieval: top-10 documents per query term

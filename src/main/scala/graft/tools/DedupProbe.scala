@@ -18,10 +18,18 @@ import org.apache.spark.sql.functions._
   * (candidates ≈ true dups only) while recall at j≥0.8 stays ≥95%
   * (≈1-1e-8 on the ≥0.9 planted dups).
   *
-  * Phase A exhibits the s-curve empirically on a bounded slice (every
-  * 25th doc ⇒ ~40 replicas/base doc, preserving the clique structure):
-  * candidate-pair counts at (16,8) vs (128,16).
-  * Phase B times the full-corpus `minhashLshPairs` at (128,16) and
+  * Phase A exhibits the s-curve empirically on a bounded slice. The
+  * slice keys on the REPLICA index (`doc_id div 10^7`, the
+  * scale_corpus.py layout), keeping every sliceMod-th replica of EVERY
+  * base doc — 1000/sliceMod = 40 replicas/base at the default, so the
+  * per-base collision-clique structure is preserved at 1/25 width.
+  * (The round-13 version sliced on `doc_id % 25`; since 10^7 ≡ 0
+  * (mod 25) that congruence is really `base % 25` — it kept ALL 1000
+  * replicas of 4 % of bases, i.e. full 1000-cliques, and phase-A
+  * counts at the loose config ran clique-quadratic at ~25× this
+  * model. ADVICE r13; fixed by slicing the replica axis.)
+  * Phase B times the full-corpus `minhashLshPairs` at the LIBRARY
+  * DEFAULTS — production banding (128,16) since round 14 — and
   * reports the verified pair count.
   *
   * Usage: runMain graft.tools.DedupProbe [corpusDir] [sliceMod]
@@ -71,8 +79,12 @@ object DedupProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // Phase A: s-curve exhibit on the slice
-    val slice = docs.filter(col("doc_id") % sliceMod === 0)
+    // Phase A: s-curve exhibit on the slice — thin the REPLICA axis
+    // (keep every sliceMod-th replica of every base doc), not doc_id
+    // itself: 10^7 ≡ 0 (mod 25) makes `doc_id % 25` a base-id slice
+    // that keeps whole 1000-cliques (ADVICE r13)
+    val slice = docs.filter((col("doc_id") / lit(10000000L))
+      .cast("long") % sliceMod === 0)
     val nSlice = slice.count()
     for ((nh, nb) <- Seq((16, 8), (128, 16))) {
       val (n, t) = timed(candidates(slice, "doc_id", "text", nh, nb).count())
@@ -80,12 +92,13 @@ object DedupProbe {
         f"candidates=$n%d  ${t}%.1f s")
     }
 
-    // Phase B: full corpus, production banding, end-to-end
+    // Phase B: full corpus, LIBRARY DEFAULTS (production banding
+    // 128/16 since round 14 — this run is the default-path evidence),
+    // end-to-end
     val nFull = docs.count()
     val (pairs, tFull) = timed(
-      graft.llm.TextDedup.minhashLshPairs(docs, "doc_id", "text",
-        numHashes = 128, bands = 16).count())
-    println(f"[dedup-probe] full=$nFull%d docs config=(128,16 r=8) " +
+      graft.llm.TextDedup.minhashLshPairs(docs, "doc_id", "text").count())
+    println(f"[dedup-probe] full=$nFull%d docs config=DEFAULT(128,16 r=8) " +
       f"verified_pairs=$pairs%d  ${tFull}%.1f s")
     spark.stop()
   }

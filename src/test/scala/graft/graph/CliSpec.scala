@@ -344,6 +344,14 @@ class CliSpec extends SparkSpec {
       val ledger = app.resolve(".graft-warehouse")
         .resolve("_scheduler").resolve("last_runs.tsv")
       assert(Files.readString(ledger).startsWith("cron01\t2026-01-01T06:01"))
+      // --due + node selector is a refused conflict (ADVICE r13): the
+      // selector used to be silently ignored while ALL due nodes ran
+      assert(run("trigger", "--app", app.toString, "--due",
+        "2026-01-01T07:01", app.resolve("gen.sql").toString) == 1)
+      assert(run("trigger", "--app", app.toString, "--due",
+        "2026-01-01T07:01", "--node-id", "cron01") == 1)
+      // ...and the refusal did not advance the ledger or run the node
+      assert(Files.readString(ledger).startsWith("cron01\t2026-01-01T06:01"))
     }
   }
 

@@ -87,4 +87,27 @@ class GraphSchedulerSpec extends AnyFunSuite {
     // missing file = empty ledger (first poll)
     assert(GraphScheduler.loadLastRuns(dir.resolve("absent.tsv")).isEmpty)
   }
+
+  test("corrupt ledger line is skipped, not a poll-bricking parse error") {
+    // ADVICE r13: a hand-edited timestamp used to throw
+    // DateTimeParseException out of loadLastRuns, permanently failing
+    // every subsequent `trigger --due` until the TSV was repaired.
+    // Contract now: unparsable lines are dropped with a warning (the
+    // node reads as never-run → immediately due, the safe direction);
+    // parsable lines still load.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sched-")
+    val p = dir.resolve("last_runs.tsv")
+    java.nio.file.Files.writeString(p,
+      "good01\t2026-01-01T05:01\n" +
+        "bad01\tnot-a-timestamp\n" +      // hand-edited garbage
+        "no-tab-line-ignored\n" +          // pre-existing filter path
+        "good02\t2026-01-01T06:01\n")
+    val loaded = GraphScheduler.loadLastRuns(p)
+    assert(loaded == Map(
+      "good01" -> LocalDateTime.of(2026, 1, 1, 5, 1),
+      "good02" -> LocalDateTime.of(2026, 1, 1, 6, 1)))
+    // and the skipped node is immediately due at the next poll
+    val m = manifest("bad01" -> Some("1 * * * *"))
+    assert(GraphScheduler.due(m, loaded, at(5, 0)) == Seq("bad01"))
+  }
 }

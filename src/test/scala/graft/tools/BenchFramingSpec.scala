@@ -80,6 +80,15 @@ class BenchFramingSpec extends AnyFunSuite {
     assert(t > 0.01 && t < 30.0, s"calibration kernel took $t s")
   }
 
+  test("runs=1 artifacts label the aggregate 'single', not 'median'") {
+    // ADVICE r13: a lone decade-probe sample is not a median; consumers
+    // comparing runs=1 probes against median-of-3 rounds need the label
+    val one = graft.Bench.renderLine(Seq("q1" -> 5.0), Nil, "sf", runs = 1)
+    assert(mapper.readTree(one).get("agg").asText() == "single")
+    val three = graft.Bench.renderLine(Seq("q1" -> 5.0), Nil, "sf", runs = 3)
+    assert(mapper.readTree(three).get("agg").asText() == "median")
+  }
+
   test("divergent overflow is marked, never silently dropped") {
     val results = (1 to 50).map(i => s"q$i" -> 0.5)
     val div = (1 to 60).map(i => s"l${i}_very_long_divergent_query_name_padding")
