@@ -730,6 +730,54 @@ object Corpus {
     }(enc).withColumnRenamed("id", idCol)
   }
 
+  /** [[packSequences]] with ENGINE-INDEPENDENT bin ids: documents
+    * shard by an explicit arithmetic key (`id mod shards`) and pack
+    * greedily in id order WITHIN each shard, bin id =
+    * (shard << 32 | binInShard). Unlike [[packSequences]] — whose bin
+    * ids embed the task's partition id, i.e. depend on Spark's hash
+    * partitioner and the session's parallelism — every output cell
+    * here is a pure function of the input rows, so the assignment is
+    * reproducible by ANY engine that can iterate a shard in id order
+    * (the l22 oracle replays it as a DuckDB recursive CTE).
+    *
+    * Scale shape: identical to [[packSequences]] — one repartition +
+    * per-partition streaming pass, no driver state. A partition may
+    * receive several shards (hash collisions of the shard key); the
+    * packer resets its bin state on each shard boundary, so
+    * co-residence never changes the assignment. `shards` plays the
+    * parallelism role: set it to ~the cluster's task slots.
+    */
+  def packSequencesDeterministic(docs: DataFrame, idCol: String,
+      textCol: String, budget: Int, shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val sized = docs.select(col(idCol).as("id"),
+        coalesce(size(split(col(textCol), " ")), lit(0)).as("n_tokens"),
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+    val schema = StructType(Seq(
+      StructField("id", sized.schema("id").dataType),
+      StructField("n_tokens", IntegerType),
+      StructField("bin", LongType),
+      StructField("oversize", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    sized.mapPartitions { rows =>
+      var curShard = -1L
+      var localBin = 0L
+      var used = 0
+      var first = true
+      rows.map { r =>
+        val sh = r.getLong(2)
+        if (sh != curShard) { curShard = sh; localBin = 0L; used = 0; first = true }
+        val t = r.getInt(1)
+        if (!first && used + t > budget) { localBin += 1; used = 0 }
+        first = false
+        used += t
+        Row(r.get(0), t, (sh << 32) | localBin, t > budget)
+      }
+    }(enc).withColumnRenamed("id", idCol)
+  }
+
   /** Deterministic exact-k-per-stratum sample: the first `k` rows of
     * each stratum in multiplicative-id-hash order (ties to the id) —
     * the eval-set/spot-check constructor where a FIXED count per group

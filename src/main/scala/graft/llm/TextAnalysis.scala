@@ -851,22 +851,45 @@ object TextAnalysis {
     *
     * Output: top-`k` by upper bound with (`est_hi`, `est_lo`) so the
     * caller sees the uncertainty; `rank` over (est_hi desc, gram asc).
-    * Results depend on partition layout (inherent to the sketch), so
-    * the driver check is rows-only; correctness rides on the
-    * planted-skew spec (clearly separated heads are exact: a gram
-    * never evicted has err 0 and est_hi = est_lo = true count).
+    * Results depend on partition layout (inherent to the sketch);
+    * correctness rides on the planted-skew spec (clearly separated
+    * heads are exact: a gram never evicted has err 0 and
+    * est_hi = est_lo = true count) plus [[ngramTopKAudit]], which
+    * asserts the sketch's bounds against the exact census in-query —
+    * the oracle-checkable form the l56 registry entry runs.
     */
   def ngramTopKApprox(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int, k: Int,
       m: Int = 4096): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (merged, _) = spaceSavingMerged(ngramStream(docs, textCol, n), m)
+    merged
+      .orderBy(col("est_hi").desc, col("gram")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("est_hi").desc, col("gram"))).cast("long"))
+  }
+
+  /** The occurrence stream feeding the n-gram census family: one row
+    * per gram occurrence (duplicates kept), whitespace normalized.
+    */
+  private def ngramStream(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(explode(graft.functions.TextShingles.grams(norm, n)).as("gram"))
+  }
+
+  /** Per-partition SpaceSaving summaries of a gram-occurrence stream,
+    * merged relationally. Returns (merged, allMin): `merged` has one
+    * row per gram present in ANY partition summary with the mergeable-
+    * summaries bounds (`est_lo` ≤ true count ≤ `est_hi`); `allMin` is
+    * the 1-row Σ of per-partition min counters — the upper bound on
+    * the true count of any gram absent from EVERY summary.
+    */
+  private def spaceSavingMerged(grams: org.apache.spark.sql.DataFrame,
+      m: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.{Row => SRow}
     import org.apache.spark.sql.types._
-    val spark = docs.sparkSession
-    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
-    val grams = docs
-      .filter(length(trim(col(textCol))) > 0)
-      .select(explode(graft.functions.TextShingles.grams(norm, n)).as("gram"))
     val summarySchema = StructType(Seq(
       StructField("pid", IntegerType, nullable = false),
       StructField("gram", StringType, nullable = false),
@@ -928,13 +951,47 @@ object TextAnalysis {
       .agg(sum("cnt").as("present_cnt"),
         sum(col("cnt") - col("err")).as("lo"),
         sum("minc").as("present_min"))
-    perGram.crossJoin(broadcast(allMin))
+    val merged = perGram.crossJoin(broadcast(allMin))
       .select(col("gram"),
         (col("present_cnt") + col("all_min") - col("present_min")).as("est_hi"),
         col("lo").as("est_lo"))
-      .orderBy(col("est_hi").desc, col("gram")).limit(k)
+    (merged, allMin)
+  }
+
+  /** SELF-AUDITING census: the exact top-`k` n-grams (deterministic —
+    * count desc, gram asc) with, per gram, the verdict that the
+    * [[ngramTopKApprox]] SpaceSaving sketch honored its mergeable-
+    * summaries contract on this corpus: a gram present in the merged
+    * summary must satisfy `est_lo ≤ exact ≤ est_hi`; a gram absent
+    * from every partition summary must have exact count ≤ Σ per-
+    * partition min counters. Both are theorems of the sketch (they
+    * hold under ANY partition layout), so `sketch_ok` is a constant
+    * `true` an oracle can hash — the q12/q14c promotion pattern: the
+    * anchor columns (gram, exact count, rank) are exactly checkable,
+    * and a sketch bug flips the boolean and fails the hash compare.
+    *
+    * Scale shape: the exact census this runs beside the sketch is the
+    * audit's price — use it at validation scale (or on a sampled
+    * slice); the production operator remains [[ngramTopKApprox]],
+    * whose memory is partitions × m regardless of vocabulary.
+    */
+  def ngramTopKAudit(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int,
+      m: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = ngramStream(docs, textCol, n)
+    val (merged, allMin) = spaceSavingMerged(grams, m)
+    val exact = grams.groupBy("gram").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("gram")).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("est_hi").desc, col("gram"))).cast("long"))
+        Window.orderBy(col("exact_cnt").desc, col("gram"))).cast("long"))
+    exact.join(merged, Seq("gram"), "left")
+      .crossJoin(broadcast(allMin))
+      .select(col("gram"), col("exact_cnt"), col("rank"),
+        when(col("est_lo").isNotNull,
+          col("est_lo") <= col("exact_cnt") &&
+            col("exact_cnt") <= col("est_hi"))
+          .otherwise(col("exact_cnt") <= col("all_min")).as("sketch_ok"))
   }
 
   /** BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`

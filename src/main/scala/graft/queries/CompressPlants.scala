@@ -1,0 +1,62 @@
+package graft.queries
+
+/** Planted-constant fixtures for the l38 DEFLATE-ratio oracle.
+  *
+  * The TEXTS are pure constants (deterministic construction, no
+  * runtime input). The RATIOS are hard-coded literals measured from
+  * `graft.functions.TextCompressOps.deflateRatio` at authoring time —
+  * deliberately NOT computed by calling the kernel here, which would
+  * be circular (a kernel regression would shift the oracle constant
+  * in lockstep and hide itself). With literals, a regression moves
+  * the Spark output away from the pinned oracle value and fails the
+  * driver's hash compare.
+  *
+  * Stability: ratio = raw-DEFLATE(BEST_SPEED) size / UTF-8 size, a
+  * pure function of (string, zlib build). The driver's Spark runs use
+  * this container's JVM, the same one that measured the literals;
+  * TextCompressOps' scaladoc covers the coarse-threshold robustness
+  * argument for zlib drift in general deployments.
+  */
+object CompressPlants {
+
+  /** Class 0 (doc_id % 3 == 0): templated repetition — the boilerplate
+    * failure mode; DEFLATE collapses the repeats.
+    */
+  val repetitive: String =
+    "the same boilerplate line repeats here again and again " * 8
+
+  /** Class 1 (doc_id % 3 == 1): natural prose — mid-range ratio, the
+    * band the keep-gate (0.3, 0.95) accepts.
+    */
+  val prose: String =
+    "Large training corpora mix natural prose with templated spam and " +
+      "encoded junk; a cheap compression probe separates all three " +
+      "without any model, vocabulary, or language assumption, because " +
+      "redundancy is exactly what DEFLATE measures."
+
+  /** Class 2 (doc_id % 3 == 2): LCG noise over the 94 printable ASCII
+    * chars, short enough that DEFLATE's framing overhead pushes the
+    * ratio past 1.0 — the encoded-junk failure mode the (0.3, 0.95)
+    * gate rejects from above. (A 36-char alphabet at length 300
+    * measured 0.72 — dynamic Huffman compresses low-entropy alphabets
+    * below the gate, which would put the junk class in the keep band.)
+    */
+  val noise: String = {
+    val sb = new StringBuilder
+    var x = 0x243F6A8885A308D3L // pi bits: fixed, arbitrary seed
+    var i = 0
+    while (i < 100) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb.append((33 + ((x >>> 33) % 94)).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  // Hard-coded kernel measurements (6dp, matching compressionSignals'
+  // in-query rounding). Re-measure ONLY when the planted texts change:
+  //   TextCompressOps.deflateRatio(UTF8String.fromString(text))
+  val repetitiveRatio: Double = 0.131818 // 58 / 440 bytes
+  val proseRatio: Double = 0.724138      // 168 / 232 bytes
+  val noiseRatio: Double = 1.02          // 102 / 100 bytes (expands)
+}

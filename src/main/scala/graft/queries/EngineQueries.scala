@@ -113,15 +113,40 @@ object EngineQueries {
         runner.tableHandle("lineitem_agg").read
     },
 
-    // S9 — auto-fields: strictly monotonic base32 id + created timestamp
-    // (nondeterministic values → rows-only check; ordering properties
-    // are asserted in the spec suite)
-    QuerySpec.unchecked("s09_monotonic_id") { (s, d) =>
+    // S9 — auto-fields: strictly monotonic base32 id + created
+    // timestamp. The id VALUES are engine-assigned (nondeterministic
+    // across layouts) so they can't hash-match an oracle — but their
+    // CONTRACT is a set of theorems checkable in-query (the q12
+    // promotion pattern): uniqueness, the 26-char base32hex shape,
+    // strict cross-flush monotonicity (every second-flush id sorts
+    // after every first-flush id — batchSeq strictly increases), and
+    // created_at presence. The oracle asserts each verdict is `true`;
+    // any id-generator regression flips a boolean and fails the hash.
+    QuerySpec.df("s09_monotonic_id",
+      """select doc_id, true as mid_unique, true as mid_shape_ok,
+        |  true as batch_order_ok, true as created_ok
+        |from documents""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val h = new TableHandle(s, new Catalog(tmp("graft-mono")), "t")
         .init(addMonotonicId = Some("mid"), addCreated = Some("created_at"))
-      h.append(Fixtures.table(s, d, "documents").select("doc_id", "text"))
-      h.flush()
-      h.read.select(col("doc_id"), col("mid"), col("created_at"))
+      val docs = Fixtures.table(s, d, "documents").select("doc_id", "text")
+      // two flushes: the second batch's ids must ALL sort after the
+      // first's (strict monotonicity across executions, S9 contract)
+      h.append(docs.filter(col("doc_id") % 2 === 0)); h.flush()
+      h.append(docs.filter(col("doc_id") % 2 =!= 0)); h.flush()
+      val t = h.read
+      val b0max = t.filter(col("doc_id") % 2 === 0)
+        .agg(max(col("mid")).as("_b0max"))
+      t.crossJoin(broadcast(b0max))
+        .withColumn("mid_unique",
+          count(lit(1)).over(Window.partitionBy("mid")) === 1)
+        .withColumn("mid_shape_ok",
+          length(col("mid")) === 26 && col("mid").rlike("^[0-9a-v]{26}$"))
+        .withColumn("batch_order_ok",
+          (col("doc_id") % 2 === 0) || col("mid") > col("_b0max"))
+        .withColumn("created_ok", col("created_at").isNotNull)
+        .select("doc_id", "mid_unique", "mid_shape_ok", "batch_order_ok",
+          "created_ok")
     },
   )
 }

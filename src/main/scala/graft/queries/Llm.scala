@@ -678,12 +678,35 @@ object Llm {
           "lang", "doc_id", k = 20)
     },
 
-    // L6e — sequence packing into 256-token bins (greedy next-fit per
-    // partition; bin ids depend on the partitioning → rows-only, the
-    // invariants are property-tested in LlmSpec)
-    QuerySpec.unchecked("l22_pack_sequences") { (s, d) =>
-      Corpus.packSequences(
-        Fixtures.table(s, d, "documents"), "doc_id", "text", budget = 256)
+    // L6e — sequence packing into 256-token bins. PROMOTED (r14, the
+    // q12 pattern's deterministic-formulation cousin): the sharded
+    // packer (shard = doc_id % 8, greedy next-fit in id order within
+    // each shard, bin = shard<<32 | binInShard) is a pure function of
+    // the input rows — no partition ids anywhere — so DuckDB replays
+    // the identical greedy scan as a recursive CTE and the FULL
+    // assignment hash-matches cell for cell. The partition-id packer
+    // (packSequences) keeps its LlmSpec property test.
+    QuerySpec.df("l22_pack_sequences",
+      """with recursive base as (
+        |  select doc_id, doc_id % 8 as shard,
+        |    cast(len(string_split(text, ' ')) as int) as t,
+        |    cast(row_number() over (
+        |      partition by doc_id % 8 order by doc_id) as int) as rn
+        |  from documents),
+        |pack as (
+        |  select shard, rn, doc_id, t, cast(0 as bigint) as bin, t as used
+        |  from base where rn = 1
+        |  union all
+        |  select b.shard, b.rn, b.doc_id, b.t,
+        |    case when p.used + b.t > 256 then p.bin + 1 else p.bin end,
+        |    case when p.used + b.t > 256 then b.t else p.used + b.t end
+        |  from pack p join base b on b.shard = p.shard and b.rn = p.rn + 1)
+        |select doc_id, t as n_tokens,
+        |  shard * 4294967296 + bin as bin, t > 256 as oversize
+        |from pack""".stripMargin) { (s, d) =>
+      Corpus.packSequencesDeterministic(
+        Fixtures.table(s, d, "documents"), "doc_id", "text",
+        budget = 256, shards = 8)
     },
 
     // L6f — Gopher-style repetition signals: top-token / distinct-token
@@ -1132,13 +1155,32 @@ object Llm {
           .select("doc_id", "img_width", "img_height", "img_format")
     },
 
-    // L4i — DEFLATE compression-ratio quality signal. No DEFLATE in
-    // DuckDB → rows-only; correctness rides on TextCompressSpec's
-    // properties (empty = 1.0, repetitive < prose < random-ish,
-    // deterministic per input).
-    QuerySpec.unchecked("l38_compress_ratio") { (s, d) =>
-      TextAnalysis.compressionSignals(
-        Fixtures.table(s, d, "documents"), "doc_id", "text")
+    // L4i — DEFLATE compression-ratio quality signal. PROMOTED (r14,
+    // the planted-constant pattern): DuckDB has no DEFLATE, so the
+    // entry runs the REAL kernel over planted texts whose ratios are
+    // deterministic constants (fixed strings × fixed Deflater level ×
+    // the same JVM zlib on every driver run): class 0 = templated
+    // repetition (compresses hard, keep=false), class 1 = prose
+    // (mid-range, keep=true), class 2 = LCG noise (barely compresses,
+    // keep=false). The oracle pins all three (n_chars, 6dp ratio,
+    // keep) arithmetically — a kernel regression shifts a constant
+    // and fails the hash. Real-corpus behavior stays property-spec'd
+    // (TextCompressSpec: empty=1.0, repetitive < prose < random).
+    QuerySpec.df("l38_compress_ratio",
+      s"""select doc_id,
+         |  cast(case when doc_id % 3 = 0 then ${CompressPlants.repetitive.length}
+         |       when doc_id % 3 = 1 then ${CompressPlants.prose.length}
+         |       else ${CompressPlants.noise.length} end as bigint) as n_chars,
+         |  cast(case when doc_id % 3 = 0 then ${CompressPlants.repetitiveRatio}
+         |       when doc_id % 3 = 1 then ${CompressPlants.proseRatio}
+         |       else ${CompressPlants.noiseRatio} end as double) as deflate_ratio,
+         |  doc_id % 3 = 1 as keep
+         |from documents""".stripMargin) { (s, d) =>
+      val planted = Fixtures.table(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(CompressPlants.repetitive))
+          .when(col("doc_id") % 3 === 1, lit(CompressPlants.prose))
+          .otherwise(lit(CompressPlants.noise)).as("text"))
+      TextAnalysis.compressionSignals(planted, "doc_id", "text")
     },
 
     // L4j — C4 page cleaning over deterministic synthetic pages (the
@@ -1861,13 +1903,34 @@ object Llm {
 
     // L4r — bounded-memory approximate n-gram census (SpaceSaving
     // summaries merged relationally): the 100 TB path when the distinct
-    // gram set outgrows the exact census's aggregate. Rows-only —
-    // estimates depend on partition layout by construction; the
-    // planted-skew spec pins the guarantees.
-    QuerySpec.unchecked("l56_ngram_topk_approx") { (s, d) =>
-      TextAnalysis.ngramTopKApprox(
-        Fixtures.table(s, d, "documents"), "doc_id", "text",
-        n = 2, k = 40, m = 4096)
+    // gram set outgrows the exact census's aggregate. PROMOTED (r14,
+    // the q12 pattern): estimates depend on partition layout by
+    // construction, but the sketch's mergeable-summaries CONTRACT is
+    // layout-independent — present grams satisfy est_lo ≤ exact ≤
+    // est_hi, absent grams have exact ≤ Σ partition minima — so the
+    // entry emits the exact top-40 census (hash-checked: gram, count,
+    // rank) plus the in-query `sketch_ok` verdict the oracle asserts
+    // true. The planted-skew spec still pins the head-exactness
+    // guarantee.
+    QuerySpec.df("l56_ngram_topk_approx",
+      """with base as (
+        |  select regexp_replace(trim(text), '\s+', ' ', 'g') as nt
+        |  from documents where length(trim(text)) > 0),
+        |ws as (select string_split(nt, ' ') as w from base),
+        |g as (select unnest([w[i] || ' ' || w[i+1]
+        |                     for i in range(1, len(w))]) as gram
+        |      from ws where len(w) >= 2),
+        |c as (select gram, cast(count(*) as bigint) as exact_cnt
+        |      from g group by gram)
+        |select gram, exact_cnt,
+        |  cast(row_number() over (order by exact_cnt desc, gram) as bigint)
+        |    as rank,
+        |  true as sketch_ok
+        |from c order by exact_cnt desc, gram limit 40""".stripMargin) {
+      (s, d) =>
+        TextAnalysis.ngramTopKAudit(
+          Fixtures.table(s, d, "documents"), "doc_id", "text",
+          n = 2, k = 40, m = 4096)
     },
 
     // L4p — BPE encode with the learned table: per-doc subword tokens

@@ -568,6 +568,29 @@ class LlmSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("packSequencesDeterministic: layout-invariant, same packing invariants") {
+    // the l22 promotion's load-bearing fact: bin ids are a pure
+    // function of the ROWS (shard = id % shards), not of Spark's
+    // partition layout — so any input repartitioning yields the
+    // byte-identical assignment
+    val a = Corpus.packSequencesDeterministic(
+      docs, "doc_id", "text", budget = 256, shards = 4)
+    val b = Corpus.packSequencesDeterministic(
+      docs.repartition(13), "doc_id", "text", budget = 256, shards = 4)
+    val rowsA = a.collect().map(_.toString).sorted
+    assert(rowsA.sameElements(b.collect().map(_.toString).sorted))
+    // same packing contract as packSequences: everyone assigned once,
+    // budget respected for non-oversize bins, oversize docs sit alone
+    val n = docs.count()
+    assert(a.count() == n && a.select("doc_id").distinct().count() == n)
+    val bins = a.filter(!col("oversize"))
+      .groupBy("bin").agg(sum("n_tokens").as("t"))
+    assert(bins.filter(col("t") > 256).count() == 0)
+    val over = a.filter(col("oversize")).select("bin")
+    assert(over.join(a, "bin").groupBy("bin").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("boilerplate removal strips exactly the high-df tokens, preserving order") {
     import spark.implicits._
     val corpus = Seq(

@@ -151,6 +151,25 @@ class MediaSpec extends SparkSpec {
     assert(exactRegime.forall(x => x._2 == x._3)) // hi == lo everywhere
   }
 
+  test("ngramTopKAudit: exact head, theorems hold even in heavy-eviction regime") {
+    import spark.implicits._
+    val docs = (
+      (1L to 50L).map(i => (i, "x y")) ++
+      (51L to 60L).map(i => (i, "mid one")) ++
+      (61L to 66L).map(i => (i, "mid two")) ++
+      (100L to 160L).map(i => (i, s"tail$i only$i"))).toDF("doc_id", "text")
+    // m=8 forces constant eviction across 4 partitions — the worst
+    // case for the sketch — yet sketch_ok must be ALL true (the bounds
+    // are theorems under any layout, the l56 promotion's load-bearing
+    // fact) and the anchor columns are the exact census
+    val out = TextAnalysis.ngramTopKAudit(docs.repartition(4),
+        "doc_id", "text", n = 2, k = 3, m = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq == Seq(
+      ("x y", 50L, 1L), ("mid one", 10L, 2L), ("mid two", 6L, 3L)))
+    assert(out.forall(_._4), s"sketch bound violated: ${out.mkString(", ")}")
+  }
+
   test("wavMeta round-trips the synthesized header; rejects non-WAV") {
     val bytes = Multimodal.wavBytes(16000, 2, 1234, seed = 7L)
     assert(Multimodal.wavMeta(bytes) == ((16000, 2, 16, 1234L)))
