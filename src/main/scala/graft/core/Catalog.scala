@@ -101,6 +101,26 @@ final class Catalog(val root: String) {
       m
     }
 
+  /** Serialize a whole read-merge-commit WRITE CYCLE against `name`.
+    *
+    * `update` alone only makes individual metadata mutations atomic;
+    * an upsert/append is read-active → merge → write-new-dir →
+    * setActive, and two of those interleaved on the same table both
+    * read the SAME base version — the later commit then silently
+    * drops the earlier one's rows (classic lost update; reachable in
+    * the single-JVM contract whenever a declared producer races an
+    * out-of-band writer to one table). TableHandle.flush runs its
+    * whole batch under this lock: writers to the same table serialize,
+    * different tables never contend, and readers are unaffected (they
+    * only ever see an atomic pointer). Same monitor as `update`, so
+    * metadata calls inside the cycle re-enter instead of deadlocking.
+    * A multi-driver deployment swaps this (with the per-table monitor)
+    * for a file lease — the commit-coordination shape Iceberg/Delta
+    * use at cluster scale.
+    */
+  def withWriteLock[T](name: String)(f: => T): T =
+    lockFor(name).synchronized(f)
+
   /** Allocate a new (not yet active) version directory id; also used as
     * the batch sequence for the strictly-monotonic id (node.py:291-294).
     */

@@ -163,13 +163,18 @@ final class TableHandle(
   def upsertRecords(records: Seq[Map[String, Any]]): Unit =
     upsert(inferRecords(spark, records, meta.schemaDdl))
 
-  /** replace = reset + append: fresh version seeded with df (node.py:336-345). */
-  def replace(df: DataFrame): Unit = { requireWrite(); flush(); reset(); append(df); flush() }
+  /** replace = reset + append: fresh version seeded with df
+    * (node.py:336-345). The whole cycle is one write-lock scope so a
+    * racing writer can't land between the reset and the seed append.
+    */
+  def replace(df: DataFrame): Unit = catalog.withWriteLock(name) {
+    requireWrite(); flush(); reset(); append(df); flush()
+  }
 
   /** truncate: destructive delete-all-rows, version and schema kept
     * (node.py:347-354).
     */
-  def truncate(): Unit = {
+  def truncate(): Unit = catalog.withWriteLock(name) {
     requireWrite()
     pending.clear()
     catalog.activePath(name).foreach { p =>
@@ -230,9 +235,15 @@ final class TableHandle(
       }
       case u => grouped += u
     }
-    grouped.foreach {
-      case PendAppend(df) => doAppend(df)
-      case PendUpsert(df, orderBy) => doUpsert(df, orderBy)
+    // the whole batch is ONE write cycle: serialized per table so a
+    // concurrent flush from another handle can't interleave its
+    // read-merge-commit with ours and drop rows (Catalog.withWriteLock
+    // scaladoc; CatalogSpec "interleaved upserts" pins it)
+    catalog.withWriteLock(name) {
+      grouped.foreach {
+        case PendAppend(df) => doAppend(df)
+        case PendUpsert(df, orderBy) => doUpsert(df, orderBy)
+      }
     }
   }
 

@@ -683,30 +683,39 @@ object Relational {
     // observed hour, forward-filling the last observation (the metric
     // downsampling/reporting primitive). Per-hour observation = the
     // latest event in that hour (ts desc, event_id desc — total
-    // order). Scale shape: per-user windows (no global sort), grid
-    // explode bounded by the time span, one shuffle on user_id.
+    // order).
+    //
+    // Scale shape (r14 rewrite, VERDICT r13 item 5): the r13 plan
+    // built the full hourly GRID, left-joined observations back, and
+    // forward-filled with a window — the grid rows (~1 B at 1000×:
+    // users × span hours) paid a shuffle join AND a per-user sort,
+    // needing ~30 GB local spill scratch (failed under 32 GB free).
+    // This formulation never joins or sorts grid-sized data: the
+    // per-hour observation is a HASH AGG (max_by over (ts, event_id) —
+    // map-side combining, no 100 M-row window sort), `lead` computes
+    // each observation's fill SPAN on obs-sized rows, and the grid
+    // rows are generated by an explode that already carries their
+    // fill value — pipelined straight to the sink, zero post-explode
+    // shuffle. Spill scratch is now bounded by the OBS aggregation,
+    // not the grid. Same result set; the oracle keeps the declarative
+    // grid+join formulation precisely so the two plans check each
+    // other.
     QuerySpec.sql("q36_gap_fill",
       """with obs as (
-        |  select user_id, h, value from (
-        |    select user_id, date_trunc('HOUR', ts) as h, value,
-        |      row_number() over (
-        |        partition by user_id, date_trunc('HOUR', ts)
-        |        order by ts desc, event_id desc) as rn
-        |    from events) where rn = 1),
-        |bounds as (select user_id, min(h) as h0, max(h) as h1
-        |           from obs group by user_id),
-        |grid as (select user_id,
-        |           explode(sequence(h0, h1, interval 1 hour)) as h
-        |         from bounds),
-        |j as (select g.user_id, g.h, o.value
-        |      from grid g left join obs o on g.user_id = o.user_id
-        |                                 and g.h = o.h)
-        |select user_id, h as hour,
-        |  last_value(value) ignore nulls over (
-        |    partition by user_id order by h
-        |    rows between unbounded preceding and current row) as value,
-        |  (value is not null) as observed
-        |from j""".stripMargin,
+        |  select user_id, date_trunc('HOUR', ts) as h,
+        |    max_by(value, struct(ts, event_id)) as value
+        |  from events
+        |  group by user_id, date_trunc('HOUR', ts)),
+        |spans as (
+        |  select user_id, h, value,
+        |    lead(h) over (partition by user_id order by h) as next_h
+        |  from obs)
+        |select user_id, g as hour, value, (g = h) as observed
+        |from (
+        |  select user_id, h, value,
+        |    explode(sequence(h, coalesce(next_h - interval 1 hour, h),
+        |                     interval 1 hour)) as g
+        |  from spans) t""".stripMargin,
       """with obs as (
         |  select user_id, h, value from (
         |    select user_id, date_trunc('hour', ts) as h, value,

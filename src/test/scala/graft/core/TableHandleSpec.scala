@@ -471,4 +471,78 @@ class TableHandleSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](h.readVersion("v99999999"))
     assert(e.getMessage.contains("no retained version"))
   }
+
+  test("interleaved upserts from two handles lose no rows (write-lock contract)") {
+    import spark.implicits._
+    // VERDICT r13 item 6: two writers race read-merge-commit cycles on
+    // the SAME bucketed table. Without Catalog.withWriteLock both read
+    // the same base version and the later commit silently DROPS the
+    // earlier one's keys — this spec interleaves 8 flush rounds per
+    // writer and asserts the union survived, with last-wins per key
+    // where a single writer owns the key.
+    val root = tmpDir("race")
+    val cat = new Catalog(root)
+    val a = new TableHandle(spark, cat, "t").init(
+      uniqueOn = Seq("k"), hashBuckets = Some(4))
+    val b = new TableHandle(spark, cat, "t")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(h: TableHandle, tag: String, keys: Range): Thread = {
+      val t = new Thread(() => try {
+        for (round <- 1 to 8) {
+          h.upsert(keys.map(k => (k.toLong, s"$tag$round")).toDF("k", "v"),
+            orderBy = Seq(lit(round)))
+          h.flush()
+        }
+      } catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    // disjoint halves + a contested middle: lost updates would drop
+    // whole key ranges, not just mis-order the middle
+    val ta = writer(a, "a", 0 until 100)
+    val tb = writer(b, "b", 50 until 150)
+    ta.join(); tb.join()
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val rows = a.read.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 150, s"lost update: ${150 - rows.size} keys missing")
+    // single-owner keys end at their owner's LAST round
+    (0 until 50).foreach(k => assert(rows(k.toLong) == "a8", s"k=$k ${rows(k.toLong)}"))
+    (100 until 150).foreach(k => assert(rows(k.toLong) == "b8", s"k=$k ${rows(k.toLong)}"))
+    // contested keys hold SOME complete round-8 write (serialized
+    // cycles; which writer committed last is scheduling-dependent)
+    (50 until 100).foreach(k =>
+      assert(rows(k.toLong) == "a8" || rows(k.toLong) == "b8",
+        s"contested k=$k ended at ${rows(k.toLong)}"))
+  }
+
+  test("crash mid-write: partial version never referenced; vacuum reclaims it") {
+    import spark.implicits._
+    // VERDICT r13 item 6: a writer that dies AFTER allocating a version
+    // and writing part-files but BEFORE the setActive commit must leave
+    // the table serving the old version byte-identically, and vacuum
+    // must reclaim the orphan directory.
+    val root = tmpDir("crash")
+    val cat = new Catalog(root)
+    val h = handle(root)
+    h.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")); h.flush()
+    val activeBefore = h.meta.activeVersion.get
+    // simulate the crash window: version allocated, data partially
+    // written, no setActive (the commit is the ONLY step that changes
+    // what readers see)
+    val orphan = cat.newVersion("t")
+    Seq((99L, "GHOST")).toDF("k", "v")
+      .write.parquet(cat.versionPath("t", orphan))
+    // readers: untouched — the pointer still names the old version
+    assert(h.meta.activeVersion.contains(activeBefore))
+    assert(h.read.orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
+    // the orphan is visible in the version list (auditable), inactive
+    assert(h.versions.map(_._1).contains(orphan))
+    // vacuum reclaims exactly the orphan; active stays readable
+    val dead = cat.vacuum("t")
+    assert(dead == Seq(orphan))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.versionPath("t", orphan))))
+    assert(h.read.count() == 2)
+  }
 }
