@@ -294,13 +294,29 @@ object Relational {
             count(lit(1)).as("cnt"))
     },
 
-    // Q11 — distinct + multi count-distinct + sum(distinct)
-    QuerySpec.shared("q11_distinct",
+    // Q11 — distinct + multi count-distinct + sum(distinct). The Spark
+    // side is the PRE-AGGREGATED formulation (r14, VERDICT r13 item 3):
+    // the declarative multi-distinct plans as an Expand that replicates
+    // every row once per DISTINCT aggregate — 1.8 B rows through ONE
+    // shuffle at the 1000× corpus, ~25 GB shuffle write, sort-fallback
+    // spills (131.5 s, SCALING r13). One select+distinct per aggregate
+    // dedups map-side BEFORE its exchange, so three small shuffles move
+    // only per-partition-distinct pairs; measured 99.5 s vs 111.8 s on
+    // the same 600 M-row corpus with identical results
+    // (tools/DistinctProbe asserts equality), and the spill-pressure
+    // profile is what matters at 100 TB. The oracle keeps the
+    // declarative count(distinct) SQL — the two formulations check
+    // each other.
+    QuerySpec.df("q11_distinct",
       """select l_returnflag,
         |  count(distinct l_suppkey) as d_supp,
         |  count(distinct l_partkey) as d_part,
         |  cast(sum(distinct cast(l_quantity as bigint)) as bigint) as sd_qty
-        |from lineitem group by l_returnflag""".stripMargin),
+        |from lineitem group by l_returnflag""".stripMargin) { (s, d) =>
+      MultiDistinct.preAgg(
+        t(s, d, "lineitem")
+          .select("l_returnflag", "l_suppkey", "l_partkey", "l_quantity"))
+    },
 
     // Q12 — approx_count_distinct (HLL), checked WITH TOLERANCE (the
     // SURVEY §2.3 Q12 method: "verify with exact count instead"):
@@ -858,4 +874,27 @@ object Relational {
         |from seq where nxt is not null
         |group by event_type, nxt""".stripMargin),
   )
+}
+
+/** q11's adopted multi-distinct plan (VERDICT r13 item 3): one
+  * select+distinct per DISTINCT aggregate — map-side hash dedup
+  * shrinks each stream to per-partition-distinct pairs BEFORE its
+  * exchange — then a join of group-key-cardinality results. The
+  * declarative `count(distinct ...)` alternative plans as an Expand
+  * that replicates every row once per aggregate through one shuffle
+  * (1.8 B rows / ~25 GB write at the 1000× corpus); measured 99.5 s
+  * vs 111.8 s at 600 M rows with identical output
+  * (tools/DistinctProbe asserts equality each run).
+  */
+object MultiDistinct {
+  def preAgg(li: DataFrame): DataFrame = {
+    val ds = li.select("l_returnflag", "l_suppkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("d_supp"))
+    val dp = li.select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("d_part"))
+    val sq = li.select(col("l_returnflag"),
+        col("l_quantity").cast("bigint").as("q")).distinct()
+      .groupBy("l_returnflag").agg(sum("q").cast("bigint").as("sd_qty"))
+    ds.join(dp, "l_returnflag").join(sq, "l_returnflag")
+  }
 }

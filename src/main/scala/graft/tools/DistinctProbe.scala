@@ -34,19 +34,12 @@ object DistinctProbe {
         sum_distinct(col("l_quantity").cast("bigint")).cast("bigint").as("sd_qty"))
   }
 
-  /** The pre-aggregated formulation: one distinct+agg per distinct
-    * column, joined on the group key.
+  /** The adopted pre-aggregated formulation — the q11 registry plan
+    * (graft.queries.MultiDistinct); referenced here so the probe
+    * always measures exactly what the registry ships.
     */
-  def preAggPlan(li: DataFrame): DataFrame = {
-    val ds = li.select("l_returnflag", "l_suppkey").distinct()
-      .groupBy("l_returnflag").agg(count(lit(1)).as("d_supp"))
-    val dp = li.select("l_returnflag", "l_partkey").distinct()
-      .groupBy("l_returnflag").agg(count(lit(1)).as("d_part"))
-    val sq = li.select(col("l_returnflag"),
-        col("l_quantity").cast("bigint").as("q")).distinct()
-      .groupBy("l_returnflag").agg(sum("q").cast("bigint").as("sd_qty"))
-    ds.join(dp, "l_returnflag").join(sq, "l_returnflag")
-  }
+  def preAggPlan(li: DataFrame): DataFrame =
+    graft.queries.MultiDistinct.preAgg(li)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
