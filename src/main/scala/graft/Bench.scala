@@ -61,13 +61,17 @@ object Bench {
     */
   private[graft] val calibrationRef = 0.720
 
+  // r14: l22/l38/l56 left this set when they were promoted to oracle
+  // entries (they are pure query execution, now hash-checked);
+  // s09 stays out with s05/t01/g01 — the temp-warehouse I/O-harness
+  // class — as do the rows-only spec-checked entries
   private val excluded = Set(
     "s05_upsert", "t01_stream_seek", "g01_graph_slice", "s09_monotonic_id",
     "q32b_xxhash",
     "l05b_cosine_ann", "l10b_multimodal_features",
-    "l15_ivf_ann", "l22_pack_sequences", "l35_ivfpq_ann", "l72_ivf_index",
-    "l38_compress_ratio", "l48_semdedup", "l49_bpe_train", "l50_bpe_encode",
-    "l56_ngram_topk_approx", "l73_tone_detect",
+    "l15_ivf_ann", "l35_ivfpq_ann", "l72_ivf_index",
+    "l48_semdedup", "l49_bpe_train", "l50_bpe_encode",
+    "l73_tone_detect",
     // tokenizer training is a driver-coordinated EM loop (the l49
     // class) and l109 measures over its memoized model
     "l108_unigram_train", "l109_unigram_encode")

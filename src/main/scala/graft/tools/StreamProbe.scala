@@ -23,12 +23,15 @@ import graft.streaming.StreamingBridge
   * smaller slope (one cheap corpus fingerprint/index scan per
   * micro-batch).
   *
-  * Usage: runMain graft.tools.StreamProbe [corpusDir] [batchDir] [runs]
+  * Usage: runMain graft.tools.StreamProbe [corpusDir] [batchDir] [runs] [phases]
   *   corpusDir — pre-existing corpus documents + events (default sf0.1)
   *   batchDir  — the FIXED ingest batch documents (default sf0.01,
   *               500 docs, ids shifted +1e9 so they never collide)
   *   runs      — median-of-N with a fresh catalog/checkpoint per run
   *               (a reused checkpoint would make reruns no-ops)
+  *   phases    — comma list of dedup,curated,neardup,session (default
+  *               all; phase-split runs let a multi-minute decade probe
+  *               survive a single-arm failure — r14 lesson)
   *
   * Prints one JSON line; prep (corpus append, one-time near-dup index
   * build — the cost [[graft.llm.TextDedup.buildNearDupIndex]] pays
@@ -39,6 +42,9 @@ object StreamProbe {
     val corpusDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val runs = if (args.length > 2) args(2).toInt else 3
+    val phases: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("dedup", "curated", "neardup", "session")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +52,13 @@ object StreamProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the decade lesson (r14): the default HDFSBackedStateStore holds
+      // every open session IN HEAP — the 100 M-event sessionize drain
+      // OOMed a single availableNow micro-batch at 8 g. RocksDB is the
+      // documented large-state provider (off-heap + spilling) and the
+      // configuration any 100 TB streaming deployment runs with.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -135,10 +148,11 @@ object StreamProbe {
 
     val (dedupS, curatedS, ndPrepS, ndDrainS, sessionS) =
       try {
-        val (_, d) = probeIngest("dedup")
-        val (_, c) = probeIngest("curated")
-        val (ndP, ndD) = probeIngest("neardup")
-        val s = probeSession()
+        val (_, d) = if (phases("dedup")) probeIngest("dedup") else (-1.0, -1.0)
+        val (_, c) = if (phases("curated")) probeIngest("curated") else (-1.0, -1.0)
+        val (ndP, ndD) =
+          if (phases("neardup")) probeIngest("neardup") else (-1.0, -1.0)
+        val s = if (phases("session")) probeSession() else -1.0
         (d, c, ndP, ndD, s)
       } finally cleanup()
 
