@@ -236,16 +236,49 @@ object Llm {
           "q_id", "c_id", "q_vec", "c_vec", k = 5)
     },
 
-    // L3b — LSH-bucketed approximate variant (the 100 TB scale path);
-    // approximate by design → rows-only check here, recall measured in
-    // the spec suite.
-    QuerySpec.unchecked("l05b_cosine_ann") { (s, d) =>
-      val emb = Fixtures.table(s, d, "embeddings")
-      Similarity.lshTopK(
-        emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
-        "q_id", "c_id", "q_vec", "c_vec", k = 5, nBits = 8)
+    // L3b — LSH-bucketed approximate variant (the 100 TB scale path).
+    // PROMOTED (r14, the q12 pattern): the ANN result itself can't
+    // hash-match an oracle, but it IS a deterministic, partition-
+    // layout-independent function of the fixture (seeded hyperplanes,
+    // arithmetic bucket keys, (cos, id) tie-broken top-k) — so the
+    // verdict rides the contract sign-LSH actually makes: NEAR
+    // neighbors collide. Each of the 100 planted near-duplicates
+    // (cos ≈ 0.999, [[plantedCorpus]]) queries the base corpus; the
+    // oracle asserts (a) per query, the planted source is the ANN's
+    // rank-1 hit WHEN its bucket collides (nothing in a bucket
+    // outranks cos ≈ 0.999 — a hard contract), and (b) the
+    // corpus-level hit fraction clears 0.85 (1-bit multiprobe's
+    // expected hit rate is ~95%, so a bucketing/probe/plane
+    // regression craters the boolean while the fixture's
+    // deterministic few misses don't). The raw fixture's neighbors
+    // sit at cos ≈ 0.37, where sign-LSH at any honest config finds
+    // ~nothing — floor-verdicting THAT would pin noise; recall-vs-
+    // exact on weak neighbors stays a spec-suite measurement.
+    QuerySpec.df("l05b_cosine_ann",
+      """select vec_id + 100000 as q_id, vec_id as src_id,
+        |  true as rank1_when_found, true as corpus_recall_ok
+        |from embeddings where vec_id < 100""".stripMargin) {
+      (s, d) =>
+        val corpus = plantedCorpus(Fixtures.table(s, d, "embeddings"))
+        val q = corpus.filter(col("vec_id") >= 100000L)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val c = corpus.filter(col("vec_id") < 100000L)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val ann = Similarity.lshTopK(
+          q, c, "q_id", "c_id", "q_vec", "c_vec", k = 5, nBits = 8)
+        val hits = q.select(col("q_id"))
+          .join(ann, Seq("q_id"), "left")
+          .groupBy("q_id")
+          .agg(max(when(col("c_id") === col("q_id") - 100000L, col("rk")))
+            .as("_src_rk"))
+        val withFrac = hits.crossJoin(broadcast(
+          hits.agg((sum(when(col("_src_rk").isNotNull, 1).otherwise(0)) /
+            count(lit(1))).as("_frac"))))
+        withFrac.select(
+          col("q_id"),
+          (col("q_id") - 100000L).as("src_id"),
+          coalesce(col("_src_rk") === 1, lit(true)).as("rank1_when_found"),
+          (col("_frac") >= 0.85).as("corpus_recall_ok"))
     },
 
     // L4 — language-id heuristic (stopword-hit argmax)
@@ -3156,20 +3189,53 @@ object Llm {
     // sketches PLUS the cross-group rollup built by merging the
     // stored summaries, never re-reading rows — the mergeable-
     // summaries cube pattern (SpaceSaving's quantile sibling).
-    // Compaction-sketch results are partition-layout dependent →
-    // rows-only; QuantileSketchSpec pins the rank-error bound, the
-    // merge bound, and the parquet persistence round trip.
-    QuerySpec.unchecked("l110_quantile_sketch") { (s, d) =>
+    // PROMOTED (r14, the q14c pattern): compaction estimates are
+    // partition-layout dependent, but the sketch's rank contract is
+    // not — QuantileSketchSpec pins rank error < 0.02 single /
+    // < 0.03 merged, so each estimate must lie between the EXACT
+    // percentiles at p ± 0.05 (upper bounds clamp to the max). The
+    // hash-checked anchor is the exact cents-integral median per
+    // group (interpolation exact in both engines, as q14_stats);
+    // the bound verdicts are booleans the oracle asserts true.
+    QuerySpec.df("l110_quantile_sketch",
+      """with c as (select l_returnflag,
+        |             cast(round(l_extendedprice * 100) as bigint) as cents
+        |           from lineitem),
+        |g as (
+        |  select l_returnflag as grp,
+        |    round(quantile_cont(cents, 0.5) / 100, 2) as p50_exact
+        |  from c group by 1
+        |  union all
+        |  select 'ALL', round(quantile_cont(cents, 0.5) / 100, 2) from c)
+        |select grp, cast(p50_exact as double) as p50_exact,
+        |  true as p50_ok, true as p95_ok, true as p99_ok
+        |from g""".stripMargin) { (s, d) =>
       import graft.functions.QuantileSketch
       val li = Fixtures.table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("_cents"))
       val per = li.groupBy(col("l_returnflag").as("grp"))
         .agg(QuantileSketch.sketch(col("l_extendedprice")).as("sk"))
       val all = per.agg(QuantileSketch.mergeSketches(col("sk")).as("sk"))
         .withColumn("grp", lit("ALL"))
-      per.unionByName(all).select(col("grp"),
-        round(QuantileSketch.quantileCol(col("sk"), 0.5), 2).as("p50"),
-        round(QuantileSketch.quantileCol(col("sk"), 0.95), 2).as("p95"),
-        round(QuantileSketch.quantileCol(col("sk"), 0.99), 2).as("p99"))
+      val sk = per.unionByName(all).select(col("grp"),
+        QuantileSketch.quantileCol(col("sk"), 0.5).as("_s50"),
+        QuantileSketch.quantileCol(col("sk"), 0.95).as("_s95"),
+        QuantileSketch.quantileCol(col("sk"), 0.99).as("_s99"))
+      val pctArr = "percentile(_cents, array(0.45D, 0.5D, 0.55D, 0.90D, 0.94D))"
+      val exPer = li.groupBy(col("l_returnflag").as("grp"))
+        .agg(expr(pctArr).as("ps"), max(col("l_extendedprice")).as("mx"))
+      val exAll = li.agg(expr(pctArr).as("ps"),
+          max(col("l_extendedprice")).as("mx"))
+        .withColumn("grp", lit("ALL"))
+      sk.join(exPer.unionByName(exAll), "grp").select(col("grp"),
+        round(element_at(col("ps"), 2) / 100, 2).as("p50_exact"),
+        (col("_s50") >= element_at(col("ps"), 1) / 100 &&
+          col("_s50") <= element_at(col("ps"), 3) / 100).as("p50_ok"),
+        (col("_s95") >= element_at(col("ps"), 4) / 100 &&
+          col("_s95") <= col("mx")).as("p95_ok"),
+        (col("_s99") >= element_at(col("ps"), 5) / 100 &&
+          col("_s99") <= col("mx")).as("p99_ok"))
     },
 
     // L9n — HITS hubs & authorities (Kleinberg) over the l98 planted
