@@ -59,4 +59,15 @@ object CompressPlants {
   val repetitiveRatio: Double = 0.131818 // 58 / 440 bytes
   val proseRatio: Double = 0.724138      // 168 / 232 bytes
   val noiseRatio: Double = 1.02          // 102 / 100 bytes (expands)
+
+  // q32b's pinned engine-hash literals over the same three texts
+  // (xxhash64 seed-42 / CRC-32), measured at authoring time — the
+  // same non-circular rule as the ratios: any kernel or Spark-upgrade
+  // drift moves the query output away from these and fails the hash.
+  val xxRepetitive: Long = -3955790421481226900L
+  val xxProse: Long = 7501523814037462427L
+  val xxNoise: Long = 7163085181753288022L
+  val crcRepetitive: Long = 2743273425L
+  val crcProse: Long = 792811505L
+  val crcNoise: Long = 3754459632L
 }

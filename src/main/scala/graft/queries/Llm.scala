@@ -2417,10 +2417,24 @@ object Llm {
     // L6v — WARC crawl-shard ingest: parse the real container format
     // web crawls arrive in (hardened record walk), keep response
     // records, and hand bodies to the HTML→text chain — the true first
-    // step ahead of l51. Rows-only (binary container parse has no SQL
-    // form); WarcSpec pins the record walk, type filter, and
-    // corrupt-shard liveness.
-    QuerySpec.unchecked("l85_warc_records") { (s, d) =>
+    // step ahead of l51. PROMOTED (r14, the l5c planted-arithmetic
+    // pattern): the binary container parse has no SQL form, but the
+    // synthesized shard is a pure function of doc_id (one request +
+    // (id%3)+1 response records, id-derived URIs, fixed HTML bodies —
+    // Warc.attachWarcPayload), so the oracle recomputes every output
+    // cell arithmetically: rec_idx = k+1 (the request is record 0),
+    // content_length = 37 + digits(id), text = the tag-stripped body.
+    // A parser regression (offset drift, CRLF mishandling, type-filter
+    // slip) breaks a cell and fails the hash. WarcSpec keeps the
+    // corrupt-shard liveness and record-walk cases.
+    QuerySpec.df("l85_warc_records",
+      """select doc_id, cast(k + 1 as bigint) as rec_idx,
+        |  'http://w' || doc_id || '.example/p' || k as target_uri,
+        |  cast(37 + length(cast(doc_id as varchar)) as bigint)
+        |    as content_length,
+        |  'doc ' || doc_id || ' page ' || k as text
+        |from (select doc_id, unnest(range(0, doc_id % 3 + 1)) as k
+        |      from documents)""".stripMargin) { (s, d) =>
       graft.llm.Warc.warcRecords(
         mediaPayloads(s, d, "warc",
           graft.llm.Warc.attachWarcPayload(_, "doc_id")),
@@ -3214,21 +3228,24 @@ object Llm {
       val li = Fixtures.table(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
           round(col("l_extendedprice") * 100).cast("bigint").as("_cents"))
+      val pctArr = "percentile(_cents, array(0.45D, 0.5D, 0.55D, 0.90D, 0.94D))"
+      // ONE per-group scan carries sketch + exact bounds together; the
+      // ALL row merges the per-group SKETCHES (the mergeable contract
+      // under test) but its exact bounds need their own full pass —
+      // exact percentiles don't merge, which is the sketch's raison
+      // d'être (2 scans total; the first formulation paid 3)
       val per = li.groupBy(col("l_returnflag").as("grp"))
-        .agg(QuantileSketch.sketch(col("l_extendedprice")).as("sk"))
+        .agg(QuantileSketch.sketch(col("l_extendedprice")).as("sk"),
+          expr(pctArr).as("ps"), max(col("l_extendedprice")).as("mx"))
       val all = per.agg(QuantileSketch.mergeSketches(col("sk")).as("sk"))
         .withColumn("grp", lit("ALL"))
-      val sk = per.unionByName(all).select(col("grp"),
+        .crossJoin(broadcast(li.agg(expr(pctArr).as("ps"),
+          max(col("l_extendedprice")).as("mx"))))
+      per.unionByName(all).select(col("grp"),
         QuantileSketch.quantileCol(col("sk"), 0.5).as("_s50"),
         QuantileSketch.quantileCol(col("sk"), 0.95).as("_s95"),
-        QuantileSketch.quantileCol(col("sk"), 0.99).as("_s99"))
-      val pctArr = "percentile(_cents, array(0.45D, 0.5D, 0.55D, 0.90D, 0.94D))"
-      val exPer = li.groupBy(col("l_returnflag").as("grp"))
-        .agg(expr(pctArr).as("ps"), max(col("l_extendedprice")).as("mx"))
-      val exAll = li.agg(expr(pctArr).as("ps"),
-          max(col("l_extendedprice")).as("mx"))
-        .withColumn("grp", lit("ALL"))
-      sk.join(exPer.unionByName(exAll), "grp").select(col("grp"),
+        QuantileSketch.quantileCol(col("sk"), 0.99).as("_s99"),
+        col("ps"), col("mx")).select(col("grp"),
         round(element_at(col("ps"), 2) / 100, 2).as("p50_exact"),
         (col("_s50") >= element_at(col("ps"), 1) / 100 &&
           col("_s50") <= element_at(col("ps"), 3) / 100).as("p50_ok"),

@@ -103,11 +103,31 @@ object SemiStructured {
       """select doc_id, md5(text) as h_md5, sha256(text) as h_sha
         |from documents where doc_id % 5 = 0""".stripMargin),
 
-    // Q32b — Spark-native hashes (xxhash64/crc32: no DuckDB equivalent)
-    QuerySpec.unchecked("q32b_xxhash") { (s, d) =>
-      Fixtures.table(s, d, "documents")
-        .select(col("doc_id"), xxhash64(col("text")).as("h_xx"),
-          crc32(col("text")).as("h_crc"))
+    // Q32b — Spark-native hashes. PROMOTED (r14, the l38 planted-
+    // constant pattern): xxhash64/crc32 have no DuckDB implementation,
+    // but their values over FIXED strings are constants — the entry
+    // hashes the three CompressPlants texts (doc_id % 3 classes) and
+    // the oracle pins the six values as hard-coded literals measured
+    // at authoring time. Any drift in the kernels (a Spark upgrade
+    // changing xxhash64 seeds/semantics, a crc polynomial regression)
+    // moves the output away from the pinned literals and fails the
+    // hash compare — exactly the portability tripwire a fingerprint
+    // family needs (every LSH band key rides xxhash64).
+    QuerySpec.df("q32b_xxhash",
+      s"""select doc_id,
+         |  cast(case when doc_id % 3 = 0 then ${CompressPlants.xxRepetitive}
+         |       when doc_id % 3 = 1 then ${CompressPlants.xxProse}
+         |       else ${CompressPlants.xxNoise} end as bigint) as h_xx,
+         |  cast(case when doc_id % 3 = 0 then ${CompressPlants.crcRepetitive}
+         |       when doc_id % 3 = 1 then ${CompressPlants.crcProse}
+         |       else ${CompressPlants.crcNoise} end as bigint) as h_crc
+         |from documents""".stripMargin) { (s, d) =>
+      val planted = Fixtures.table(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(CompressPlants.repetitive))
+          .when(col("doc_id") % 3 === 1, lit(CompressPlants.prose))
+          .otherwise(lit(CompressPlants.noise)).as("text"))
+      planted.select(col("doc_id"), xxhash64(col("text")).as("h_xx"),
+        crc32(col("text")).as("h_crc"))
     },
 
     // Q33 — pivot: revenue by nation × order status
