@@ -70,4 +70,54 @@ object CompressPlants {
   val crcRepetitive: Long = 2743273425L
   val crcProse: Long = 792811505L
   val crcNoise: Long = 3754459632L
+
+  /** l83/l84's pinned CDC chunk tables of the three texts (gear-hash,
+    * minLen 16 / maxLen 256 / 6 mask bits — the operator defaults),
+    * measured at authoring time: (class, chunk_idx, offset, len, fp).
+    * Same non-circular rule as above — a rolling-hash, boundary, or
+    * FNV fingerprint regression moves the query output away from
+    * these. The repetitive class carries REAL chunk-level dedup
+    * (its period-55 text collapses to 4 distinct fingerprints), so
+    * l84's dedup arithmetic is exercised, not degenerate.
+    */
+  val cdcChunks: Seq[(Int, Long, Int, Int, Long)] = Seq(
+    (0, 0L, 0, 19, 6464197775544430538L),
+    (0, 1L, 19, 20, -8846591452302860388L),
+    (0, 2L, 39, 35, 7697631605868071499L),
+    (0, 3L, 74, 20, -8846591452302860388L),
+    (0, 4L, 94, 35, 7697631605868071499L),
+    (0, 5L, 129, 20, -8846591452302860388L),
+    (0, 6L, 149, 35, 7697631605868071499L),
+    (0, 7L, 184, 20, -8846591452302860388L),
+    (0, 8L, 204, 35, 7697631605868071499L),
+    (0, 9L, 239, 20, -8846591452302860388L),
+    (0, 10L, 259, 35, 7697631605868071499L),
+    (0, 11L, 294, 20, -8846591452302860388L),
+    (0, 12L, 314, 35, 7697631605868071499L),
+    (0, 13L, 349, 20, -8846591452302860388L),
+    (0, 14L, 369, 35, 7697631605868071499L),
+    (0, 15L, 404, 20, -8846591452302860388L),
+    (0, 16L, 424, 16, -7102803925981135714L),
+    (1, 0L, 0, 34, 7005529557322922073L),
+    (1, 1L, 34, 78, 5833496356269670543L),
+    (1, 2L, 112, 20, -4128162769121437938L),
+    (1, 3L, 132, 22, 1390644380232124110L),
+    (1, 4L, 154, 25, -4414364570112663585L),
+    (1, 5L, 179, 53, 2077679571038063556L),
+    (2, 0L, 0, 49, 4204217270126407608L),
+    (2, 1L, 49, 51, -5888816533924584996L))
+
+  /** The literals as a DuckDB VALUES list for the l83 oracle. */
+  def cdcChunksValuesSql: String = cdcChunks
+    .map { case (c, i, o, l, f) => s"($c, $i, $o, $l, $f)" }
+    .mkString(", ")
+
+  // l84's derived per-class/per-corpus constants — pure arithmetic
+  // over the pinned literals (single source of truth)
+  def cdcClassChunks(cls: Int): Int = cdcChunks.count(_._1 == cls)
+  def cdcClassBytes(cls: Int): Int =
+    cdcChunks.filter(_._1 == cls).map(_._4).sum
+  def cdcDistinctChunks: Int = cdcChunks.map(_._5).distinct.size
+  def cdcUniqueBytes: Int = cdcChunks.groupBy(_._5)
+    .map { case (_, rows) => rows.map(_._4).min }.sum
 }

@@ -111,6 +111,17 @@ object Llm {
     asDouble.unionByName(planted)
   }
 
+  /** documents with text replaced by the three CompressPlants constant
+    * texts (doc_id % 3) — the planted-constant corpus behind the
+    * l38/q32b/l83/l84 pinned-literal oracles.
+    */
+  private def plantedCompressDocs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    Fixtures.table(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(CompressPlants.repetitive))
+        .when(col("doc_id") % 3 === 1, lit(CompressPlants.prose))
+        .otherwise(lit(CompressPlants.noise)).as("text"))
+
   val all: Seq[QuerySpec] = Seq(
 
     // L1 — exact dedup on the normalized-text fingerprint
@@ -1516,10 +1527,18 @@ object Llm {
 
     // L5j — Goertzel band-energy tone detection over REAL decoded PCM
     // (single-bin DFT — tone/DTMF/hum QC): payloads are planted sine
-    // tones at 400·(doc_id%8+1) Hz; the per-band powers aren't
-    // bit-portable (trig), so rows-only — the 100% dominant-band
-    // detection property is spec'd in MediaSpec.
-    QuerySpec.unchecked("l73_tone_detect") { (s, d) =>
+    // tones at 400·(doc_id%8+1) Hz. PROMOTED (r14, the l5c planted-
+    // arithmetic pattern): the per-band POWERS aren't bit-portable
+    // (trig), but the entry's selected columns are the detection
+    // OUTCOME — dominant band index and frequency — which the planted
+    // fixture pins exactly (a pure tone's Goertzel power at its own
+    // bin dominates by orders of magnitude; MediaSpec proves the 100%
+    // margin). The oracle recomputes both arithmetically from doc_id;
+    // any decode/recurrence/argmax regression flips a cell.
+    QuerySpec.df("l73_tone_detect",
+      """select doc_id, cast(doc_id % 8 as int) as dominant_band,
+        |  cast(400.0 * (doc_id % 8 + 1) as double) as dominant_freq
+        |from documents""".stripMargin) { (s, d) =>
       Multimodal.audioBandEnergy(
         mediaPayloads(s, d, "tone",
           Multimodal.attachTonePayload(_, "doc_id")),
@@ -2395,23 +2414,51 @@ object Llm {
           Fixtures.table(s, d, "documents"), "doc_id", "text", "lang")
     },
 
-    // L6t — content-defined chunking (gear-hash CDC): the chunk table
-    // over the corpus. Rows-only (the rolling-hash boundary scan has
-    // no SQL form); CdcSpec pins reassembly, determinism, and the
-    // shift-resynchronization property that distinguishes CDC from
-    // fixed chunking.
-    QuerySpec.unchecked("l83_cdc_chunks") { (s, d) =>
-      Corpus.cdcChunkTable(Fixtures.table(s, d, "documents"),
-        "doc_id", "text")
+    // L6t — content-defined chunking (gear-hash CDC): the chunk table.
+    // PROMOTED (r14, the l38 planted-constant pattern): the rolling-
+    // hash boundary scan has no SQL form, but the chunk table of a
+    // FIXED text is a constant — the entry chunks the three
+    // CompressPlants texts (doc_id % 3 classes) and the oracle joins
+    // each doc against its class's pinned (idx, offset, len, fp)
+    // literals. A gear-table, mask, min/max-length, or FNV regression
+    // moves a cell. CdcSpec keeps reassembly, determinism, and the
+    // shift-resynchronization property on real corpus text.
+    QuerySpec.df("l83_cdc_chunks",
+      s"""select d.doc_id, cast(l.chunk_idx as bigint) as chunk_idx,
+         |  cast(l."offset" as int) as "offset", cast(l.len as int) as len,
+         |  cast(l.fp as bigint) as fp
+         |from documents d
+         |join (values ${CompressPlants.cdcChunksValuesSql})
+         |  l(cls, chunk_idx, "offset", len, fp) on l.cls = d.doc_id % 3""".stripMargin) {
+      (s, d) =>
+        Corpus.cdcChunkTable(plantedCompressDocs(s, d), "doc_id", "text")
     },
 
     // L6u — corpus CDC dedup report: the 1-row storage-dedup summary
     // (total/distinct chunks, total/unique bytes, dedup ratio) a
-    // content-addressed snapshot store would realize. Rows-only;
-    // CdcSpec pins a planted-duplication case.
-    QuerySpec.unchecked("l84_cdc_dedup") { (s, d) =>
-      Corpus.cdcDedupReport(Fixtures.table(s, d, "documents"),
-        "doc_id", "text")
+    // content-addressed snapshot store would realize. PROMOTED (r14):
+    // over the planted classes every summary cell is arithmetic in the
+    // pinned chunk literals — and the repetitive class dedups for
+    // real (4 distinct fps over 17 chunks), so the ratio is a
+    // meaningful constant, not 0. CdcSpec keeps the planted-
+    // duplication case.
+    QuerySpec.df("l84_cdc_dedup",
+      s"""with per as (
+         |  select case when doc_id % 3 = 0 then ${CompressPlants.cdcClassChunks(0)}
+         |              when doc_id % 3 = 1 then ${CompressPlants.cdcClassChunks(1)}
+         |              else ${CompressPlants.cdcClassChunks(2)} end as nch,
+         |         case when doc_id % 3 = 0 then ${CompressPlants.cdcClassBytes(0)}
+         |              when doc_id % 3 = 1 then ${CompressPlants.cdcClassBytes(1)}
+         |              else ${CompressPlants.cdcClassBytes(2)} end as nby
+         |  from documents)
+         |select cast(sum(nch) as bigint) as total_chunks,
+         |  cast(${CompressPlants.cdcDistinctChunks} as bigint) as distinct_chunks,
+         |  cast(sum(nby) as bigint) as total_bytes,
+         |  cast(${CompressPlants.cdcUniqueBytes} as bigint) as unique_bytes,
+         |  round(1.0 - ${CompressPlants.cdcUniqueBytes} * 1.0 / sum(nby), 6)
+         |    as dedup_ratio
+         |from per""".stripMargin) { (s, d) =>
+      Corpus.cdcDedupReport(plantedCompressDocs(s, d), "doc_id", "text")
     },
 
     // L6v — WARC crawl-shard ingest: parse the real container format
@@ -2498,9 +2545,18 @@ object Llm {
     // normalization audio pipelines apply before features): linear
     // interpolation over the real decoded samples, re-encoded as WAV
     // so the whole audio operator family runs downstream unchanged.
-    // Rows-only; MediaSpec proves the planted tone survives the rate
-    // change via Goertzel band detection.
-    QuerySpec.unchecked("l88_audio_resample") { (s, d) =>
+    // PROMOTED (r14): the resampled BYTES aren't SQL-expressible, but
+    // every selected column is — the planted tone WAV is
+    // (8 kHz, 2000 frames) for every doc, so n_out = ⌊2000·16000/8000⌋
+    // = 4000 and the re-encoded container is 44 + 2·n_out bytes. A
+    // header-parse, ratio, or WAV-framing regression breaks a cell;
+    // MediaSpec keeps proving the tone itself survives the rate change
+    // via Goertzel detection.
+    QuerySpec.df("l88_audio_resample",
+      """select doc_id, cast(8000 as int) as src_rate,
+        |  cast(2000 as bigint) as n_in, cast(4000 as bigint) as n_out,
+        |  cast(8044 as int) as n_bytes
+        |from documents""".stripMargin) { (s, d) =>
       Multimodal.resampleAudio(
         mediaPayloads(s, d, "tone",
           Multimodal.attachTonePayload(_, "doc_id")),
