@@ -671,12 +671,47 @@ object Corpus {
     */
   def writeShards(docs: DataFrame, idCol: String, weight: Column,
       tokensPerShard: Long, dir: String, orderBuckets: Int = 256): DataFrame = {
-    val assigned = assignShards(docs, idCol, weight, tokensPerShard, orderBuckets)
-    val toWrite = docs
-      .join(assigned.select(col(idCol), col("n_tokens"), col("shard")), Seq(idCol))
+    // The assignment's prefix-sum windows CARRY the document payload
+    // instead of re-joining it afterwards (r14 opt): the join shuffled
+    // every payload byte by id (plus two sorts) only to reattach rows
+    // the window pass already held — same [[assignShards]] arithmetic
+    // (same bucket key, same offsets, same shard ids), one fewer
+    // payload shuffle. Payload bytes now move exactly twice: into the
+    // bucket window, then into the shard-keyed write repartition —
+    // the guide-§8 "move heavy rows once per decision" shape.
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    require(orderBuckets > 0 && 1048576 % orderBuckets == 0,
+      "orderBuckets must divide the 2^20 hash keyspace")
+    import org.apache.spark.sql.expressions.Window
+    val width = 1048576L / orderBuckets
+    val hk = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L),
+      lit(1048576L))
+    val base = docs
+      .withColumn("n_tokens", coalesce(weight.cast("long"), lit(0L)))
+      .withColumn("_sh_hk", hk)
+      .withColumn("_sh_bkt", floor(col("_sh_hk") / lit(width.toDouble)))
+    val offsets = base.groupBy("_sh_bkt")
+      .agg(sum("n_tokens").as("_sh_bwt"))
+      .withColumn("_sh_off",
+        coalesce(sum(col("_sh_bwt")).over(
+          Window.orderBy("_sh_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_sh_bwt")
+    val w = Window.partitionBy("_sh_bkt").orderBy(col("_sh_hk"), col(idCol))
+    val toWrite = base.join(broadcast(offsets), "_sh_bkt")
+      .withColumn("shard",
+        floor((col("_sh_off") + coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          / lit(tokensPerShard.toDouble)).cast("long"))
+      .drop("_sh_bkt", "_sh_hk", "_sh_off")
     toWrite
       .repartition(col("shard"))
-      .sortWithinPartitions(
+      // shard ids are monotone in the (id-hash, id) shuffle order, so
+      // leading with `shard` leaves the within-shard order unchanged
+      // AND gives the dynamic-partition writer the sorted-by-partition
+      // input it requires — without it, FileFormatWriter inserts its
+      // own sort over the payload
+      .sortWithinPartitions(col("shard"),
         pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L), lit(1048576L)), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
     // Explicit schema on the read-back: an EMPTY corpus writes only

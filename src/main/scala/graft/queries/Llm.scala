@@ -3284,20 +3284,27 @@ object Llm {
       val li = Fixtures.table(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
           round(col("l_extendedprice") * 100).cast("bigint").as("_cents"))
-      val pctArr = "percentile(_cents, array(0.45D, 0.5D, 0.55D, 0.90D, 0.94D))"
-      // ONE per-group scan carries sketch + exact bounds together; the
-      // ALL row merges the per-group SKETCHES (the mergeable contract
-      // under test) but its exact bounds need their own full pass —
-      // exact percentiles don't merge, which is the sketch's raison
-      // d'être (2 scans total; the first formulation paid 3)
+      // The sketch pass groups once (per-flag sketch + max); the ALL
+      // row merges the per-group SKETCHES (the mergeable contract
+      // under test) and takes max-of-maxes — no second corpus scan for
+      // the global max. The exact bounds moved off the counts-map
+      // `percentile` (a ~600k-entry OpenHashMap per group, the
+      // measured bulk of the query and an OOM at scale) onto the
+      // sort-based operators.Percentiles pass; tagging each row with
+      // its flag AND 'ALL' lets ONE sorted window pass produce the
+      // per-group and global bounds together (r14 opt: 3.26 s before).
       val per = li.groupBy(col("l_returnflag").as("grp"))
         .agg(QuantileSketch.sketch(col("l_extendedprice")).as("sk"),
-          expr(pctArr).as("ps"), max(col("l_extendedprice")).as("mx"))
-      val all = per.agg(QuantileSketch.mergeSketches(col("sk")).as("sk"))
+          max(col("l_extendedprice")).as("mx"))
+      val all = per.agg(QuantileSketch.mergeSketches(col("sk")).as("sk"),
+          max(col("mx")).as("mx"))
         .withColumn("grp", lit("ALL"))
-        .crossJoin(broadcast(li.agg(expr(pctArr).as("ps"),
-          max(col("l_extendedprice")).as("mx"))))
-      per.unionByName(all).select(col("grp"),
+      val tagged = li.select(col("l_returnflag").as("grp"), col("_cents"))
+        .unionAll(li.select(lit("ALL").as("grp"), col("_cents")))
+      val pcts = graft.operators.Percentiles.exactByGroup(
+        tagged, "grp", "_cents", Seq(0.45, 0.5, 0.55, 0.90, 0.94))
+      per.unionByName(all.select("grp", "sk", "mx"))
+        .join(pcts, "grp").select(col("grp"),
         QuantileSketch.quantileCol(col("sk"), 0.5).as("_s50"),
         QuantileSketch.quantileCol(col("sk"), 0.95).as("_s95"),
         QuantileSketch.quantileCol(col("sk"), 0.99).as("_s99"),

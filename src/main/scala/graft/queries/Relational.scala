@@ -416,24 +416,31 @@ object Relational {
       Fixtures.registerAll(s, d)
       // Scalar output columns only: the driver canonicalizes results via
       // pandas sort/hash, which cannot handle array-typed cells. The
-      // exact percentiles ride ARRAY-percentage calls — ONE counts-map
-      // aggregation buffer per column instead of one per bound (the
-      // six-scalar-agg formulation measured 4.3 s vs q14_stats' 0.5 s
-      // at sf0.1; this one is back at the family's floor).
-      s.sql("""select l_returnflag,
-              |  cast(pq[1] as double) as med_qty,
-              |  aq between pq[0] and pq[2] as med_ok,
-              |  ae[0] between pe[0] and pe[1] as q1_ok,
-              |  ae[1] between pe[2] and pe[3] as q3_ok
-              |from (
-              |  select l_returnflag,
-              |    percentile(l_quantity, array(0.495, 0.5, 0.505)) as pq,
-              |    percentile_approx(l_quantity, 0.5, 10000) as aq,
-              |    percentile(l_extendedprice,
-              |      array(0.245, 0.255, 0.745, 0.755)) as pe,
-              |    percentile_approx(l_extendedprice,
-              |      array(0.25, 0.75), 10000) as ae
-              |  from lineitem group by l_returnflag)""".stripMargin)
+      // l_quantity percentiles keep the counts-map `percentile` (50
+      // distinct values — the map is trivial); the l_extendedprice
+      // bounds move to the SORT-based exact formulation
+      // (operators.Percentiles — the counts map held ~1 distinct value
+      // per row there, the measured bulk of the query and an OOM at
+      // scale; see Percentiles scaladoc). Identical interpolation
+      // arithmetic, same booleans, 1.89 s → sort-pass cost (r14 opt).
+      val agg = s.sql(
+        """select l_returnflag,
+          |  percentile(l_quantity, array(0.495, 0.5, 0.505)) as pq,
+          |  percentile_approx(l_quantity, 0.5, 10000) as aq,
+          |  percentile_approx(l_extendedprice,
+          |    array(0.25, 0.75), 10000) as ae
+          |from lineitem group by l_returnflag""".stripMargin)
+      val pe = graft.operators.Percentiles.exactByGroup(
+        Fixtures.table(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.245, 0.255, 0.745, 0.755), outCol = "pe")
+      agg.join(pe, "l_returnflag").select(col("l_returnflag"),
+        element_at(col("pq"), 2).cast("double").as("med_qty"),
+        (col("aq") >= element_at(col("pq"), 1) &&
+          col("aq") <= element_at(col("pq"), 3)).as("med_ok"),
+        (element_at(col("ae"), 1) >= element_at(col("pe"), 1) &&
+          element_at(col("ae"), 1) <= element_at(col("pe"), 2)).as("q1_ok"),
+        (element_at(col("ae"), 2) >= element_at(col("pe"), 3) &&
+          element_at(col("ae"), 2) <= element_at(col("pe"), 4)).as("q3_ok"))
     },
 
     // Q15 — ranking window functions, total tie-break order

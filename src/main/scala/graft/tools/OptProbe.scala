@@ -1,0 +1,176 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch sub-component timer for the r14 optimization round: times
+  * named plan fragments with the bench methodology (noop sink, warmup
+  * + median of 3) so a hot query's cost can be attributed operator by
+  * operator before rewriting it (guide §1). Not part of any driver
+  * surface.
+  *
+  * Run: sbt "runMain graft.tools.OptProbe [fragment ...]"
+  */
+object OptProbe {
+  def time(name: String, df: => DataFrame): Unit = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.gc() // the bench's suite-order decontamination, same reason
+    once()
+    val runs = Seq.fill(3)(once()).sorted
+    println(f"[optprobe] $name%-40s median=${runs(1)}%.3f s (min=${runs.head}%.3f max=${runs.last}%.3f)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = if (args.nonEmpty) Some(args.toSet) else None
+    def want(n: String) = only.forall(_(n))
+
+    // "q:<name>" fragments time a registry query as-is; "smj_off"
+    // first disables preferSortMergeJoin (shuffled-hash where legal)
+    args.foreach { a =>
+      if (a == "smj_off") {
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        println("[optprobe] preferSortMergeJoin=false")
+      }
+      if (a == "smj_on") {
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        println("[optprobe] preferSortMergeJoin=true")
+      }
+      if (a.startsWith("q:")) {
+        val n = a.drop(2)
+        time(s"q:$n", graft.SparkEntry.queries(n)(spark, sf))
+      }
+    }
+
+    val li = graft.Fixtures.table(spark, sf, "lineitem")
+
+    if (want("papprox_price")) time("papprox_price(10000)",
+      li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, array(0.25,0.75), 10000)")))
+    if (want("papprox_price_2k")) time("papprox_price(2000)",
+      li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, array(0.25,0.75), 2000)")))
+    if (want("pexact_qty")) time("pexact_qty+papprox_qty",
+      li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.495,0.5,0.505))"),
+          expr("percentile_approx(l_quantity, 0.5, 10000)")))
+    if (want("sortpct_price")) time("sortpct_price(4ps)",
+      graft.operators.Percentiles.exactByGroup(li, "l_returnflag",
+        "l_extendedprice", Seq(0.245, 0.255, 0.745, 0.755)))
+    if (want("kll_sketch")) time("kll_sketch_per_flag",
+      li.groupBy("l_returnflag")
+        .agg(graft.functions.QuantileSketch.sketch(col("l_extendedprice"))))
+    if (want("sortpct_tagged")) {
+      val cents = li.select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("_cents"))
+      time("sortpct_tagged(2x rows, 5ps)",
+        graft.operators.Percentiles.exactByGroup(
+          cents.unionAll(cents.select(lit("ALL").as("grp"), col("_cents"))),
+          "grp", "_cents", Seq(0.45, 0.5, 0.55, 0.90, 0.94)))
+    }
+    if (want("scan_only")) time("scan_only(3cols)",
+      li.select("l_returnflag", "l_quantity", "l_extendedprice"))
+
+    if (want("l95_assign")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      time("l95_assign_only",
+        graft.llm.Corpus.assignShards(docs, "doc_id",
+          graft.llm.TextAnalysis.tokenCount(col("text")), 4096L))
+    }
+    if (want("l95_shm")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft-shards-").toString
+      time("l95_write_to_shm",
+        graft.llm.Corpus.writeShards(docs, "doc_id",
+          graft.llm.TextAnalysis.tokenCount(col("text")),
+          tokensPerShard = 4096L, dir = s"$out/shards"))
+    }
+    if (want("l95_shardcount")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      val a = graft.llm.Corpus.assignShards(docs, "doc_id",
+        graft.llm.TextAnalysis.tokenCount(col("text")), 4096L)
+      println("[optprobe] n_shards=" +
+        a.select(countDistinct(col("shard"))).head().getLong(0))
+    }
+
+    // variant A: n per group via tiny agg + broadcast join, ONE
+    // row_number window instead of row_number + count windows
+    def sortPctA(df: DataFrame, grp: String, v: String,
+        ps: Seq[Double]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(grp).orderBy(col("_v"))
+      val ns = df.groupBy(grp).agg(count(lit(1)).as("_n"))
+      val ranked = df.select(col(grp), col(v).cast("double").as("_v"))
+        .join(broadcast(ns), grp)
+        .withColumn("_i", row_number().over(w).cast("double") - 1.0)
+      val aggs = ps.zipWithIndex.flatMap { case (p, k) =>
+        val r = lit(p) * (col("_n") - 1).cast("double")
+        Seq(max(when(col("_i") === floor(r), col("_v"))).as(s"_lo$k"),
+          max(when(col("_i") === ceil(r), col("_v"))).as(s"_hi$k"))
+      } :+ max(col("_n")).as("_n")
+      val g = ranked.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+      g.select(col(grp), array(ps.zipWithIndex.map { case (p, k) =>
+        val r = lit(p) * (col("_n") - 1).cast("double")
+        col(s"_lo$k") + (col(s"_hi$k") - col(s"_lo$k")) * (r - floor(r))
+      }: _*).as("ps"))
+    }
+    // variant B: pre-aggregate counts per (grp, value) — the window
+    // then ranks DISTINCT values with a cumulative count, and each
+    // percentile picks the value whose cum-range covers its target rank
+    def sortPctB(df: DataFrame, grp: String, v: String,
+        ps: Seq[Double]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(grp).orderBy(col("_v"))
+      val cnts = df.select(col(grp), col(v).cast("double").as("_v"))
+        .groupBy(col(grp), col("_v")).agg(count(lit(1)).as("_c"))
+      val ns = cnts.groupBy(grp).agg(sum(col("_c")).as("_n"))
+      val ranked = cnts.join(broadcast(ns), grp)
+        .withColumn("_cum", sum(col("_c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val aggs = ps.zipWithIndex.flatMap { case (p, k) =>
+        val r = lit(p) * (col("_n") - 1).cast("double")
+        Seq(
+          max(when(floor(r) >= col("_cum") - col("_c") &&
+            floor(r) < col("_cum"), col("_v"))).as(s"_lo$k"),
+          max(when(ceil(r) >= col("_cum") - col("_c") &&
+            ceil(r) < col("_cum"), col("_v"))).as(s"_hi$k"))
+      } :+ max(col("_n")).as("_n")
+      val g = ranked.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+      g.select(col(grp), array(ps.zipWithIndex.map { case (p, k) =>
+        val r = lit(p) * (col("_n") - 1).cast("double")
+        col(s"_lo$k") + (col(s"_hi$k") - col(s"_lo$k")) * (r - floor(r))
+      }: _*).as("ps"))
+    }
+    val cents2 = li.select(col("l_returnflag").as("grp"),
+      round(col("l_extendedprice") * 100).cast("bigint").as("_cents"))
+    val tagged2 = cents2.unionAll(
+      cents2.select(lit("ALL").as("grp"), col("_cents")))
+    if (want("distinct_cents")) time("distinct(grp,cents)",
+      cents2.groupBy("grp", "_cents").count())
+    if (want("sortpctA_price")) time("sortpctA_price(4ps)",
+      sortPctA(li, "l_returnflag", "l_extendedprice",
+        Seq(0.245, 0.255, 0.745, 0.755)))
+    if (want("sortpctA_tagged")) time("sortpctA_tagged(5ps)",
+      sortPctA(tagged2, "grp", "_cents", Seq(0.45, 0.5, 0.55, 0.90, 0.94)))
+    if (want("sortpctB_price")) time("sortpctB_price(4ps)",
+      sortPctB(li, "l_returnflag", "l_extendedprice",
+        Seq(0.245, 0.255, 0.745, 0.755)))
+    if (want("sortpctB_tagged")) time("sortpctB_tagged(5ps)",
+      sortPctB(tagged2, "grp", "_cents", Seq(0.45, 0.5, 0.55, 0.90, 0.94)))
+    spark.stop()
+  }
+}
