@@ -84,6 +84,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffled-hash over sort-merge when the planner's size checks
+      // allow it (guide §9's baseline): the iterative graph family
+      // re-SORTS its cached frames every round under SMJ — measured
+      // l103 2.75→1.6 s, l98 2.8→2.3 s at sf0.1 — and no suite query
+      // regressed (full A/B in OPTIMIZATION_r14.md). Overridable for
+      // deployments that want SMJ's spill robustness on skewed builds:
+      // SPARK_GRAFT_PREFER_SMJ=1 restores the default.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

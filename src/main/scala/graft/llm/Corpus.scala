@@ -936,15 +936,25 @@ object Corpus {
     val grams = TextDedup.withShingles(
         docs.select(col(idCol).as("id"), col(textCol)), textCol, "g", k)
       .select(col("id"), explode(col("g")).as("gram"))
-    val census = grams.groupBy("gram")
-      .agg(countDistinct("id").as("_df"))
-    grams.join(census, "gram")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6)
-          .as("novelty"))
+    // A df=1 gram has exactly ONE owning document, so the census row
+    // itself can carry the owner (min(id) of a single row) and the
+    // join back of the full gram stream — the family's heaviest
+    // shuffle, O(grams) rows keyed by gram STRINGS — disappears
+    // entirely (r14 opt): per-doc gram totals are an id-keyed
+    // map-side-combined aggregate of the same exploded stream, and
+    // n_novel is a count over the df=1 census slice. Shingles are
+    // distinct per document (TextShingleOps.shingles), so count(*)
+    // per gram IS the document frequency.
+    val perDoc = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("gram")
+      .agg(count(lit(1)).as("_df"), min(col("id")).as("id"))
+      .filter(col("_df") === 1)
+      .groupBy("id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_grams"), 6).as("novelty"))
   }
 
   /** Split-leakage audit — the post-split hygiene check: documents
@@ -1020,6 +1030,10 @@ object Corpus {
     */
   def sourceGramOverlap(docs: DataFrame, textCol: String, srcCol: String,
       k: Int = 8): DataFrame = {
+    // r14 opt note: a collect_set census + array pair expansion was
+    // measured AGAINST this self-join (2.01 s vs 1.53 s at sf0.1) —
+    // the interpreted HOF lambda expansion costs more than the
+    // gram-keyed join it removes, so the join formulation stays.
     val grams = TextDedup.withShingles(
         docs.select(col(srcCol).as("src"), col(textCol)), textCol, "g", k)
       .select(col("src"), explode(col("g")).as("gram"))
@@ -1371,12 +1385,22 @@ object Corpus {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
+    // the census/join key is xxhash64 of the k-token SLICE (r14 opt):
+    // tokens are \s+-split so they carry no spaces, making the slice →
+    // joined-string map bijective — equal hashes ⇔ equal grams up to
+    // 64-bit collisions (the same fingerprint-width assumption every
+    // MinHash/winnowing path in this engine already rides). The gram
+    // string is never built and never shuffled: census + join move 8
+    // bytes per gram instead of ~k words (measured l68 2.71 → 1.88 s
+    // at sf0.1; at 100 TB the census shuffle shrinks ~5×). The sf0.01
+    // oracle computes string-equality grams, so a fixture collision
+    // would fail the driver hash loudly.
     val grams = docs
       .select(col(idCol).as("id"), ws.as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("ws")) - k),
-          j => array_join(slice(col("ws"), j + 1, lit(k)), " ")))
+          j => xxhash64(slice(col("ws"), j + 1, lit(k)))))
           .as(Seq("p", "gram")))
     val dups = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("gram")
@@ -1414,10 +1438,11 @@ object Corpus {
     val ws = split(trim(col(textCol)), "\\s+")
     val base = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), ws.as("ws"))
+    // hashed gram census/join key — see [[duplicateSpans]] (r14 opt)
     val grams = base.filter(size(col("ws")) >= k)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("ws")) - k),
-          j => array_join(slice(col("ws"), j + 1, lit(k)), " ")))
+          j => xxhash64(slice(col("ws"), j + 1, lit(k)))))
           .as(Seq("p", "gram")))
     val dups = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("gram")

@@ -90,6 +90,61 @@ object OptProbe {
         graft.llm.Corpus.assignShards(docs, "doc_id",
           graft.llm.TextAnalysis.tokenCount(col("text")), 4096L))
     }
+    if (want("l141_old") || want("l126_old")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      if (want("l126_old")) {
+        val grams = graft.llm.TextDedup.withShingles(
+            docs.select(col("doc_id").as("id"), col("text")), "text", "g", 8)
+          .select(col("id"), explode(col("g")).as("gram"))
+        val census = grams.groupBy("gram").agg(countDistinct("id").as("_df"))
+        time("l126_old(join-back)", grams.join(census, "gram")
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel")))
+      }
+      if (want("l141_old")) {
+        val grams = graft.llm.TextDedup.withShingles(
+            docs.select(col("source").as("src"), col("text")), "text", "g", 8)
+          .select(col("src"), explode(col("g")).as("gram")).distinct()
+        val a = grams.select(col("gram"), col("src").as("source_a"))
+        val b = grams.select(col("gram"), col("src").as("source_b"))
+        time("l141_old(self-join)",
+          a.join(b, "gram").filter(col("source_a") < col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(count(lit(1)).as("n_shared_grams")))
+      }
+    }
+    if (want("l68_hash")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      val k = 3
+      val ws = split(trim(col("text")), "\\s+")
+      val base = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("id"), ws.as("ws"))
+      val grams = base.filter(size(col("ws")) >= k)
+        .select(col("id"),
+          posexplode(transform(sequence(lit(0), size(col("ws")) - k),
+            j => xxhash64(slice(col("ws"), j + 1, lit(k)))))
+            .as(Seq("p", "gh")))
+      val dups = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1).select("gh")
+      val covered = grams.join(dups, "gh")
+        .select(col("id"),
+          explode(sequence(col("p"), col("p") + k - 1)).as("pos"))
+        .distinct()
+      val toks = base.select(col("id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              s => s.getField("w")), " ").as("clean_text"))
+      time("l68_hashed_grams",
+        base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
+          .join(rebuilt, Seq("id"), "left")
+          .select(col("id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text")))
+    }
     if (want("l95_shm")) {
       val docs = graft.Fixtures.table(spark, sf, "documents")
       val out = java.nio.file.Files.createTempDirectory(
