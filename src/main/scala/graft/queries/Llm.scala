@@ -424,7 +424,13 @@ object Llm {
          |) t where not isnan(cos) and cos >= 0.4""".stripMargin) {
       (s, d) =>
         val emb = Fixtures.table(s, d, "embeddings")
+        // the corpus parquet is one file/one row group → ONE scan task,
+        // and the nested-loop STREAM side inherits it: the whole n²/2
+        // kernel evaluation ran on one core. Round-robin the stream
+        // side across the session's cores first (r14 opt: 2.0 → 0.4 s
+        // at sf0.1; scale-adaptive — defaultParallelism, not a const)
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+          .repartition(s.sparkContext.defaultParallelism)
         val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
         a.join(b, col("id_b") > col("id_a"))
           .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))

@@ -114,6 +114,114 @@ object OptProbe {
             .agg(count(lit(1)).as("n_shared_grams")))
       }
     }
+    if (want("hits_dense")) {
+      import org.apache.spark.storage.StorageLevel
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      val n0 = docs.count()
+      val edges0 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") + 1) % n0).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 1) % n0).as("dst")))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") % 25) * 20).as("dst")))
+      def denseHits(): DataFrame = {
+        val e = edges0.select(col("src"), col("dst"))
+          .repartition(col("src")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nodes = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e, nodes)
+        try {
+          nodes.count()
+          def normalized(scores: DataFrame, valCol: String): DataFrame = {
+            val s = scores.persist(StorageLevel.MEMORY_AND_DISK)
+            cached += s
+            val total = s.agg(
+              sum(col(valCol).cast("decimal(28,18)")).cast("double").as("_tot"))
+            val nn = s.crossJoin(broadcast(total))
+              .select(col("id"), round(col(valCol) / col("_tot"), 12).as(valCol))
+            spark.createDataFrame(nn.rdd, nn.schema)
+          }
+          var hubs = nodes.withColumn("h", lit(1.0))
+          var auths: DataFrame = null
+          for (_ <- 1 to 2) {
+            auths = normalized(
+              nodes.join(
+                e.join(hubs.withColumnRenamed("id", "src"), "src")
+                  .groupBy(col("dst").as("id")).agg(sum(col("h").cast("decimal(28,18)")).cast("double").as("a")),
+                Seq("id"), "left")
+                .select(col("id"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+            hubs = normalized(
+              nodes.join(
+                e.join(auths.withColumnRenamed("id", "dst"), "dst")
+                  .groupBy(col("src").as("id")).agg(sum(col("a").cast("decimal(28,18)")).cast("double").as("h")),
+                Seq("id"), "left")
+                .select(col("id"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+          }
+          nodes.join(hubs, "id").join(auths, "id")
+            .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+            .localCheckpoint()
+        } finally cached.foreach(_.unpersist())
+      }
+      time("hits_dense(old)", denseHits()
+        .select(col("id"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority")))
+    }
+    if (want("hits_lazy")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      val n0 = docs.count()
+      val edges0 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") + 1) % n0).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 1) % n0).as("dst")))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") % 25) * 20).as("dst")))
+      val e = edges0.repartition(col("src")).distinct()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      def normalized(scores: DataFrame, valCol: String): DataFrame = {
+        val total = scores.agg(
+          sum(col(valCol).cast("decimal(28,18)")).cast("double").as("_tot"))
+        scores.crossJoin(broadcast(total))
+          .select(col("id"), round(col(valCol) / col("_tot"), 12).as(valCol))
+      }
+      var hubs = nodes.withColumn("h", lit(1.0))
+      var auths: DataFrame = null
+      for (_ <- 1 to 2) {
+        auths = normalized(
+          e.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("h").cast("decimal(28,18)")).cast("double").as("a")), "a")
+        hubs = normalized(
+          e.join(auths.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("a").cast("decimal(28,18)")).cast("double").as("h")), "h")
+      }
+      val out = nodes.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
+        .select(col("id"),
+          round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
+          round(coalesce(col("a"), lit(0.0)), 6).as("authority"))
+      time("hits_lazy(one plan)", out)
+      println("[optprobe] hits_lazy reused exchanges: " +
+        "ReusedExchange".r.findAllIn(out.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).length)
+    }
+    if (want("hits_scale")) {
+      // operator-level HITS at 3.4M nodes / ~10M edges (the
+      // GraphScaleProbe graph at 1/10 its default): guards the lazy
+      // rewrite against recomputation blowup before trusting it
+      val n0 = 3400000L
+      val ids = spark.range(n0).toDF("i")
+      val edges0 = ids.select(col("i").as("src"), ((col("i") + 1) % n0).as("dst"))
+        .unionAll(ids.select(col("i").as("src"),
+          ((col("i") * col("i") + 1) % n0).as("dst")))
+        .unionAll(ids.select(col("i").as("src"), ((col("i") % 25) * 20).as("dst")))
+      val t0 = System.nanoTime()
+      val r = graft.operators.PageRank.hits(edges0, "src", "dst", iterations = 2)
+      r.write.format("noop").mode("overwrite").save()
+      println(f"[optprobe] hits_scale(3.4M nodes) once=${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
     if (want("l68_hash")) {
       val docs = graft.Fixtures.table(spark, sf, "documents")
       val k = 3
