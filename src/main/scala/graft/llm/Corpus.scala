@@ -69,10 +69,15 @@ object Corpus {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    // the gram string never leaves the join — census/join on its
+    // xxhash64 instead (8 bytes/gram through the shuffle; equality
+    // preserved up to 64-bit collisions, the l41/l68 argument — the
+    // string-equality oracle at sf0.01 would fail loudly on one)
     def grams(df: DataFrame, as: String) =
       TextDedup.withShingles(df.select(col(idCol).as(as), col(textCol)),
           textCol, "g", k)
-        .select(col(as), explode(col("g")).as("gram"))
+        .select(col(as), explode(col("g")).as("_g"))
+        .select(col(as), xxhash64(col("_g")).as("gram"))
     grams(corpus, "doc_id_c").join(grams(benchmark, "bench_id"), "gram")
       .groupBy("doc_id_c", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -96,15 +101,18 @@ object Corpus {
       benchmarks: Seq[(String, DataFrame)],
       idCol: String, textCol: String, k: Int = 8): DataFrame = {
     require(benchmarks.nonEmpty, "at least one benchmark set required")
+    // hashed gram join key — see [[decontaminate]] (r14 opt)
     val cg = TextDedup.withShingles(
         corpus.select(col(idCol), col(textCol)), textCol, "g", k)
-      .select(col(idCol), explode(col("g")).as("gram"))
+      .select(col(idCol), explode(col("g")).as("_g"))
+      .select(col(idCol), xxhash64(col("_g")).as("gram"))
     val bench = benchmarks.map { case (name, df) =>
       df.select(lit(name).as("eval_set"), col(idCol).as("_cr_bid"),
         col(textCol))
     }.reduce(_ unionAll _)
     val bg = TextDedup.withShingles(bench, textCol, "g", k)
-      .select(col("eval_set"), col("_cr_bid"), explode(col("g")).as("gram"))
+      .select(col("eval_set"), col("_cr_bid"), explode(col("g")).as("_g"))
+      .select(col("eval_set"), col("_cr_bid"), xxhash64(col("_g")).as("gram"))
     cg.join(bg, "gram")
       .groupBy(col(idCol), col("eval_set"))
       .agg(count(lit(1)).as("n_shared"),

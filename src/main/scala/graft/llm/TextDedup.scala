@@ -542,20 +542,30 @@ object TextDedup {
     // duplicate material that upstream exact/near-dup dedup owns, and
     // the recall contract (certain hit at c = 1 via min-hash probes)
     // holds over the surviving gram set.
+    // census/index/probe join key = xxhash64 of the gram (r14 opt, the
+    // l41/l68 argument: 8 bytes per gram through every shuffle instead
+    // of an 8-word string; the min-hash probe ORDER was already the
+    // same hash, with the string kept only as its total-order
+    // tie-break). Candidate equality is preserved up to 64-bit
+    // collisions — a false candidate pair would still be rejected by
+    // the exact set-intersection verify below, so the output contract
+    // is unchanged even under a collision; only a probe slot could in
+    // principle be wasted.
     val exploded = sh.select(col(idCol), explode(col("sh")).as("g"))
+      .select(col(idCol), col("g"), xxhash64(col("g")).as("gh"))
       .localCheckpoint()
-    val rare = exploded.groupBy("g")
+    val rare = exploded.groupBy("gh")
       .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxGramDf)
-      .select("g")
-    val surviving = exploded.join(rare, "g")
+      .select("gh")
+    val surviving = exploded.join(rare, "gh")
     val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(xxhash64(col("g")).asc, col("g").asc)
+      .partitionBy(col(idCol)).orderBy(col("gh").asc, col("g").asc)
     val probeSide = surviving
       .withColumn("_pn", row_number().over(wProbe))
       .filter(col("_pn") <= probes)
-      .select(col(idCol).as("a_id"), col("g"))
-    val index = surviving.select(col(idCol).as("b_id"), col("g"))
-    val cands = probeSide.join(index, "g")
+      .select(col(idCol).as("a_id"), col("gh"))
+    val index = surviving.select(col(idCol).as("b_id"), col("gh"))
+    val cands = probeSide.join(index, "gh")
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     val withA = cands.join(sh.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
