@@ -80,25 +80,38 @@ object Chat {
     * conversation or earlier in the same one — every occurrence after
     * the fingerprint's first is a dup).
     *
-    * Scale shape: conversations explode to adjacent pairs, pairs
-    * collapse to md5 fingerprints, ONE census aggregation + a window
-    * inside (fp) groups decides first-occurrence; the re-group per
-    * conversation is id-keyed. No pairwise term.
+    * Scale shape: adjacent (turn, next-turn) pairs are extracted
+    * IN-ROW from the parsed turns array (the array is already whole in
+    * its row — a `lead` window would shuffle and sort the exploded
+    * corpus by conversation id just to see the element the array
+    * provides by index), pairs collapse to md5 fingerprints, ONE
+    * census aggregation + a window inside (fp) groups decides
+    * first-occurrence; the re-group per conversation is id-keyed.
+    * No pairwise term.
     */
   def turnPairDedup(df: DataFrame, idCol: String, convCol: String): DataFrame = {
     val turns = from_json(col(convCol), turnSchema)
+    // sequence() flips to a descending step when start > stop, so the
+    // single-turn case must be guarded to an empty index list (the
+    // repetitionSignals guard); pos is the 0-based index of the pair's
+    // USER turn, matching the old posexplode numbering (element_at is
+    // 1-based)
+    val idxs = when(size(col("t")) >= 2, sequence(lit(0), size(col("t")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val cands = filter(
+      transform(idxs, i => struct(
+        i.as("pos"),
+        element_at(col("t"), i + 1).as("turn"),
+        element_at(col("t"), i + 2).as("next"))),
+      s => s.getField("turn").getField("role") === "user" &&
+        s.getField("next").getField("role") === "assistant")
     val pairs = df.select(col(idCol).as("id"), turns.as("t"))
       .filter(col("t").isNotNull)
-      .select(col("id"), posexplode(col("t")).as(Seq("pos", "turn")))
-      .withColumn("next",
-        lead(col("turn"), 1).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("id").orderBy("pos")))
-      .filter(col("turn.role") === "user" &&
-        col("next").isNotNull && col("next.role") === "assistant")
-      .select(col("id"), col("pos"),
+      .select(col("id"), explode(cands).as("pc"))
+      .select(col("id"), col("pc.pos").as("pos"),
         md5(concat_ws("",
-          regexp_replace(lower(trim(col("turn.content"))), "\\s+", " "),
-          regexp_replace(lower(trim(col("next.content"))), "\\s+", " ")))
+          regexp_replace(lower(trim(col("pc.turn.content"))), "\\s+", " "),
+          regexp_replace(lower(trim(col("pc.next.content"))), "\\s+", " ")))
           .as("fp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy(col("id"), col("pos"))

@@ -1436,10 +1436,11 @@ object Corpus {
     * filter drops them — the paper's behavior).
     *
     * Scale shape: the same gram census + coverage equi-join as
-    * [[duplicateSpans]] (nothing all-pairs), plus one anti-join of
-    * exploded tokens against covered positions and one per-document
-    * regroup (`collect_list` bounded by document length) to reassemble
-    * text. Everything shuffles on (id) or (gram) keys only.
+    * [[duplicateSpans]] (nothing all-pairs); covered POSITIONS (ints,
+    * bounded by document length) collapse to one set per document and
+    * the survivor text is reassembled in-row from the document's own
+    * token array — token strings never enter a shuffle. Everything
+    * that does shuffle is keyed on (id) or (gram hash) only.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
@@ -1454,21 +1455,26 @@ object Corpus {
           .as(Seq("p", "gram")))
     val dups = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("gram")
-    val covered = grams.join(dups, "gram")
+    // covered positions collapse to ONE set-valued row per document
+    // and the survivor text is rebuilt IN-ROW from the `ws` array the
+    // document row already holds (guide §2.3/§8: shuffle the
+    // decision's keys, not the payload): the old shape posexploded
+    // every token STRING, anti-joined the whole token stream on
+    // (id, pos), and re-sorted the survivors through a collect_list —
+    // two corpus-token-scale shuffles carrying the text. Now only the
+    // covered POSITIONS (ints) ever shuffle; `array_except` keeps the
+    // ascending position order, so the rebuilt string is identical.
+    val covSet = grams.join(dups, "gram")
       .select(col("id"),
         explode(sequence(col("p"), col("p") + k - 1)).as("pos"))
-      .distinct()
-    val toks = base.select(col("id"), posexplode(col("ws")).as(Seq("pos", "w")))
-    val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-            s => s.getField("w")), " ").as("clean_text"))
-    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .groupBy("id").agg(collect_set(col("pos")).as("_cov"))
+    val kept = array_except(
+      sequence(lit(0), size(col("ws")) - 1),
+      coalesce(col("_cov"), array().cast("array<int>")))
+    base.join(covSet, Seq("id"), "left")
+      .select(col("id").as(idCol), size(col("ws")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(transform(kept, p => element_at(col("ws"), p + 1)), " ")
+          .as("clean_text"))
   }
 }

@@ -129,8 +129,14 @@ object TextAnalysis {
     val base = docs
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
       .filter(length(trim(col(textCol))) > 0)
+    // the per-(doc, token) and per-(doc, bigram) censuses never emit
+    // the token text — only counts survive — so the aggregation keys
+    // are xxhash64 fingerprints (8 bytes through the shuffle instead
+    // of the strings; the l41/l68 fingerprint-width argument, and a
+    // within-doc collision is all a collision could even touch here)
     val tokStats = base.select(col(idCol), explode(col("ws")).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .select(col(idCol), xxhash64(col("w")).as("wh"))
+      .groupBy(col(idCol), col("wh")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
         sum("c").as("n_tokens"),
         max("c").as("top_c"),
@@ -140,10 +146,9 @@ object TextAnalysis {
     val bigrams = base.select(col(idCol),
       explode(when(size(col("ws")) >= 2,
         transform(sequence(lit(1), size(col("ws")) - 1),
-          i => concat_ws(" ", element_at(col("ws"), i),
-            element_at(col("ws"), i + 1))))
-        .otherwise(array().cast("array<string>"))).as("b"))
-    val biStats = bigrams.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+          i => xxhash64(slice(col("ws"), i, lit(2)))))
+        .otherwise(array().cast("array<bigint>"))).as("bh"))
+    val biStats = bigrams.groupBy(col(idCol), col("bh")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(max("c").as("top_b"), sum("c").as("n_b"))
     tokStats.join(biStats, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -336,12 +341,20 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // census/join key is xxhash64(w) — the l41/l68 fingerprint-width
+    // argument: the token string never crosses an exchange, and the
+    // oracle joins string tokens, so a fixture collision fails the
+    // driver hash loudly. (A per-(doc, token) tf pre-aggregation
+    // before the join was probed and rejected: without l81's
+    // |classes|× fanout to amortize it, the extra exchange measured
+    // +4–25% at sf0.1 across this family.)
     val toks = docs.select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val model = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col(idCol), xxhash64(col("w")).as("wh"))
+    val model = toks.groupBy("wh").agg(count(lit(1)).as("c"))
     val total = model.agg(sum("c").cast("double").as("n_total"))
-    toks.join(model, "w")
+    toks.join(model, "wh")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -759,20 +772,29 @@ object TextAnalysis {
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    // census/join keys are xxhash64 of the bigram and of its first
+    // word — 8 bytes per row through every shuffle instead of the gram
+    // strings (the l41/l68 fingerprint-width argument: tokens are
+    // \s+-split so the space-joined gram is bijective with its token
+    // pair, and the sf0.01 oracle computes string-equality grams, so a
+    // fixture collision would fail the driver hash loudly). The
+    // prefix census reuses the bigram census (w1h is functionally
+    // dependent on bgh, so min() just carries it) instead of
+    // re-splitting gram strings.
     val big = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
         explode(graft.functions.TextShingles.grams(norm, 2)).as("bg"))
-    val bgCounts = big.groupBy("bg").agg(count(lit(1)).as("cbg"))
-    val prefix = bgCounts
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .groupBy("w1").agg(sum("cbg").as("cw1"))
+      .select(col(idCol), xxhash64(col("bg")).as("bgh"),
+        xxhash64(split(col("bg"), " ").getItem(0)).as("w1h"))
+    val bgCounts = big.groupBy("bgh")
+      .agg(count(lit(1)).as("cbg"), min(col("w1h")).as("w1h"))
+    val prefix = bgCounts.groupBy("w1h").agg(sum("cbg").as("cw1"))
     val vocab = docs.filter(length(trim(col(textCol))) > 0)
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .agg(countDistinct("w").cast("double").as("vsize"))
-    big.join(bgCounts, "bg")
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .join(prefix, "w1")
+    big.join(bgCounts.drop("w1h"), "bgh")
+      .join(prefix, "w1h")
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -1252,20 +1274,23 @@ object TextAnalysis {
   def importanceWeights(raw: org.apache.spark.sql.DataFrame,
       target: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // hashed census/join keys — the [[unigramLogProb]] rationale
+    // verbatim (tf pre-aggregation probed and rejected there too)
     def toks(df: org.apache.spark.sql.DataFrame) =
       df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
+        .select(col(idCol), xxhash64(col("w")).as("wh"))
     val rawToks = toks(raw)
-    val rawModel = rawToks.groupBy("w").agg(count(lit(1)).as("c_raw"))
-    val tgtModel = toks(target).groupBy("w").agg(count(lit(1)).as("c_tgt"))
-    val model = rawModel.join(tgtModel, Seq("w"), "left")
-      .select(col("w"), col("c_raw"),
+    val rawModel = rawToks.groupBy("wh").agg(count(lit(1)).as("c_raw"))
+    val tgtModel = toks(target).groupBy("wh").agg(count(lit(1)).as("c_tgt"))
+    val model = rawModel.join(tgtModel, Seq("wh"), "left")
+      .select(col("wh"), col("c_raw"),
         coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
     val totals = model.agg(
       sum("c_raw").cast("double").as("t_raw"),
       sum("c_tgt").cast("double").as("t_tgt"),
       count(lit(1)).cast("double").as("v"))
-    rawToks.join(model, "w")
+    rawToks.join(model, "wh")
       .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -1442,12 +1467,16 @@ object TextAnalysis {
       idCol: String, textCol: String, langCol: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // hashed (lang, token) census/join keys — the [[unigramLogProb]]
+    // rationale verbatim (tf pre-aggregation probed and rejected
+    // there too)
     val toks = docs.select(col(idCol), col(langCol),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val m = toks.groupBy(col(langCol), col("w")).agg(count(lit(1)).as("c"))
+      .select(col(idCol), col(langCol), xxhash64(col("w")).as("wh"))
+    val m = toks.groupBy(col(langCol), col("wh")).agg(count(lit(1)).as("c"))
     val n = toks.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
-    val scored = toks.join(m, Seq(langCol, "w"))
+    val scored = toks.join(m, Seq(langCol, "wh"))
       .join(broadcast(n), Seq(langCol))
       .groupBy(col(idCol), col(langCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -1491,7 +1520,15 @@ object TextAnalysis {
     val toks = docs.select(col(idCol), col(labelCol).as("_nb_lab"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val ct = toks.groupBy(col("_nb_lab").as("label"), col("w"))
+    // model and scoring shuffles are keyed by xxhash64(w) — the word
+    // string never crosses an exchange (the l41/l68 fingerprint-width
+    // argument; the sf0.01 oracle joins string words, so a fixture
+    // collision would fail the driver hash loudly). Only the
+    // vocabulary count still reads the strings (countDistinct of
+    // hashes would silently shrink v on a collision instead of
+    // failing loudly).
+    val ct = toks.select(col("_nb_lab").as("label"), xxhash64(col("w")).as("wh"))
+      .groupBy(col("label"), col("wh"))
       .agg(count(lit(1)).as("c"))
     val tot = toks.groupBy(col("_nb_lab").as("label"))
       .agg(count(lit(1)).as("n_lab"))
@@ -1506,15 +1543,28 @@ object TextAnalysis {
       .select(col("label"),
         log(lit(1.0) / (col("n_lab") + col("v"))).as("lp0"))
     val model = ct.join(tot, "label").crossJoin(broadcast(vocab))
-      .select(col("label"), col("w"),
+      .select(col("label"), col("wh"),
         log((col("c") + lit(1.0)) / (col("n_lab") + col("v"))).as("lp"))
     val classes = priors.join(defaults, "label")
-    val scored = toks.select(col(idCol), col("w"))
+    // aggregate token instances to per-(doc, word) term frequencies
+    // BEFORE the per-class model join (guide §2.3 "aggregate before
+    // you shuffle"): the join input shrinks from every token instance
+    // × |classes| to every distinct (doc, word) × |classes|, and the
+    // per-class score becomes Σ lp·tf. IEEE-754 caveat priced in:
+    // lp·tf differs from tf-fold addition of lp by ≤1 ulp per term and
+    // the summation order changes, a ~1e-12 absolute perturbation on
+    // scores rounded at 6 dp — re-verified hash-green against the
+    // DuckDB per-instance oracle at sf0.001/0.01/0.1 (deterministic
+    // fixtures: the driver re-checks the same files).
+    val tf = toks.select(col(idCol), xxhash64(col("w")).as("wh"))
+      .groupBy(col(idCol), col("wh"))
+      .agg(count(lit(1)).as("_tf"))
+    val scored = tf
       .crossJoin(broadcast(classes))
-      .join(model, Seq("label", "w"), "left")
+      .join(model, Seq("label", "wh"), "left")
       .groupBy(col(idCol), col("label"), col("prior"), col("lp0"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("lp"), col("lp0"))).as("_nb_s"))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(coalesce(col("lp"), col("lp0")) * col("_tf")).as("_nb_s"))
       .select(col(idCol), col("label"), col("n_tokens"),
         round(col("prior") + col("_nb_s"), 6).as("score"))
     val w = Window.partitionBy(col(idCol))

@@ -25,11 +25,14 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: the edge list with its out-degree is built ONCE
   * (one shuffle) and persisted; each iteration is one shuffle join of
-  * O(|E|) rows (contributions keyed by dst) plus a broadcast-friendly
-  * left join back onto the O(|V|) node frame — no driver-side state at
+  * O(|E|) rows (contributions keyed by dst) against the previous
+  * round's SPARSE mass frame (nodes with in-edges only — the rank
+  * expression round(teleport + d·mass, 12) is folded into the
+  * contribution sum, so the O(|V|) node frame is zero-fill-joined
+  * exactly once, at the end, not per round) — no driver-side state at
   * all, no per-round action (the caller's single materialization
   * executes the whole unrolled plan; at 4-8 iterations the plan stays
-  * linear because each rank frame is referenced exactly once). At
+  * linear because each mass frame is referenced exactly once). At
   * 100 TB the edges frame dominates: it is hash-partitioned on src by
   * the degree join and reused every round from cache.
   */
@@ -84,17 +87,34 @@ object PageRank {
       val teleport = (1.0 - damping) / n
 
       if (!redistributeDangling) {
-        var ranks = nodes.withColumn("pr", round(lit(1.0 / n), 12))
+        // pr_k is never MATERIALIZED as a column over the full node
+        // frame mid-walk: pr_k(v) = round(teleport + d·mass_k(v), 12)
+        // with mass_k(v) defaulting to 0, so each iteration folds that
+        // expression into the contribution sum over a LEFT join of the
+        // edge frame with the previous round's SPARSE mass frame
+        // (only nodes with in-edges — ≤ |V| rows, vs the full rank
+        // frame before). The per-round zero-fill join with the O(|V|)
+        // node frame is gone; the node frame is touched once, by the
+        // final zero-fill. Arithmetic is bit-identical: same 12-dp
+        // round before use, same decimal contribution terms (an
+        // absent mass row contributes round(teleport, 12)/outdeg
+        // exactly as the zero-filled row did).
+        var mass: DataFrame = null // (id, mass); null = uniform init
         for (_ <- 1 to iterations) {
-          val contribs = eDeg
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+          val (joined, prSrc) =
+            if (mass == null) (eDeg, round(lit(1.0 / n), 12))
+            else (eDeg.join(mass.withColumnRenamed("id", "src"),
+                Seq("src"), "left"),
+              round(lit(teleport) +
+                lit(damping) * coalesce(col("mass"), lit(0.0)), 12))
+          mass = joined
             .groupBy(col("dst").as("id"))
-            .agg(sum((col("pr") / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
-          ranks = nodes
-            .join(contribs, Seq("id"), "left")
-            .select(col("id"),
-              round(lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
+            .agg(sum((prSrc / col("outdeg")).cast("decimal(28,18)")).cast("double").as("mass"))
         }
+        val ranks = nodes
+          .join(mass, Seq("id"), "left")
+          .select(col("id"),
+            round(lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)), 12).as("pr"))
         return ranks.localCheckpoint() // eager: one pass over the unrolled plan
       }
 
@@ -295,8 +315,10 @@ object PageRank {
     // eager checkpoint (not CacheManager persist: those entries are
     // never auto-dropped and leaked across calls), then release every
     // per-iteration cache exception-safely — the no-leak contract
-    // shared with [[run]]
-    nodes.join(hubs, "id").join(auths, "id")
+    // shared with [[run]]. hubs and auths are both zero-filled over
+    // the full node frame already (every half left-joins nodes), so
+    // the final assembly is one join, not nodes⋈hubs⋈auths.
+    hubs.join(auths, "id")
       .select(col("id"), col("h").as("hub"), col("a").as("authority"))
       .localCheckpoint()
     } finally cached.foreach(_.unpersist())

@@ -3305,8 +3305,13 @@ object Llm {
       val all = per.agg(QuantileSketch.mergeSketches(col("sk")).as("sk"),
           max(col("mx")).as("mx"))
         .withColumn("grp", lit("ALL"))
-      val tagged = li.select(col("l_returnflag").as("grp"), col("_cents"))
-        .unionAll(li.select(lit("ALL").as("grp"), col("_cents")))
+      // each row is tagged with its flag AND 'ALL' by a generator over
+      // a 2-element array — one lineitem scan feeding the sort pass
+      // instead of the unionAll's two (r14 opt 2nd batch; exactByGroup
+      // references its input twice, so the union shape cost 4 scans)
+      val tagged = li.select(
+        explode(array(col("l_returnflag"), lit("ALL"))).as("grp"),
+        col("_cents"))
       val pcts = graft.operators.Percentiles.exactByGroup(
         tagged, "grp", "_cents", Seq(0.45, 0.5, 0.55, 0.90, 0.94))
       per.unionByName(all.select("grp", "sk", "mx"))
