@@ -318,6 +318,36 @@ object OptProbe {
         col(s"_lo$k") + (col(s"_hi$k") - col(s"_lo$k")) * (r - floor(r))
       }: _*).as("ps"))
     }
+    if (want("l107_fit") || want("l107_full")) {
+      val emb = graft.Fixtures.table(spark, sf, "embeddings")
+      val rotated = emb.select(col("vec_id"), col("label"),
+        graft.queries.Llm.blockRotate(col("embedding")).as("embedding"))
+      if (want("l107_fit")) {
+        def fitOnly(): Unit = {
+          val paired = emb.select(col("vec_id"), col("label"),
+              col("embedding").cast("array<float>").as("x"))
+            .join(rotated.select(col("vec_id"),
+              col("embedding").cast("array<float>").as("y")), "vec_id")
+            .filter(col("x").isNotNull && col("y").isNotNull &&
+              size(col("x")) === size(col("y")) && size(col("x")) > 0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val t0 = System.nanoTime()
+            val fitRow = paired.groupBy(size(col("x")).as("_d"))
+              .agg(count(lit(1)).as("count"),
+                graft.llm.Align.OuterProductSum(col("x"), col("y")).as("m"))
+              .orderBy(col("count").desc, col("_d").desc)
+              .head(1).headOption
+            println(f"[optprobe] l107_fit head-action=${(System.nanoTime()-t0)/1e9}%.3f s d=${fitRow.map(_.getInt(0))}")
+          } finally paired.unpersist()
+        }
+        System.gc(); fitOnly(); fitOnly(); fitOnly()
+      }
+      if (want("l107_full")) time("l107_full",
+        graft.llm.Align.procrustesReport(emb, rotated,
+          "vec_id", "embedding", "label"))
+    }
+
     val cents2 = li.select(col("l_returnflag").as("grp"),
       round(col("l_extendedprice") * 100).cast("bigint").as("_cents"))
     val tagged2 = cents2.unionAll(
