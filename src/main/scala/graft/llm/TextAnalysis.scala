@@ -482,19 +482,40 @@ object TextAnalysis {
     * (`\p{IsLatin}`) and RE2 (`\p{Latin}`) support, so the semantics
     * reproduce in any engine.
     */
-  def scriptMix(docs: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val text = col(textCol)
+  /** Per-script non-space character counts (shared by [[scriptMix]]
+    * and [[dominantScriptCol]]): (nChars, script → count). */
+  private def scriptCounts(text: Column): (Column, Seq[(String, Column)]) = {
     def cnt(cls: String): Column =
       length(regexp_replace(text, s"[^$cls]", ""))
-    val nChars = length(regexp_replace(text, "\\s", ""))
-    val base = greatest(nChars, lit(1)).cast("double")
-    val scripts = Seq(
+    (length(regexp_replace(text, "\\s", "")), Seq(
       "latin" -> cnt("\\p{IsLatin}"),
       "cyrillic" -> cnt("\\p{IsCyrillic}"),
       "han" -> cnt("\\p{IsHan}"),
       "arabic" -> cnt("\\p{IsArabic}"),
-      "digit" -> cnt("0-9"))
+      "digit" -> cnt("0-9")))
+  }
+
+  /** The argmax-with-fixed-tie-order dominant-script expression alone
+    * — a scan-time Column, so consumers that only need the label
+    * ([[tokenFertility]]) can compute it in their OWN projection
+    * instead of joining [[scriptMix]]'s frame back by id (r14 opt:
+    * that join was two exchanges and a join of two pure maps over the
+    * same rows). */
+  private[llm] def dominantScriptCol(text: Column): Column = {
+    val (nChars, scripts) = scriptCounts(text)
+    val base = greatest(nChars, lit(1)).cast("double")
+    val fracs = scripts.map { case (n, c) => n -> round(c / base, 6) }
+    val best = fracs.map(_._2).reduce((a, b) => greatest(a, b))
+    fracs.foldRight(lit("other"): Column) { case ((n, f), acc) =>
+      when(f === best && best > 0.0, lit(n)).otherwise(acc)
+    }
+  }
+
+  def scriptMix(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val (nChars, scripts) = scriptCounts(text)
+    val base = greatest(nChars, lit(1)).cast("double")
     val fracs = scripts.map { case (n, c) => n -> round(c / base, 6) }
     val counted = scripts.map(_._2).reduce(_ + _)
     val best = fracs.map(_._2).reduce((a, b) => greatest(a, b))
@@ -731,20 +752,22 @@ object TextAnalysis {
     * (the standard multilingual-tokenizer complaint, quantified per
     * corpus); zero-word documents are excluded (nothing to tokenize).
     *
-    * Two scan-shaped passes joined on the doc id + one small
-    * aggregation keyed by script (a handful of groups) — map-side
-    * combinable, no data-sized shuffle beyond the id join, which
-    * collapses to one scan when the optimizer merges the projections.
+    * One scan-shaped projection (counts + dominant script in the same
+    * select) + one small aggregation keyed by script (a handful of
+    * groups) — map-side combinable, no data-sized shuffle at all.
     */
   def tokenFertility(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // dominant_script is a scan-time expression, so it rides the SAME
+    // projection as the token/char counts — the previous shape joined
+    // scriptMix's frame back by id, i.e. two exchanges plus a join of
+    // two pure maps over identical rows (r14 opt: join removed)
     val per = docs.select(col(idCol),
       tokenCount(col(textCol)).as("n_words"),
       subwordCount(col(textCol)).as("n_subwords"),
-      length(regexp_replace(col(textCol), "\\s", "")).as("n_chars"))
-    val dom = scriptMix(docs, idCol, textCol)
-      .select(col(idCol), col("dominant_script"))
-    per.join(dom, idCol)
+      length(regexp_replace(col(textCol), "\\s", "")).as("n_chars"),
+      dominantScriptCol(col(textCol)).as("dominant_script"))
+    per
       .filter(col("n_words") > 0)
       .groupBy("dominant_script")
       .agg(count(lit(1)).as("n_docs"),

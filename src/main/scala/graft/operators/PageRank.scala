@@ -264,7 +264,10 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e, nodes)
     try {
-    nodes.count()
+    // no eager nodes.count() here (r14 opt): unlike [[run]], nothing
+    // in HITS needs |V| as a literal — the first normalization total
+    // materializes both caches inside its own job, so the warm-up
+    // count was one pure extra driver round-trip per call
 
     // each half-iteration is PERSISTED before use: its frame is read
     // twice (once by the normalization total, once downstream) and the

@@ -364,6 +364,50 @@ object OptProbe {
         Seq(0.245, 0.255, 0.745, 0.755)))
     if (want("sortpctB_tagged")) time("sortpctB_tagged(5ps)",
       sortPctB(tagged2, "grp", "_cents", Seq(0.45, 0.5, 0.55, 0.90, 0.94)))
+
+    // --- input-skew probes (guide §2.5): single-file fixtures give a
+    // 1-task scan, so CPU-heavy per-row work (regex, tokenize, JSON
+    // parse) runs on one core. A/B: operator as-is vs a hash
+    // repartition of the input to defaultParallelism (the l12 device).
+    def spread(df: DataFrame, key: String): DataFrame =
+      df.repartition(spark.sparkContext.defaultParallelism, col(key))
+    if (want("spread_script")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      time("scriptMix(asis)",
+        graft.llm.TextAnalysis.scriptMix(docs, "doc_id", "text"))
+      time("scriptMix(spread)",
+        graft.llm.TextAnalysis.scriptMix(spread(docs, "doc_id"), "doc_id", "text"))
+    }
+    if (want("spread_tfidf")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      time("tfidf(asis)",
+        graft.llm.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3))
+      time("tfidf(spread)",
+        graft.llm.TextAnalysis.tfidfTopTerms(spread(docs, "doc_id"), "doc_id", "text", 3))
+    }
+    if (want("spread_json")) {
+      val ev = graft.Fixtures.table(spark, sf, "events")
+      def planted(e: DataFrame) = e.select(
+        when(col("event_id") % 97 === 0, lit("oops{"))
+          .when(col("event_id") % 3 === 0,
+            concat(lit("{\"a\": "), col("user_id"),
+              lit(", \"b\": \""), col("event_type"), lit("\"}")))
+          .when(col("event_id") % 3 === 1,
+            concat(lit("{\"a\": \""), col("event_type"),
+              lit("\", \"c\": true, \"e\": "), col("user_id"), lit(".5}")))
+          .otherwise(concat(lit("{\"b\": \""), col("event_type"),
+            lit("\", \"d\": null}"))).as("j"))
+      time("jsonProfile(asis)", graft.llm.Corpus.jsonProfile(planted(ev), "j"))
+      time("jsonProfile(spread)",
+        graft.llm.Corpus.jsonProfile(planted(spread(ev, "event_id")), "j"))
+    }
+    if (want("spread_spans")) {
+      val docs = graft.Fixtures.table(spark, sf, "documents")
+      time("dupSpans(asis)",
+        graft.llm.Corpus.duplicateSpans(docs, "doc_id", "text", 3))
+      time("dupSpans(spread)",
+        graft.llm.Corpus.duplicateSpans(spread(docs, "doc_id"), "doc_id", "text", 3))
+    }
     spark.stop()
   }
 }
