@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main (driver contract): runs the headline query set on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
@@ -53,6 +51,27 @@ object Bench {
     Seq.fill(3)(calibrationOnce()).sorted.apply(1)
   }
 
+  /** The same kernel run `threads`-way CONCURRENTLY: wall seconds for
+    * all threads to finish, median of 3 rounds (the single-thread
+    * [[calibrate]] call has already JIT-warmed the loop). On an
+    * uncontended host with >= `threads` cores this reads ≈ the
+    * single-thread time; reading k× higher means k-way multi-core
+    * throughput is degraded k× — the hypervisor/contention failure
+    * mode that burned round 14 (BENCH_r14 ran 2.7× slow suite-wide
+    * while the single-core kernel read a healthy 0.713/factor 1.01;
+    * VERDICT r14 "what's wrong" #5). Emitted as `calib_mc_sec` next
+    * to `calibration_sec` so every artifact carries both axes.
+    */
+  private[graft] def calibrationMulti(threads: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = Seq.fill(threads)(new Thread(() => { calibrationOnce(); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq.fill(3)(once()).sorted.apply(1)
+  }
+
   /** Kernel seconds on the round-13 reference host (quiet; three JVM
     * runs measured 0.714/0.718/0.737 — ±2%). A run's normalization
     * factor is calibrationRef / measured: >1 on a faster host, <1
@@ -79,23 +98,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Shuffled-hash over sort-merge when the planner's size checks
-      // allow it (guide §9's baseline): the iterative graph family
-      // re-SORTS its cached frames every round under SMJ — measured
-      // l103 2.75→1.6 s, l98 2.8→2.3 s at sf0.1 — and no suite query
-      // regressed (full A/B in OPTIMIZATION_r14.md). Overridable for
-      // deployments that want SMJ's spill robustness on skewed builds:
-      // SPARK_GRAFT_PREFER_SMJ=1 restores the default.
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1").toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the SHARED session config (Sessions.scala): what the bench
+    // measures is exactly what Verify oracle-checks and PlanDump
+    // dumps. The r14 bench-only preferSortMergeJoin=false flag is
+    // gone (reverted to the Spark default) — rationale and the
+    // 183-query A/B in Sessions' scaladoc and OPTIMIZATION_r15.md.
+    val spark = Sessions.local(cpus).getOrCreate()
     // ERROR, not WARN: bounded-window queries emit harmless WindowExec
     // WARNs that flood the driver's 2000-char stdout tail capture and can
     // push the final JSON line out of it.
@@ -130,8 +138,14 @@ object Bench {
     // window load (two rounds of phantom "regressions", VERDICT r12)
     val calib = calibrate()
     val calibFactor = calibrationRef / calib
+    // companion multi-core kernel: detects N-way throughput degradation
+    // the single-core number is structurally blind to (see scaladoc)
+    val calibMc = calibrationMulti(
+      math.max(1, cpus.toIntOption.getOrElse(
+        Runtime.getRuntime.availableProcessors())))
     System.err.println(f"[bench] calibration kernel $calib%.3f s " +
-      f"(ref $calibrationRef%.3f, factor $calibFactor%.3f)")
+      f"(ref $calibrationRef%.3f, factor $calibFactor%.3f), " +
+      f"${cpus}-way concurrent $calibMc%.3f s")
 
     // warm the session (parquet footers, codegen infra) off the clock —
     // skipped on runs=1 decade probes, where re-executing a minutes-long
@@ -221,7 +235,7 @@ object Bench {
     // runs=1 decade probes report the lone sample, not a median —
     // label honestly so artifact consumers don't mix the two (ADVICE r13)
     val agg = if (runsPerQuery == 1) "single" else "median"
-    val full = s"""{"metric":"total","value":$totalS,"value_norm":${num(total * calibFactor, 3)},"calibration_sec":${num(calib, 4)},"calibration_ref":${num(calibrationRef, 4)},"calib_factor":${num(calibFactor, 4)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"queries_min":$qsMin,"sf":"$sfDir","runs":$runsPerQuery,"agg":"$agg","divergent":$div,"subset":${only.nonEmpty}}"""
+    val full = s"""{"metric":"total","value":$totalS,"value_norm":${num(total * calibFactor, 3)},"calibration_sec":${num(calib, 4)},"calibration_ref":${num(calibrationRef, 4)},"calib_factor":${num(calibFactor, 4)},"calib_mc_sec":${num(calibMc, 4)},"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"queries_min":$qsMin,"sf":"$sfDir","runs":$runsPerQuery,"agg":"$agg","divergent":$div,"subset":${only.nonEmpty}}"""
     // every run writes its full map to the RUN-SCOPED artifact; the
     // committed quiet reference BENCH_FULL.json is refreshed ONLY by an
     // explicit opt-in — the driver's per-round run and a judge's subset
@@ -247,7 +261,8 @@ object Bench {
     // per-query entries — slowest first, the ones worth eyeballing —
     // as fit a hard 1500-char budget; the complete map lives in
     // BENCH_FULL.json.
-    val line = renderLine(results, divergent, sfDir, calib, runsPerQuery)
+    val line = renderLine(results, divergent, sfDir, calib, runsPerQuery,
+      calibMc)
     if (line.length > 1850) System.err.println(
       s"[bench] WARNING stdout line is ${line.length} chars — may exceed the driver's 2000-char tail capture")
     println(line)
@@ -276,7 +291,8 @@ object Bench {
 
   private[graft] def renderLine(results: Seq[(String, Double)],
       divergent: Seq[String], sfDir: String,
-      calibrationSec: Double = calibrationRef, runs: Int = 3): String = {
+      calibrationSec: Double = calibrationRef, runs: Int = 3,
+      calibMcSec: Double = -1.0): String = {
     def num(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     val factor = calibrationRef / calibrationSec
@@ -302,8 +318,10 @@ object Bench {
     val calibS = num(calibrationSec, 3)
     val factorS = num(factor, 3)
     val agg = if (runs == 1) "single" else "median"
+    // -1 = not measured (pure spec calls); a real bench always has it
+    val mcS = num(calibMcSec, 3)
     def frame(shownQs: String, nShown: Int): String =
-      s"""{"metric":"total","value":$totalS,"value_norm":$normS,"calibration_sec":$calibS,"calib_factor":$factorS,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"$agg","n_queries":${results.size},"divergent":$div,"full":"BENCH_LAST.json","queries_shown":$nShown,"queries":$shownQs}"""
+      s"""{"metric":"total","value":$totalS,"value_norm":$normS,"calibration_sec":$calibS,"calib_factor":$factorS,"calib_mc_sec":$mcS,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"$agg","n_queries":${results.size},"divergent":$div,"full":"BENCH_LAST.json","queries_shown":$nShown,"queries":$shownQs}"""
     var room = lineBudget - frame("{}", results.size).length
     val bySlowest = results.sortBy(-_._2)
     val shown = scala.collection.mutable.ListBuffer.empty[String]

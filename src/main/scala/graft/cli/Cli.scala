@@ -591,13 +591,13 @@ object Cli {
     // notebook); only stop a session this command itself created
     val existing = org.apache.spark.sql.SparkSession.getDefaultSession
     val spark = existing.getOrElse {
-      val s = org.apache.spark.sql.SparkSession.builder()
-        .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .appName(s"graft-trigger-$id")
+      // shared session config (graft.Sessions): the CLI plans queries
+      // under the same semantics Bench measures and Verify checks
+      val s = graft.Sessions.configure(
+        org.apache.spark.sql.SparkSession.builder()
+          .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+          .appName(s"graft-trigger-$id"),
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
@@ -633,13 +633,11 @@ object Cli {
     if (due.isEmpty) { println("No nodes due."); return }
     val existing = org.apache.spark.sql.SparkSession.getDefaultSession
     val spark = existing.getOrElse {
-      val s = org.apache.spark.sql.SparkSession.builder()
-        .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .appName("graft-trigger-due")
+      val s = graft.Sessions.configure(
+        org.apache.spark.sql.SparkSession.builder()
+          .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+          .appName("graft-trigger-due"),
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

@@ -32,7 +32,18 @@ object Chat {
     * with user), ends_assistant, valid_json.
     */
   def conversationStats(df: DataFrame, idCol: String, convCol: String): DataFrame = {
-    val turns = from_json(col(convCol), turnSchema)
+    // Parse ONCE per row (r15 opt, guide §1.2/§4): from_json is an
+    // interpreted (CodegenFallback) expression and the higher-order
+    // aggregates below reference the parsed array ~8 times — inlined
+    // into one projection each reference RE-PARSES the JSON, and
+    // subexpression elimination does not reach inside the lambda-bound
+    // HOF trees. A two-step projection pins a single parse:
+    // CollapseProject keeps it because the alias is non-cheap and
+    // multiply referenced. Results are bit-identical (same expressions
+    // over the same parsed value).
+    val parsed = df.select(col(idCol),
+      from_json(col(convCol), turnSchema).as("_turns"))
+    val turns = col("_turns")
     def chars(role: String): Column =
       aggregate(
         filter(turns, t => t.getField("role") === role),
@@ -47,7 +58,7 @@ object Chat {
       zip_with(turns, sequence(lit(0), size(turns) - 1), (t, i) =>
         t.getField("role") === when(i % 2 === 0, "user").otherwise("assistant")),
       x => x))
-    df.select(
+    parsed.select(
       col(idCol),
       coalesce(size(turns).cast("long"), lit(0L)).as("n_turns"),
       coalesce(roleCount("user"), lit(0L)).as("n_user"),
@@ -132,13 +143,20 @@ object Chat {
   def responseTemplateScan(df: DataFrame, idCol: String, convCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "at least one phrase required")
-    val turns = from_json(col(convCol), turnSchema)
-    val assistant = filter(turns, t => t.getField("role") === "assistant")
+    // parse once + filter the assistant turns once (the
+    // [[conversationStats]] r15 single-parse shape: both aliases are
+    // non-cheap and multiply referenced, so CollapseProject keeps the
+    // staged projections and each row pays ONE from_json + ONE filter)
+    val assistant = df.select(col(idCol),
+      filter(from_json(col(convCol), turnSchema),
+        t => t.getField("role") === "assistant").as("_assistant"))
     val hit: Column => Column = c =>
       phrases.map(p => lower(c).contains(p.toLowerCase)).reduce(_ || _)
-    df.select(col(idCol),
-      coalesce(size(assistant), lit(0)).cast("long").as("n_assistant_turns"),
-      coalesce(size(filter(assistant, t => hit(t.getField("content")))),
+    assistant.select(col(idCol),
+      coalesce(size(col("_assistant")), lit(0)).cast("long")
+        .as("n_assistant_turns"),
+      coalesce(size(filter(col("_assistant"),
+        t => hit(t.getField("content")))),
         lit(0)).cast("long").as("n_template_turns"))
       .withColumn("flagged", col("n_template_turns") > 0)
   }

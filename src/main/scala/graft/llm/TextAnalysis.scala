@@ -469,19 +469,6 @@ object TextAnalysis {
       Window.orderBy(col("drift").desc, col("w"))).cast("long"))
   }
 
-  /** Unicode script histogram per document: the fraction of non-space
-    * characters in each major script (Latin, Cyrillic, Han, Arabic,
-    * plus digits and other), and the dominant script by argmax (fixed
-    * tie order). The standard companion signal to [[langId]] for
-    * multilingual corpus routing — script is decidable per character
-    * (no stopword lists), so mixed-script spam and mislabeled-language
-    * docs surface immediately.
-    *
-    * Pure scan-time regexp counting (codegen'd, no UDF, no shuffle);
-    * script classes via regex script properties, which both Java regex
-    * (`\p{IsLatin}`) and RE2 (`\p{Latin}`) support, so the semantics
-    * reproduce in any engine.
-    */
   /** Per-script non-space character counts (shared by [[scriptMix]]
     * and [[dominantScriptCol]]): (nChars, script → count). */
   private def scriptCounts(text: Column): (Column, Seq[(String, Column)]) = {
@@ -511,6 +498,19 @@ object TextAnalysis {
     }
   }
 
+  /** Unicode script histogram per document: the fraction of non-space
+    * characters in each major script (Latin, Cyrillic, Han, Arabic,
+    * plus digits and other), and the dominant script by argmax (fixed
+    * tie order). The standard companion signal to [[langId]] for
+    * multilingual corpus routing — script is decidable per character
+    * (no stopword lists), so mixed-script spam and mislabeled-language
+    * docs surface immediately.
+    *
+    * Pure scan-time regexp counting (codegen'd, no UDF, no shuffle);
+    * script classes via regex script properties, which both Java regex
+    * (`\p{IsLatin}`) and RE2 (`\p{Latin}`) support, so the semantics
+    * reproduce in any engine.
+    */
   def scriptMix(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val text = col(textCol)
@@ -755,6 +755,13 @@ object TextAnalysis {
     * One scan-shaped projection (counts + dominant script in the same
     * select) + one small aggregation keyed by script (a handful of
     * groups) — map-side combinable, no data-sized shuffle at all.
+    *
+    * Degenerate-input contract (changed by the r14 fusion, ADVICE
+    * r14): the old shape inner-joined [[scriptMix]]'s frame back on
+    * the id column, which silently DROPPED rows with null ids and
+    * row-MULTIPLIED duplicate ids; the fused single-projection shape
+    * counts every input row exactly once regardless of id nulls or
+    * duplicates — the id column no longer participates at all.
     */
   def tokenFertility(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {

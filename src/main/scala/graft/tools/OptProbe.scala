@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scratch sub-component timer for the r14 optimization round: times
@@ -26,29 +26,16 @@ object OptProbe {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only = if (args.nonEmpty) Some(args.toSet) else None
     def want(n: String) = only.forall(_(n))
 
-    // "q:<name>" fragments time a registry query as-is; "smj_off"
-    // first disables preferSortMergeJoin (shuffled-hash where legal)
+    // "q:<name>" fragments time a registry query as-is (the r14
+    // smj_on/smj_off toggles are gone with the session flag itself —
+    // the shared Sessions builder is the only session authority)
     args.foreach { a =>
-      if (a == "smj_off") {
-        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-        println("[optprobe] preferSortMergeJoin=false")
-      }
-      if (a == "smj_on") {
-        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
-        println("[optprobe] preferSortMergeJoin=true")
-      }
       if (a.startsWith("q:")) {
         val n = a.drop(2)
         time(s"q:$n", graft.SparkEntry.queries(n)(spark, sf))

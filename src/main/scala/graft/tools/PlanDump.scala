@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Dumps `.explain("formatted")` for selected registry queries to
   * plans/<tag>/<query>_<suffix>.txt — the optimization-round evidence
   * artifacts (OPTIMIZATION_r14.md cites them; the judge greps them).
@@ -9,23 +7,17 @@ import org.apache.spark.sql.SparkSession
   * Run: sbt "runMain graft.tools.PlanDump <outDir> <suffix> [query ...]"
   * e.g. sbt "runMain graft.tools.PlanDump plans/r14 before q14c_approx_percentile"
   *
-  * Session config mirrors Bench (32-way shuffle, AQE on) so the dumped
-  * initial plans match what the bench executes at sf0.1.
+  * Session config IS Bench's (the shared graft.Sessions builder) so
+  * the dumped initial plans match what the bench executes at sf0.1.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: PlanDump <outDir> <suffix> <query...>")
     val outDir = args(0); val suffix = args(1); val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1").toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SHARED session config (Sessions.scala) — dumped plans are the
+    // plans Bench times and Verify checks, by construction
+    val spark = graft.Sessions.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
